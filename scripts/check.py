@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tool only — not part of
+the library). Reads Verify output (spark parquet per query + oracle_sql.json),
+replays each oracle in DuckDB over the same sf dir, and diff-reports.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_df = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            oracle_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        sc = sorted(spark_df.columns)
+        oc = sorted(oracle_df.columns)
+        if sc != oc:
+            print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
+            n_fail += 1
+            continue
+        s = spark_df[sc].sort_values(sc).reset_index(drop=True)
+        o = oracle_df[oc].sort_values(oc).reset_index(drop=True)
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}")
+            n_fail += 1
+            continue
+        # value compare (driver hashes; we diff for debuggability)
+        import pandas as pd
+        diffs = []
+        for c in sc:
+            a, b = s[c], o[c]
+            if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+                import numpy as np
+                eq = (a.isna() & b.isna()) | np.isclose(
+                    a.fillna(0), b.fillna(0), rtol=0, atol=0, equal_nan=True)
+                eq = (a.isna() & b.isna()) | (a.fillna(1.5) == b.fillna(2.5))
+            else:
+                eq = (a.isna() & b.isna()) | (
+                    a.astype(object).fillna("\0") == b.astype(object).fillna("\0"))
+            bad = (~eq).to_numpy().nonzero()[0]
+            if len(bad):
+                diffs.append((c, bad[:3]))
+        if diffs:
+            n_fail += 1
+            print(f"FAIL {name}: value diffs in {[c for c, _ in diffs]} "
+                  f"(rows={len(s)})")
+            for c, idx in diffs[:2]:
+                for i in idx:
+                    print(f"    {c}[{i}]: spark={s[c][i]!r} oracle={o[c][i]!r}")
+        else:
+            # dtype note (driver may compare schemas)
+            dt = [(c, str(s[c].dtype), str(o[c].dtype)) for c in sc
+                  if str(s[c].dtype) != str(o[c].dtype)]
+            note = f"  [dtype deltas: {dt}]" if dt else ""
+            print(f"PASS {name} ({len(s)} rows){note}")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed, "
+          f"{len(oracles)} total with oracles")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

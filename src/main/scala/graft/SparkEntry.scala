@@ -1,13 +1,174 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has a `queries` entry over the
+  * driver test tables and (where SQL-expressible) a DuckDB `oracleSql` twin
+  * with IDENTICAL output column names.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q03JoinRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> (Relational.q01FilterProject _),
+    "q02_agg_pricing" -> (Relational.q02AggPricing _),
+    "q03_join_revenue" -> (Relational.q03JoinRevenue _),
+    "q04_anti_join" -> (Relational.q04AntiJoin _),
+    "q05_semi_join" -> (Relational.q05SemiJoin _),
+    "q06_window_topn" -> (Relational.q06WindowTopN _),
+    "q07_last_event" -> (Relational.q07LastEvent _),
+    "q08_json_extract" -> (Relational.q08JsonExtract _),
+    "q09_distinct" -> (Relational.q09Distinct _),
+    "q10_rollup" -> (Relational.q10Rollup _),
+    "q11_case_classify" -> (Relational.q11CaseClassify _),
+    "q12_strftime" -> (Relational.q12Strftime _),
+    "q13_time_filter" -> (Relational.q13TimeFilter _),
+    "q14_topk" -> (Relational.q14TopK _),
+    "q15_asof_join" -> (Relational.q15AsOfJoin _),
+    "q16_merge_upsert" -> (Relational.q16MergeUpsert _),
+    "q17_local_time" -> (Relational.q17LocalTime _),
+    "q18_regex_extract" -> (Relational.q18RegexExtract _),
+    "q19_counters" -> (Relational.q19Counters _),
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables, same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q03_join_revenue" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q05_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_partkey = p_partkey AND l_quantity > 49)
+         ORDER BY p_partkey""",
+    "q06_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q07_last_event" ->
+      """SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type
+         FROM (SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q08_json_extract" ->
+      """SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           count(*) AS cnt
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q09_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q10_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+           round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q11_case_classify" ->
+      """SELECT event_type,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid' ELSE 'high' END AS band,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type, band ORDER BY event_type, band""",
+    "q12_strftime" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY ym ORDER BY ym""",
+    "q13_time_filter" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         WHERE strftime(ts, '%H:%M:%S') < '12:00:00'
+         GROUP BY event_type ORDER BY event_type""",
+    "q14_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q15_asof_join" ->
+      """SELECT purchase_event_id, user_id, prior_event_id FROM (
+           SELECT p.event_id AS purchase_event_id, p.user_id,
+             e.event_id AS prior_event_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+           FROM events p
+           LEFT JOIN events e ON p.user_id = e.user_id AND e.ts < p.ts
+             AND e.event_type <> 'purchase'
+           WHERE p.event_type = 'purchase') t
+         WHERE rn = 1 ORDER BY purchase_event_id""",
+    "q16_merge_upsert" ->
+      """SELECT o_orderkey, price, src FROM (
+           SELECT o_orderkey, price, src,
+             row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY CASE WHEN src = 'new' THEN 0 ELSE 1 END) AS rn
+           FROM (
+             SELECT o_orderkey, o_totalprice AS price, 'old' AS src
+             FROM orders WHERE o_orderkey % 3 <> 0
+             UNION ALL
+             SELECT o_orderkey, o_totalprice + 100.0 AS price, 'new' AS src
+             FROM orders WHERE o_orderkey % 2 = 0) u) t
+         WHERE rn = 1 ORDER BY o_orderkey""",
+    "q17_local_time" ->
+      """SELECT event_id,
+           CASE WHEN user_id % 4 = 0 THEN 'Australia/Sydney'
+                WHEN user_id % 4 = 1 THEN 'Europe/London'
+                WHEN user_id % 4 = 2 THEN 'America/New_York'
+                ELSE 'Asia/Tokyo' END AS tz,
+           strftime(timezone(CASE WHEN user_id % 4 = 0 THEN 'Australia/Sydney'
+                WHEN user_id % 4 = 1 THEN 'Europe/London'
+                WHEN user_id % 4 = 2 THEN 'America/New_York'
+                ELSE 'Asia/Tokyo' END,
+              timezone('UTC', CAST(ts AS TIMESTAMP))),
+             '%Y-%m-%d %H:%M:%S') AS local_ts,
+           strftime(timezone(CASE WHEN user_id % 4 = 0 THEN 'Australia/Sydney'
+                WHEN user_id % 4 = 1 THEN 'Europe/London'
+                WHEN user_id % 4 = 2 THEN 'America/New_York'
+                ELSE 'Asia/Tokyo' END,
+              timezone('UTC', CAST(ts AS TIMESTAMP))),
+             '%A') AS local_dow
+         FROM events ORDER BY event_id""",
+    "q18_regex_extract" ->
+      """SELECT regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+           count(*) AS cnt,
+           count(DISTINCT regexp_extract(p_name, '^(\w+)', 1)) AS n_first
+         FROM part GROUP BY type_head ORDER BY type_head""",
+    "q19_counters" ->
+      """SELECT event_type AS status, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY status""",
+  )
 }

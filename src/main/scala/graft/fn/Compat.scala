@@ -1,0 +1,87 @@
+package graft.fn
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQLite-compat scalar functions for the reference's raw-`where` query
+  * surface (SURVEY.md §2.B6/B7; reference `betfairdatabase/database.py:144-151`
+  * splices user SQL verbatim into SQLite, whose tests use `time()` and
+  * `strftime()`).
+  *
+  * Two tiers:
+  *  - Column helpers ([[time]], [[strftime]]) that translate to native
+  *    `date_format` at plan time → whole-stage codegen, no UDF in the hot path.
+  *    Use these whenever the format string is a literal (it always is in the
+  *    reference's tests).
+  *  - Registered UDFs (`sqlite_time`, `sqlite_strftime`) so raw SQL strings
+  *    containing those calls keep working through `expr(where)`.
+  */
+object Compat {
+
+  /** SQLite `time(ts)` → "HH:mm:ss". */
+  def time(ts: Column): Column = date_format(ts, "HH:mm:ss")
+
+  /** SQLite `strftime(fmt, ts)` for literal fmt — rewritten to date_format. */
+  def strftime(fmt: String, ts: Column): Column =
+    date_format(ts, translate(fmt))
+
+  /** Translate an SQLite %-code format string to a java.time pattern.
+    * Covers the codes used by SQLite docs/tests; unknown codes throw.
+    * Literal text is quoted so pattern letters in it stay literal.
+    */
+  private[graft] def translate(fmt: String): String = {
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      // quote anything containing letters; keep pure punctuation as-is
+      if (s.exists(_.isLetter)) sb.append("'").append(s.replace("'", "''")).append("'")
+      else sb.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        flushLit()
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'j' => sb.append("DDD")
+          case 'A' => sb.append("EEEE")
+          case 'w' => sb.append("e") // day of week (approx; SQLite: 0=Sunday)
+          case '%' => lit.append('%')
+          case other =>
+            throw new IllegalArgumentException(s"unsupported strftime code %$other")
+        }
+        i += 2
+      } else { lit.append(c); i += 1 }
+    }
+    flushLit()
+    sb.toString
+  }
+
+  /** Register `sqlite_time` / `sqlite_strftime` (and aliases `time`,
+    * `strftime`) for raw-SQL `where` strings. Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    val fmtTs = (fmt: String, ts: java.sql.Timestamp) =>
+      if (ts == null || fmt == null) null
+      else {
+        val zdt = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+        zdt.format(java.time.format.DateTimeFormatter.ofPattern(translate(fmt)))
+      }
+    val timeFn = (ts: java.sql.Timestamp) =>
+      if (ts == null) null
+      else ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+    spark.udf.register("sqlite_strftime", fmtTs)
+    spark.udf.register("sqlite_time", timeFn)
+    spark.udf.register("strftime", fmtTs)
+    spark.udf.register("time", timeFn)
+  }
+}

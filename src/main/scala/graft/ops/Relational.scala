@@ -1,0 +1,251 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.fn.Compat
+
+/** Core relational operator inventory (SURVEY.md §2.A/§2.B/§2.C) expressed as
+  * generic queries over the driver's TPC-H-ish test data.
+  *
+  * Design rules (see SURVEY.md §7.3):
+  *  - Every output column is explicitly aliased; oracle SQL uses identical
+  *    aliases (driver hash-compares by sorted column name).
+  *  - Deterministic: every query ends in a total ORDER BY; FP aggregates are
+  *    rounded.
+  *  - Scale: joins against dimension tables are broadcast; aggregations are
+  *    partial-agg friendly (plain groupBy on native functions); no collect()
+  *    anywhere.
+  */
+object Relational {
+
+  /** A19/B1/B9 filter + projection + deterministic order.
+    * Filter and projection both push into the parquet scan.
+    */
+  def q01FilterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** §2.C aggregation: TPC-H Q1-style pricing summary (map-side partial agg,
+    * one shuffle on the two grouping keys).
+    */
+  def q02AggPricing(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A11-style broadcast joins: orders→customer (shuffle) then two broadcast
+    * hash joins against tiny dims. nation/region stay broadcast at any SF.
+    */
+  def q03JoinRevenue(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+
+  /** A2 anti-join (reference: metadata-without-data dict difference). */
+  def q04AntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Semi-join (A2's positive pairing as a semi). */
+  def q05SemiJoin(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .join(lineitem(s, d).filter(col("l_quantity") > 49),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+
+  /** A14-analog window: top-3 orders per customer (rank-and-filter). */
+  def q06WindowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** A4-analog "last line per file": last event per user via max_by — a single
+    * partial-aggregable pass, no window shuffle-sort needed.
+    */
+  def q07LastEvent(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("last_event_id"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("last_event_type"))
+      .orderBy("user_id")
+
+  /** A3-analog JSON extraction (reference parses nested market JSON). */
+  def q08JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** A13 uniqueness / distinct. */
+  def q09Distinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .dropDuplicates()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** §2.C rollup aggregation (absent in reference; Spark-grade extension).
+    *
+    * Expressed via spark.sql: the Dataset rollup/cube API after any join
+    * trips Spark 4.1's ambiguous-self-join check (false positive — verified
+    * that plain-table rollup works and the same plan through SQL analyzes
+    * fine). Identical logical plan either way.
+    */
+  def q10Rollup(s: SparkSession, d: String): DataFrame = {
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("c_acctbal"))
+      .createOrReplaceTempView("graft_q10_base")
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS cnt,
+           round(sum(c_acctbal), 2) AS sum_bal
+         FROM graft_q10_base
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+  }
+
+  /** A5/A12-analog conditional classification + projection contract. */
+  def q11CaseClassify(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("band",
+        when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .otherwise("high"))
+      .groupBy("event_type", "band")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type", "band")
+
+  /** B7 strftime compat: orders per month (plan-time date_format rewrite,
+    * stays inside whole-stage codegen).
+    */
+  def q12Strftime(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("ym", Compat.strftime("%Y-%m", col("o_orderdate")))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("ym")
+
+  /** B6 time() compat: morning events per type. */
+  def q13TimeFilter(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(Compat.time(col("ts")) < "12:00:00")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** §2.C top-k: global ORDER BY + LIMIT → TakeOrderedAndProject (no full
+    * sort shuffle at scale).
+    */
+  def q14TopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** As-of join (§2.C extension; reference has none): for every purchase
+    * event, the most recent strictly-earlier event of the same user that is
+    * not a purchase.
+    *
+    * Implemented the scalable way — NOT a pair-blowup range join: tag the
+    * union, sort within user, carry the last non-purchase event forward with
+    * an unbounded-preceding window. One shuffle on user_id, linear in events.
+    */
+  def q15AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prior_event_id",
+        last(when(col("event_type") =!= "purchase", col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("prior_event_id"))
+      .orderBy("purchase_event_id")
+  }
+
+  /** A14 merge/upsert policies as a query: two snapshots of orders, newer
+    * snapshot wins per key (row_number preference — the Spark-native merge).
+    */
+  def q16MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val old = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"), lit("old").as("src"))
+    // exact +100.0 (not *1.1+round: double rounding at .005 boundaries is
+    // engine-divergent between Spark and DuckDB)
+    val fresh = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("price"),
+        lit("new").as("src"))
+    val w = Window.partitionBy("o_orderkey")
+      .orderBy(when(col("src") === "new", 0).otherwise(1))
+    old.unionByName(fresh)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("price"), col("src"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A8-analog per-row timezone local times: tz derived per row, local
+    * timestamp string + English weekday (date_format EEEE).
+    */
+  def q17LocalTime(s: SparkSession, d: String): DataFrame = {
+    val tz = when(col("user_id") % 4 === 0, "Australia/Sydney")
+      .when(col("user_id") % 4 === 1, "Europe/London")
+      .when(col("user_id") % 4 === 2, "America/New_York")
+      .otherwise("Asia/Tokyo")
+    events(s, d)
+      .withColumn("tz", tz)
+      .withColumn("local_ts",
+        date_format(from_utc_timestamp(col("ts"), col("tz")), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("local_dow",
+        date_format(from_utc_timestamp(col("ts"), col("tz")), "EEEE"))
+      .select(col("event_id"), col("tz"), col("local_ts"), col("local_dow"))
+      .orderBy("event_id")
+  }
+
+  /** A10-analog regex extraction: structured fields out of part names/types. */
+  def q18RegexExtract(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .withColumn("type_head", regexp_extract(col("p_type"), "^(\\w+)", 1))
+      .withColumn("name_first", regexp_extract(col("p_name"), "^(\\w+)", 1))
+      .groupBy("type_head")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("name_first")).as("n_first"))
+      .orderBy("type_head")
+
+  /** A20-analog audit counters: tagged-union status counts in one pass. */
+  def q19Counters(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type").as("status"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("status")
+}
