@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.VectorOps
+
+/** Programmatically-generated DuckDB oracle SQL for the ops whose SQL is
+  * repetitive (k minhashes, 32 simhash bits, LSH plane literals). Kept in
+  * lockstep with the Spark implementations in graft.ops.
+  */
+object OracleGen {
+
+  private val shingleCte =
+    """WITH w AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+         FROM documents
+         WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+       sh0 AS (
+         SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
+         FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+       sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
+
+  val ngramJaccard: String =
+    s"""$shingleCte,
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+     SELECT d1, d2, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+     FROM inter
+     JOIN sizes sa ON sa.doc_id = d1
+     JOIN sizes sb ON sb.doc_id = d2
+     ORDER BY jaccard DESC, d1, d2 LIMIT 20"""
+
+  val minhashLsh: String = {
+    val sigExprs = (0 until 16).map { i =>
+      s"min(('0x' || substr(md5('$i|' || sh), 1, 12))::BIGINT) AS s$i"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sigs"
+    }.mkString("\n         UNION ALL ")
+    s"""$shingleCte,
+       sigs AS (
+         SELECT doc_id,
+         $sigExprs
+         FROM sh GROUP BY doc_id),
+       bands AS (
+         $bandSelects)
+     SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+     FROM bands a
+     JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id
+     GROUP BY 1, 2 ORDER BY d1, d2"""
+  }
+
+  val simhash: String = {
+    val votes = (0 until 32).map { b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n         ")
+    val simExpr = (0 until 32).map { b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH w0 AS (
+         SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         FROM documents),
+       w AS (SELECT DISTINCT doc_id, w FROM w0),
+       h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM w),
+       v AS (SELECT doc_id,
+         $votes
+         FROM h GROUP BY doc_id),
+       sim AS (SELECT doc_id, $simExpr AS simhash FROM v),
+       x AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sim)
+     SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+     FROM x a JOIN x b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+     ORDER BY d1, d2"""
+  }
+
+  private def planeLiteral(p: Int): String =
+    VectorOps.planes(p).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
+  private val bucketExpr: String = (0 until VectorOps.NumPlanes).map { p =>
+    s"(CASE WHEN list_dot_product(v, ${planeLiteral(p)}) > 0 " +
+      s"THEN (1::BIGINT << $p) ELSE 0 END)"
+  }.mkString(" + ")
+
+  val lshBuckets: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       b AS (SELECT vec_id, $bucketExpr AS bucket FROM e)
+     SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+     FROM b GROUP BY bucket ORDER BY bucket"""
+
+  val annLsh: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv,
+                $bucketExpr AS bucket FROM e),
+       qb AS (SELECT vec_id AS query_id, v AS qv, nv AS nq, bucket AS qbucket
+              FROM nb WHERE vec_id < 10),
+       sims AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+                  list_dot_product(qv, n.v) / (nq * n.nv) AS sim
+                FROM nb n JOIN qb q ON n.bucket = q.qbucket
+                  AND n.vec_id <> q.query_id),
+       r AS (SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+     SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
+     FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""
+}

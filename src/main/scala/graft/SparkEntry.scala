@@ -36,6 +36,18 @@ object SparkEntry {
     "q17_local_time" -> (Relational.q17LocalTime _),
     "q18_regex_extract" -> (Relational.q18RegexExtract _),
     "q19_counters" -> (Relational.q19Counters _),
+    "t20_token_count" -> (TextOps.t20TokenCount _),
+    "t21_quality" -> (TextOps.t21Quality _),
+    "t22_lang_id" -> (TextOps.t22LangId _),
+    "t23_fingerprint" -> (TextOps.t23Fingerprint _),
+    "d24_exact_dedup" -> (TextOps.d24ExactDedup _),
+    "d25_ngram_jaccard" -> (TextOps.d25NgramJaccard _),
+    "d26_minhash_lsh" -> (TextOps.d26MinhashLsh _),
+    "d27_simhash" -> (TextOps.d27Simhash _),
+    "v28_cosine_topk" -> (VectorOps.v28CosineTopK _),
+    "v29_lsh_buckets" -> (VectorOps.v29LshBuckets _),
+    "v30_ann_lsh" -> (VectorOps.v30AnnLsh _),
+    "m31_binary_meta" -> (VectorOps.m31BinaryMeta _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -170,5 +182,91 @@ object SparkEntry {
       """SELECT event_type AS status, count(*) AS n,
            round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY status""",
+    "t20_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+             AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "t21_quality" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+             AS n_words,
+           round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+             / len(string_split_regex(trim(lower(text)), '\s+')), 4)
+             AS avg_word_len,
+           round(len(regexp_extract_all(lower(text),
+               '\b(the|a|of|and|to|in|is)\b')) * 1.0
+             / len(string_split_regex(trim(lower(text)), '\s+')), 4)
+             AS stop_ratio,
+           round(0.4 * least(len(string_split_regex(trim(lower(text)), '\s+'))
+                 / 100.0, 1.0)
+             + 0.3 * (len(regexp_extract_all(lower(text),
+                 '\b(the|a|of|and|to|in|is)\b')) * 1.0
+               / len(string_split_regex(trim(lower(text)), '\s+')))
+             + 0.3 * least((length(regexp_replace(text, '\s', '', 'g')) * 1.0
+               / len(string_split_regex(trim(lower(text)), '\s+'))) / 8.0, 1.0),
+             4) AS quality
+         FROM documents ORDER BY doc_id""",
+    "t22_lang_id" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to)\b'))
+             AS BIGINT) AS s_en,
+           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+             AS BIGINT) AS s_de,
+           CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b'))
+             AS BIGINT) AS s_fr,
+           CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b'))
+             AS BIGINT) AS s_es,
+           CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT)
+             AS s_zh,
+           lang AS labeled_lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+               AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh' END AS predicted
+         FROM documents ORDER BY doc_id""",
+    "t23_fingerprint" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+           count(*) OVER (PARTITION BY
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+             AS dup_cnt,
+           doc_id = min(doc_id) OVER (PARTITION BY
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+             AS is_keeper
+         FROM documents ORDER BY doc_id""",
+    "d24_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fp,
+           count(*) AS n_docs, min(doc_id) AS keeper
+         FROM documents GROUP BY fp ORDER BY fp""",
+    "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
+    "d26_minhash_lsh" -> OracleGen.minhashLsh,
+    "d27_simhash" -> OracleGen.simhash,
+    "v28_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+           q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n
+                 WHERE vec_id < 10),
+           sims AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+                      list_dot_product(qv, v) / (nq * nv) AS sim
+                    FROM n, q WHERE n.vec_id <> q.query_id),
+           r AS (SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+         SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "v29_lsh_buckets" -> OracleGen.lshBuckets,
+    "v30_ann_lsh" -> OracleGen.annLsh,
+    "m31_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5, source
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Large-scale training-data pipeline text operators over the `documents`
+  * table: token counting, quality scoring, language-ID, fingerprinting, exact
+  * dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+  *
+  * Scale notes:
+  *  - All hashing is md5-derived (codegen'd native expression, identical
+  *    output in DuckDB) — no UDFs anywhere.
+  *  - Near-dup joins are candidate-generation joins on shingle/band/bucket
+  *    keys (shuffle on the key, partial-agg per doc first), never O(n^2)
+  *    cross joins.
+  *  - Per-doc signatures (minhash/simhash) are single-pass groupBy
+  *    aggregations with k parallel agg expressions — no explode-by-k blowup.
+  */
+object TextOps {
+
+  private def words(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** 48-bit hash from an md5 prefix — deterministic and reproducible in any
+    * engine with md5 (the oracle uses the same construction).
+    */
+  private def h48(c: Column): Column =
+    conv(substr(md5(c), lit(1), lit(12)), 16, 10).cast("long")
+
+  private def h32(c: Column): Column =
+    conv(substr(md5(c), lit(1), lit(8)), 16, 10).cast("long")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter-runs / digits / single punctuation).
+    */
+  def t20TokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/stopword/word-shape heuristics → [0,1] score. */
+  def t21Quality(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("long")
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long")
+    val compact = regexp_replace(col("text"), "\\s", "")
+    val avgWordLen = length(compact).cast("double") / nWords
+    val stopRatio = nStop.cast("double") / nWords
+    val score =
+      lit(0.4) * least(nWords.cast("double") / 100.0, lit(1.0)) +
+        lit(0.3) * stopRatio +
+        lit(0.3) * least(avgWordLen / 8.0, lit(1.0))
+    documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        nWords.as("n_words"),
+        round(avgWordLen, 4).as("avg_word_len"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(score, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by stopword-marker counting with a fixed-priority argmax
+    * (n-gram heuristic; CJK char class for zh).
+    */
+  def t22LangId(s: SparkSession, d: String): DataFrame = {
+    def m(pat: String): Column =
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))).cast("long")
+    val sEn = m("\\b(the|and|of|is|to)\\b")
+    val sDe = m("\\b(der|die|das|und|ist)\\b")
+    val sFr = m("\\b(le|la|les|et|est)\\b")
+    val sEs = m("\\b(el|los|las|y|es)\\b")
+    val sZh = size(regexp_extract_all(col("text"), lit("[一-鿿]"), lit(0)))
+      .cast("long")
+    documents(s, d)
+      .select(col("doc_id"), sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"),
+        sEs.as("s_es"), sZh.as("s_zh"), col("lang").as("labeled_lang"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+            col("s_de") >= col("s_zh"), "de")
+          .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
+          .when(col("s_es") >= col("s_zh"), "es")
+          .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  /** Normalized-content fingerprint (rolling-hash analog via md5 over the
+    * canonicalized text) + per-fingerprint dup stats via window.
+    */
+  def t23Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val byFp = Window.partitionBy("fp")
+    documents(s, d)
+      .select(col("doc_id"), md5(canon).as("fp"))
+      .withColumn("dup_cnt", count(lit(1)).over(byFp))
+      .withColumn("is_keeper", col("doc_id") === min("doc_id").over(byFp))
+      .orderBy("doc_id")
+  }
+
+  /** Exact deduplication: hash-groupBy on the content fingerprint. */
+  def d24ExactDedup(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    documents(s, d)
+      .select(col("doc_id"), md5(canon).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .orderBy("fp")
+  }
+
+  /** Distinct word-3-shingles per doc (shared by the near-dup ops). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val w = documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    w.select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"), col("i"), lit(3)), " ").as("sh"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup: candidate pairs via shared-shingle equi-join
+    * (no cross join), exact Jaccard, deterministic top-20.
+    */
+  def d25NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter") * 1.0 / (col("sz1") + col("sz2") - col("inter")))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  private val MinhashK = 16
+  private val MinhashBands = 4
+
+  /** MinHash signatures (k=16, one-pass groupBy with k parallel min-aggs) +
+    * LSH banding (4 bands × 4 rows) → candidate near-dup pairs with shared
+    * band counts. The band equi-join is the scale path: cost is bounded by
+    * bucket sizes, never O(n^2).
+    */
+  def d26MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sigCols = (0 until MinhashK).map { i =>
+      min(h48(concat(lit(i.toString), lit("|"), col("sh")))).as(s"s$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until MinhashBands).map { b =>
+      val key = md5(concat_ws(",",
+        (0 until MinhashK / MinhashBands).map(r => col(s"s${b * 4 + r}")): _*))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val bands = sigs.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("d1", "d2")
+  }
+
+  /** 32-bit SimHash per doc (single-pass: 32 parallel vote-sums over distinct
+    * word hashes), then near-pairs bucketed by the high-16-bit prefix with
+    * Hamming distance <= 6 (bit_count(xor)).
+    */
+  def d27Simhash(s: SparkSession, d: String): DataFrame = {
+    val wordsDf = documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .distinct()
+      .select(col("doc_id"), h32(col("w")).as("h"))
+    val votes = wordsDf.groupBy("doc_id").agg(
+      (0 until 32).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"v$b")
+      }.head,
+      (1 until 32).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"v$b")
+      }: _*)
+    val sim = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hashes = votes.select(col("doc_id"), sim.as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 16))
+    hashes.as("a")
+      .join(hashes.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the corpus — one pass, no shuffle until the final per-query top-k.
+  * The LSH path buckets by deterministic random-hyperplane signs so candidate
+  * generation is an equi-join on bucket id (bounded bucket sizes, no O(n^2)).
+  * Dot products run through codegen'd higher-order functions (zip_with +
+  * aggregate) in double precision — no UDFs.
+  */
+object VectorOps {
+
+  val Dim = 64
+  val NumPlanes = 8
+
+  /** Deterministic ±1 hyperplanes derived from md5(plane,dim) — reproducible
+    * in any engine (the oracle embeds the same literals).
+    */
+  lazy val planes: Array[Array[Double]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (p, d) =>
+      val hex = mdig.digest(s"$p,$d".getBytes("UTF-8"))
+        .take(1).map(b => b & 0xff).head
+      if (hex % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k: queries (vec_id < 10) broadcast against the
+    * corpus; per-query top-5 via TakeOrdered-style window on rounded sim.
+    */
+  def v28CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .filter(col("query_id") < 10)
+    val joined = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("embedding")) /
+          (norm(col("qv")) * norm(col("embedding")))).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim_r"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH bucketing: 8 sign bits → bucket id per vector,
+    * plus per-bucket occupancy. The scale path for ANN candidate generation.
+    */
+  def v29LshBuckets(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val bucket = (0 until NumPlanes).map { p =>
+      val plane = array(planes(p).map(v => lit(v)): _*)
+      when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withBucket = emb.select(col("vec_id"), bucket.as("bucket"))
+    val occupancy = withBucket.groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"))
+    occupancy.orderBy("bucket")
+  }
+
+  /** ANN via LSH: per query (vec_id < 10), cosine top-3 among same-bucket
+    * candidates only — join on bucket id instead of a cross join.
+    */
+  def v30AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val bucket = (0 until NumPlanes).map { p =>
+      val plane = array(planes(p).map(v => lit(v)): _*)
+      when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withBucket = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val q = withBucket
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+      .filter(col("query_id") < 10)
+    val joined = withBucket.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("embedding")) /
+          (norm(col("qv")) * norm(col("embedding")))).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim_r"),
+        col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Multimodal plumbing: opaque binary payload column + typed metadata
+    * (byte length, content hash) — the schema/partitioning shape for
+    * image/audio columns; decode itself is stubbed (see
+    * graft.multimodal.Multimodal).
+    */
+  def m31BinaryMeta(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_md5"),
+        col("source"))
+      .orderBy("doc_id")
+}
