@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning, batch
+  * iteration (`mapPartitions`, the Scala analog of `mapInPandas` batch UDFs).
+  * The actual codec step is STUBBED with a deterministic fake (this
+  * environment ships no image/audio libraries): `fakeDecode` derives
+  * pseudo-metadata from the payload hash. Swap `fakeDecode` for a real
+  * decoder (e.g. TwelveMonkeys/JavaCV) without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Typed media column: payload + declared mime + decode products. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("payload", BinaryType),
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Attach a binary media payload to each document (payload = UTF-8 bytes
+    * here; in production this column comes from the lakehouse as real image
+    * bytes — the pipeline shape is identical).
+    */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      when(col("doc_id") % 3 === 0, "image/jpeg")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("mime"))
+
+  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
+    * A real implementation decodes the codec header here; everything below
+    * (batch shape, schema, null handling) is production plumbing.
+    */
+  private def fakeDecode(payload: Array[Byte], mime: String)
+      : (Int, Int, Int, Long) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val w = 64 + math.abs(h % 1024)
+    val ht = 64 + math.abs((h / 1024) % 1024)
+    val frames = if (mime.startsWith("video")) 1 + math.abs(h % 240) else 1
+    val dur = if (mime.startsWith("image")) 0L else 1000L + math.abs(h % 60000)
+    (w, ht, frames, dur)
+  }
+
+  /** Decode metadata for every payload — batch-iterating mapPartitions (one
+    * decoder instance per partition, like a pandas-batch UDF).
+    */
+  def decodeMeta(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val outSchema = StructType(
+      StructField("doc_id", LongType) +: mediaSchema.fields.toSeq)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayload.select("doc_id", "payload", "mime").mapPartitions { rows =>
+      // per-partition decoder setup happens here (codec init, model load...)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val mime = r.getAs[String]("mime")
+        val (w, h, frames, dur) = fakeDecode(payload, mime)
+        Row(r.getAs[Long]("doc_id"), payload, mime, w, h, frames, dur)
+      }
+    }(enc)
+  }
+
+  /** Resize stage: pure column arithmetic over decoded metadata (a real
+    * resize would transform payload in the same mapPartitions shape as
+    * decodeMeta).
+    */
+  def resizePlan(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height")))
+    decoded
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling: up to `k` evenly-spaced frame indices per video row —
+    * explode of a bounded sequence, fully codegen'd, no UDF.
+    */
+  def frameSample(decoded: DataFrame, k: Int): DataFrame =
+    decoded
+      .filter(col("mime").startsWith("video"))
+      .withColumn("step", greatest(lit(1), (col("n_frames") / k).cast("int")))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, col("step"))))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("doc_id"), lit(":"), col("frame_idx")))
+          .as("frame_key"))
+}

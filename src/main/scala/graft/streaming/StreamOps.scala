@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators.
+  *
+  * The reference batch-processes captures of Betfair's exchange stream
+  * (monotone `pt` epoch-millis per line — SURVEY.md §2.C "Streaming"); its
+  * `insert()` is incremental by design. These are the streaming-native
+  * equivalents: file-source ingestion, watermarked windowed aggregation, and
+  * custom sessionization state — each scales by partitioning on the grouping
+  * key with state kept per key in the state store.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String,
+      value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long,
+      sumValue: Double)
+  case class Session(user_id: Long, start_ts: Long, end_ts: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when a later event of the same user arrives more than `gapMillis` after
+    * the last one (event-time gap, closed inline — no wall-clock timeout, so
+    * the stream stays quiescent between triggers and results are
+    * deterministic; a production variant would add EventTimeTimeout to flush
+    * trailing sessions).
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen > gapMillis =>
+                closed += Session(userId, s.start, s.lastSeen, s.nEvents,
+                  s.sumValue)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                  sumValue = s.sumValue + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Streaming ingestion of exchange-stream NDJSON files: parse each line's
+    * market-change message, keep the latest marketDefinition per market via
+    * max_by in foreachBatch upserts. Mirrors the reference's incremental
+    * `insert()` as a continuously-running pipeline.
+    *
+    * Returns the streaming DataFrame (caller starts it with
+    * `.writeStream.foreachBatch(...)` or a memory sink in tests).
+    */
+  def streamMarketDefinitions(spark: SparkSession, dir: String): DataFrame = {
+    val lineSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("mc",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("marketDefinition",
+              graft.betfair.Schemas.metadataSchema)))))))
+    spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(dir)
+      .select(from_json(col("value"), lineSchema).as("m"))
+      .filter(col("m.mc").isNotNull)
+      .select(explode(col("m.mc")).as("mc"), col("m.pt").as("pt"))
+      .filter(col("mc.marketDefinition").isNotNull)
+      .select(col("mc.id").as("marketId"), col("pt"),
+        col("mc.marketDefinition").as("definition"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.betfair.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, "hello world"), (1L, "audio doc"), (2L, "video doc"),
+      (3L, "another image")).toDF("doc_id", "text")
+  }
+
+  test("payload attach + stub decode produce typed deterministic metadata") {
+    val decoded = Multimodal.decodeMeta(Multimodal.attachPayload(docs))
+    val rows = decoded.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getAs[String]("mime") == "image/jpeg")
+    assert(rows(1).getAs[String]("mime") == "audio/wav")
+    assert(rows(2).getAs[String]("mime") == "video/mp4")
+    // deterministic: same input -> same decode
+    val again = Multimodal.decodeMeta(Multimodal.attachPayload(docs))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Int]("width")).toSeq ==
+      again.map(_.getAs[Int]("width")).toSeq)
+    assert(rows.forall(_.getAs[Int]("width") >= 64))
+    // image rows have no duration
+    assert(rows(0).getAs[Long]("duration_ms") == 0L)
+  }
+
+  test("resize plan caps the longest dimension") {
+    val resized = Multimodal.resizePlan(
+      Multimodal.decodeMeta(Multimodal.attachPayload(docs)), maxDim = 128)
+    resized.collect().foreach { r =>
+      assert(r.getAs[Int]("out_width") <= 128)
+      assert(r.getAs[Int]("out_height") <= 128)
+    }
+  }
+
+  test("frame sampling yields bounded, keyed frames for video rows only") {
+    val frames = Multimodal.frameSample(
+      Multimodal.decodeMeta(Multimodal.attachPayload(docs)), k = 4)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("frame_key").length == 32))
+    val perDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(perDoc.keySet == Set(2L)) // only the video doc
+    assert(perDoc(2L).length <= 5)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.betfair.{Fixtures, SparkSpec}
+
+class StreamOpsSpec extends SparkSpec {
+
+  test("windowed counts with watermark over a memory stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedCounts(df, "1 minute", "1 hour")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0),
+      (t(11, 10), "buy", 5.0))
+    q.processAllAvailable()
+    val out = s.sql("select * from wc").collect()
+    q.stop()
+    assert(out.length == 2)
+    val clicks = out.find(_.getAs[String]("event_type") == "click").get
+    assert(clicks.getAs[Long]("cnt") == 2)
+    assert(clicks.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("sessionization: gap closes a session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapMillis = 60 * 1000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    def ev(user: Long, sec: Int) = StreamOps.Event(user,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${sec % 60}%02d")
+        match { case ts => new java.sql.Timestamp(ts.getTime + (sec / 60) * 60000L) },
+      "click", 1.0)
+    // two bursts 5 minutes apart: first burst must close when second arrives
+    mem.addData(ev(1, 0), ev(1, 10))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Event(1,
+      java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 2.0))
+    q.processAllAvailable()
+    val sessions = s.sql("select * from sess").collect()
+    q.stop()
+    assert(sessions.length == 1)
+    assert(sessions.head.getAs[Long]("n_events") == 2)
+  }
+
+  test("streaming market-definition ingestion from stream files") {
+    val dir = Fixtures.tempDir("graftstream")
+    Fixtures.writeLines(dir.resolve("1.500000001"),
+      Fixtures.definitionStreamLines("1.500000001", "6f Mdn", "WIN"))
+    val df = StreamOps.streamMarketDefinitions(spark, dir.toString)
+    val q = df.writeStream.format("memory").queryName("defs")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val defs = spark.sql("select * from defs").collect()
+    q.stop()
+    // both marketDefinition lines of the capture surface; latest by pt is
+    // the upsert winner downstream
+    assert(defs.length == 2)
+    val latest = defs.maxBy(_.getAs[Long]("pt"))
+    assert(latest.getAs[Long]("pt") == 1650390002000L)
+    assert(latest.getAs[org.apache.spark.sql.Row]("definition")
+      .getAs[String]("name") == "6f Mdn")
+    assert(defs.forall(_.getAs[String]("marketId") == "1.500000001"))
+  }
+}
