@@ -32,8 +32,11 @@ object OracleGen {
      ORDER BY jaccard DESC, d1, d2 LIMIT 20"""
 
   val minhashLsh: String = {
+    val P = graft.ops.TextOps.MinhashP
     val sigExprs = (0 until 16).map { i =>
-      s"min(('0x' || substr(md5('$i|' || sh), 1, 12))::BIGINT) AS s$i"
+      val a = graft.ops.TextOps.minhashA(i)
+      val b = graft.ops.TextOps.minhashB(i)
+      s"min(($a * ('0x' || substr(md5(sh), 1, 12))::BIGINT + $b) % $P) AS s$i"
     }.mkString(",\n         ")
     val bandSelects = (0 until 4).map { b =>
       val key = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")

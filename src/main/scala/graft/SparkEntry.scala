@@ -44,6 +44,11 @@ object SparkEntry {
     "d25_ngram_jaccard" -> (TextOps.d25NgramJaccard _),
     "d26_minhash_lsh" -> (TextOps.d26MinhashLsh _),
     "d27_simhash" -> (TextOps.d27Simhash _),
+    "q32_percentile" -> (Relational.q32Percentile _),
+    "q33_grouping_sets" -> (Relational.q33GroupingSets _),
+    "q34_pivot" -> (Relational.q34Pivot _),
+    "q35_stats" -> (Relational.q35Stats _),
+    "q36_setops" -> (Relational.q36SetOps _),
     "v28_cosine_topk" -> (VectorOps.v28CosineTopK _),
     "v29_lsh_buckets" -> (VectorOps.v29LshBuckets _),
     "v30_ann_lsh" -> (VectorOps.v30AnnLsh _),
@@ -246,6 +251,36 @@ object SparkEntry {
              AS fp,
            count(*) AS n_docs, min(doc_id) AS keeper
          FROM documents GROUP BY fp ORDER BY fp""",
+    "q32_percentile" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q33_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+         ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q34_pivot" ->
+      """SELECT l_linestatus,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q35_stats" ->
+      """SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qe
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q36_setops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+         ORDER BY c_custkey""",
     "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
     "d26_minhash_lsh" -> OracleGen.minhashLsh,
     "d27_simhash" -> OracleGen.simhash,

@@ -248,4 +248,63 @@ object Relational {
       .groupBy(col("event_type").as("status"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("status")
+
+  /** §2.C: exact percentiles (linear interpolation — same definition as
+    * DuckDB quantile_cont).
+    */
+  def q32Percentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
+  /** §2.C: GROUPING SETS (via SQL — same Spark 4.1 rollup-after-join
+    * analyzer workaround as q10).
+    */
+  def q33GroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_q33_base")
+    s.sql(
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS sum_price
+         FROM graft_q33_base
+         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+         ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
+  /** §2.C: pivot — wide conditional aggregation by return flag. */
+  def q34Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_linestatus")
+
+  /** §2.C: statistical aggregates (stddev / covariance / correlation). */
+  def q35Stats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qe"))
+      .orderBy("l_returnflag")
+
+  /** §2.C set operations: EXCEPT (customers in a segment minus big
+    * spenders) + INTERSECT via union-compatible legs.
+    */
+  def q36SetOps(s: SparkSession, d: String): DataFrame = {
+    val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bigSpenders = orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("c_custkey"))
+    building.except(bigSpenders)
+      .orderBy("c_custkey")
+  }
 }

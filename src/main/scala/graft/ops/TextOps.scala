@@ -151,16 +151,25 @@ object TextOps {
 
   private val MinhashK = 16
   private val MinhashBands = 4
+  /** Affine-family minhash params: h_i(x) = (A_i*x + B_i) mod P over one
+    * md5-derived 48-bit base hash — one md5 per shingle instead of k
+    * (classic multi-hash-from-one-hash minhash; P = 2^61-1, Mersenne prime;
+    * A_i*x < 2^54 so no overflow).
+    */
+  val MinhashP = 2305843009213693951L
+  def minhashA(i: Int): Long = 2L * i + 3
+  def minhashB(i: Int): Long = 101L * i + 17
 
-  /** MinHash signatures (k=16, one-pass groupBy with k parallel min-aggs) +
-    * LSH banding (4 bands × 4 rows) → candidate near-dup pairs with shared
-    * band counts. The band equi-join is the scale path: cost is bounded by
-    * bucket sizes, never O(n^2).
+  /** MinHash signatures (k=16, one-pass groupBy with k parallel min-aggs
+    * over a single base hash per shingle) + LSH banding (4 bands × 4 rows)
+    * → candidate near-dup pairs with shared band counts. The band equi-join
+    * is the scale path: cost is bounded by bucket sizes, never O(n^2).
     */
   def d26MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = shingles(s, d).withColumn("h", h48(col("sh")))
     val sigCols = (0 until MinhashK).map { i =>
-      min(h48(concat(lit(i.toString), lit("|"), col("sh")))).as(s"s$i")
+      min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % MinhashP)
+        .as(s"s$i")
     }
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until MinhashBands).map { b =>

@@ -31,12 +31,20 @@ object VectorOps {
     }
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Cosine via the native codegen'd expression
+    * (graft.expressions.CosineSimilarity): one fused primitive loop in
+    * whole-stage codegen instead of zip_with + aggregate lambda chains.
+    * Identical accumulation order => bit-identical results.
+    */
+  private def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.register(s)
+    call_function("cosine_sim", a, b)
+  }
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private def planeDot(s: SparkSession, a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.register(s)
+    call_function("dot_product", a.cast("array<double>"), b)
+  }
 
   /** Brute-force cosine top-k: queries (vec_id < 10) broadcast against the
     * corpus; per-query top-5 via TakeOrdered-style window on rounded sim.
@@ -48,8 +56,7 @@ object VectorOps {
     val joined = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("embedding")) /
-          (norm(col("qv")) * norm(col("embedding")))).as("sim"))
+        cosine(s, col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     joined.withColumn("rnk", row_number().over(w).cast("long"))
@@ -66,7 +73,8 @@ object VectorOps {
     val emb = embeddings(s, d)
     val bucket = (0 until NumPlanes).map { p =>
       val plane = array(planes(p).map(v => lit(v)): _*)
-      when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(planeDot(s, col("embedding"), plane) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
     val withBucket = emb.select(col("vec_id"), bucket.as("bucket"))
     val occupancy = withBucket.groupBy("bucket")
@@ -81,7 +89,8 @@ object VectorOps {
     val emb = embeddings(s, d)
     val bucket = (0 until NumPlanes).map { p =>
       val plane = array(planes(p).map(v => lit(v)): _*)
-      when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(planeDot(s, col("embedding"), plane) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
     val withBucket = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
     val q = withBucket
@@ -91,8 +100,7 @@ object VectorOps {
     val joined = withBucket.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("embedding")) /
-          (norm(col("qv")) * norm(col("embedding")))).as("sim"))
+        cosine(s, col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     joined.withColumn("rnk", row_number().over(w).cast("long"))
