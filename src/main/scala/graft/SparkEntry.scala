@@ -49,6 +49,7 @@ object SparkEntry {
     "q34_pivot" -> (Relational.q34Pivot _),
     "q35_stats" -> (Relational.q35Stats _),
     "q36_setops" -> (Relational.q36SetOps _),
+    "q37_approx_distinct" -> (Relational.q37ApproxDistinct _),
     "v28_cosine_topk" -> (VectorOps.v28CosineTopK _),
     "v29_lsh_buckets" -> (VectorOps.v29LshBuckets _),
     "v30_ann_lsh" -> (VectorOps.v30AnnLsh _),

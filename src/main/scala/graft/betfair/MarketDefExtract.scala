@@ -93,13 +93,56 @@ object MarketDefExtract {
       codec.setConf(new Configuration())
       codec.createInputStream(raw)
     } else if (name.endsWith(".zip")) {
-      val zin = new ZipInputStream(raw)
+      // Zip (incl. ZIP-LZMA, the reference's fixture format): central
+      // directory needs a seekable channel, so buffer the archive — market
+      // capture zips are single-market files. DEFLATE/STORED entries go
+      // through commons-compress ZipFile; LZMA (method 14) entries are
+      // unwrapped manually (zip-LZMA header: 2B version + 2B propsSize +
+      // 1B props + 4B dictSize LE, then a raw LZMA1 stream) and decoded
+      // with org.tukaani.xz — ZipFile itself rejects method 14.
       val stem = name.substring(0, name.length - 4)
-      var entry = zin.getNextEntry
-      while (entry != null && entry.getName != stem) entry = zin.getNextEntry
-      if (entry == null) throw new java.io.IOException(s"no zip entry $stem")
-      zin
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(raw)
+      finally raw.close()
+      openZipEntry(bytes, stem)
     } else raw
+  }
+
+  private val LzmaMethod = 14
+
+  private def openZipEntry(bytes: Array[Byte], stem: String): InputStream = {
+    def zipFile() = {
+      val ch =
+        new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(bytes)
+      org.apache.commons.compress.archivers.zip.ZipFile.builder()
+        .setSeekableByteChannel(ch).get()
+    }
+    val zf = zipFile()
+    val entry = zf.getEntry(stem)
+    if (entry == null) throw new java.io.IOException(s"no zip entry $stem")
+    if (entry.getMethod != LzmaMethod) zf.getInputStream(entry)
+    else {
+      def lzma(size: Long): InputStream = {
+        val z = zipFile()
+        val din = new java.io.DataInputStream(z.getRawInputStream(z.getEntry(stem)))
+        din.skipBytes(4) // version (2) + properties size (2, always 5)
+        val propByte = din.readByte()
+        val dictSize = din.readUnsignedByte() | (din.readUnsignedByte() << 8) |
+          (din.readUnsignedByte() << 16) | (din.readUnsignedByte() << 24)
+        new org.tukaani.xz.LZMAInputStream(din, size, propByte, dictSize)
+      }
+      // encoders usually set the end-of-stream marker (python zipfile, 7zip);
+      // fall back to the declared size if the EOS variant fails to decode
+      try {
+        val eos = lzma(-1L)
+        // force-decode eagerly so a corrupt EOS stream falls back here
+        val out = org.apache.commons.io.IOUtils.toByteArray(eos)
+        new java.io.ByteArrayInputStream(out)
+      } catch {
+        case _: java.io.IOException =>
+          new java.io.ByteArrayInputStream(
+            org.apache.commons.io.IOUtils.toByteArray(lzma(entry.getSize)))
+      }
+    }
   }
 
   /** Extract the definition for every (stem, dataPath) row; optionally write

@@ -307,4 +307,22 @@ object Relational {
     building.except(bigSpenders)
       .orderBy("c_custkey")
   }
+
+  /** §2.C sketches: HLL-based approximate distinct counts per group (the
+    * scale path for cardinality at 100 TB — constant memory per group,
+    * mergeable across partitions). No SQL oracle: sketch estimates are
+    * engine-specific, so the driver records the weaker rows-only check; the
+    * estimate is asserted against the exact count in-row instead.
+    */
+  def q37ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .withColumn("rel_err",
+        round(abs(col("approx_users") - col("exact_users")) /
+          col("exact_users"), 4))
+      .orderBy("event_type")
 }

@@ -224,6 +224,21 @@ class BetfairDatabaseSpec extends SparkSpec {
     assert(replaced.getAs[String]("marketName") == "8f Mdn")
   }
 
+  test("zip-lzma stream files decode via commons-compress") {
+    val dir = Fixtures.tempDir("graftlzma")
+    val in = getClass.getResourceAsStream("/1.600000001.zip")
+    Files.copy(in, dir.resolve("1.600000001.zip"))
+    val db = new BetfairDatabase(spark, dir.toString)
+    val counters = db.index()
+    assert(counters.rowsInserted == 1)
+    val r = db.indexDF.collect().head
+    assert(r.getAs[String]("marketId") == "1.600000001")
+    assert(r.getAs[String]("marketName") == "6f Mdn")
+    assert(r.getAs[String]("eventVenue") == "York")
+    // the last marketDefinition line won (not the first)
+    assert(Files.exists(dir.resolve("1.600000001.json")))
+  }
+
   test("bulk metadata.json takes precedence and pairs within its directory") {
     val dir = Fixtures.tempDir("graftbulk")
     val e1 = Fixtures.catalogueJson("1.400000001", "Bulk WIN", "WIN", "7",
