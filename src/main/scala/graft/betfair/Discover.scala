@@ -47,22 +47,53 @@ object Discover {
     } else None
   }
 
+  /** Above this many top-level subdirectories the listing fans out to
+    * executors (one task per subtree) — a 100 TB archive has millions of
+    * files across thousands of event/date directories, and single-threaded
+    * driver listing becomes the bottleneck.
+    */
+  private val DistributedListingThreshold = 64
+
   /** Scan a directory tree and return one DataFrame of classified entries. */
   def scan(spark: SparkSession, sourceDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(sourceDir)
     val fs = root.getFileSystem(conf)
-    val it = fs.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile) {
+    val top = fs.listStatus(root)
+    val (dirs, files) = top.partition(_.isDirectory)
+    import spark.implicits._
+    if (dirs.length <= DistributedListingThreshold) {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
         // toUri.getPath: strip the file:// scheme so paths match
         // java.io/reference-style absolute paths.
-        classify(st.getPath.toUri.getPath).foreach(buf += _)
+        if (st.isFile) classify(st.getPath.toUri.getPath).foreach(buf += _)
       }
+      spark.createDataset(buf.toSeq).toDF()
+    } else {
+      // distributed listing: executors walk one subtree each
+      val rootFiles = files.filter(_.isFile)
+        .flatMap(st => classify(st.getPath.toUri.getPath)).toSeq
+      val subdirs = dirs.map(_.getPath.toString).toSeq
+      val listed = spark.createDataset(subdirs)
+        .repartition(math.min(subdirs.length, 256))
+        .mapPartitions { paths =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          paths.flatMap { p =>
+            val sub = new Path(p)
+            val sfs = sub.getFileSystem(conf)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+            val it = sfs.listFiles(sub, true)
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile) classify(st.getPath.toUri.getPath).foreach(out += _)
+            }
+            out
+          }
+        }
+      listed.toDF().unionByName(spark.createDataset(rootFiles).toDF())
     }
-    import spark.implicits._
-    spark.createDataset(buf.toSeq).toDF()
   }
 }

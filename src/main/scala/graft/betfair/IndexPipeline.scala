@@ -138,7 +138,9 @@ object IndexPipeline {
 
     val flat = flatten(good)
     val withRacing = racingJoin(flat)
-    val index = project(withRacing)
+    // cache: the caller both counts (counters, invariant) and writes the
+    // index; without this the whole parse+join pipeline runs twice
+    val index = project(withRacing).cache()
 
     // ---- counters (A20): total = |data ∪ metadata| stems before bulk
     // consumption (reference: betfairdatabase/processor.py:147-149)
