@@ -50,6 +50,8 @@ object SparkEntry {
     "q35_stats" -> (Relational.q35Stats _),
     "q36_setops" -> (Relational.q36SetOps _),
     "q37_approx_distinct" -> (Relational.q37ApproxDistinct _),
+    "q38_range_join" -> (Relational.q38RangeJoin _),
+    "v39_centroids" -> (VectorOps.v39Centroids _),
     "v28_cosine_topk" -> (VectorOps.v28CosineTopK _),
     "v29_lsh_buckets" -> (VectorOps.v29LshBuckets _),
     "v30_ann_lsh" -> (VectorOps.v30AnnLsh _),
@@ -304,5 +306,19 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5, source
          FROM documents ORDER BY doc_id""",
+    "q38_range_join" ->
+      """SELECT d, count(*) AS cnt FROM
+           (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+            WHERE o_orderpriority = '1-URGENT') u
+         JOIN (SELECT CAST(l_shipdate AS DATE) AS sd FROM lineitem) l
+           ON sd >= d AND sd < d + 7
+         GROUP BY d ORDER BY d""",
+    "v39_centroids" ->
+      """SELECT label, dim, round(avg(v), 4) AS centroid, count(*) AS n_vecs
+         FROM (SELECT label,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings) t
+         GROUP BY label, dim ORDER BY label, dim""",
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -306,6 +306,30 @@ object Relational {
       .select(col("o_custkey").as("c_custkey"))
     building.except(bigSpenders)
       .orderBy("c_custkey")
+  }
+
+  /** §2.C range join, Spark-first: a pure inequality join (ship date within
+    * 7 days after any urgent-order date) would be O(n*m); binning both sides
+    * to week buckets turns it into an equi-join on the bucket (candidates)
+    * plus a cheap refine predicate — the standard bin-and-refine rewrite
+    * that scales linearly with bucket occupancy.
+    */
+  def q38RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val urgentDates = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(to_date(col("o_orderdate")).as("d"))
+      .distinct()
+    val ships = lineitem(s, d).select(to_date(col("l_shipdate")).as("sd"))
+    val week = (c: Column) => floor(datediff(c, lit("1992-01-01")) / 7)
+    val datesBinned = urgentDates
+      .withColumn("wk", explode(array(week(col("d")), week(col("d")) + 1)))
+    val shipsBinned = ships.withColumn("wk", week(col("sd")))
+    datesBinned.join(shipsBinned,
+        datesBinned("wk") === shipsBinned("wk") &&
+          col("sd") >= col("d") && col("sd") < date_add(col("d"), 7))
+      .groupBy("d")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("d")
   }
 
   /** §2.C sketches: HLL-based approximate distinct counts per group (the

@@ -110,6 +110,19 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Per-label centroids of the embedding column: posexplode to
+    * (label, dim, value), average per cell — fully partial-aggregable, one
+    * shuffle on (label, dim). The building block for k-means-style
+    * clustering / IVF coarse quantizers at scale.
+    */
+  def v39Centroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 4).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash) — the schema/partitioning shape for
     * image/audio columns; decode itself is stubbed (see
