@@ -66,6 +66,12 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
   /** The 37 index columns, in contract order. */
   def columns: Seq[String] = Schemas.IndexColumns
 
+  /** Typed Dataset boundary over the index (SURVEY.md §1.4). */
+  def typedIndex: org.apache.spark.sql.Dataset[MarketIndexRow] = {
+    import spark.implicits._
+    indexDF.as[MarketIndexRow]
+  }
+
   /** A17: market count. */
   def size: Long = indexDF.count()
 

@@ -121,6 +121,18 @@ class BetfairDatabaseSpec extends SparkSpec {
     assert(foot.isNullAt(foot.fieldIndex("raceDistanceMeters")))
   }
 
+  test("typed Dataset boundary decodes the full index") {
+    val (_, db) = freshDb()
+    db.index()
+    val rows = db.typedIndex.collect()
+    assert(rows.length == 6)
+    val win = rows.find(_.marketId == "1.200000001").get
+    assert(win.isRacing)
+    assert(win.eventVenue.contains("Sheffield"))
+    assert(win.raceDistanceMeters.contains(462.0))
+    assert(rows.find(_.marketId == "1.200000004").exists(!_.isRacing))
+  }
+
   test("clean: drops rows whose data file vanished") {
     val (dir, db) = freshDb()
     db.index()
