@@ -202,21 +202,21 @@ object SparkEntry {
            CAST(length(text) AS BIGINT) AS n_chars_m,
            CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
              AS n_words,
-           round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
-             / len(string_split_regex(trim(lower(text)), '\s+')), 4)
-             AS avg_word_len,
-           round(len(regexp_extract_all(lower(text),
+           floor((length(regexp_replace(text, '\s', '', 'g')) * 1.0
+             / len(string_split_regex(trim(lower(text)), '\s+'))) * 10000)
+             / 10000 AS avg_word_len,
+           floor((len(regexp_extract_all(lower(text),
                '\b(the|a|of|and|to|in|is)\b')) * 1.0
-             / len(string_split_regex(trim(lower(text)), '\s+')), 4)
-             AS stop_ratio,
-           round(0.4 * least(len(string_split_regex(trim(lower(text)), '\s+'))
+             / len(string_split_regex(trim(lower(text)), '\s+'))) * 10000)
+             / 10000 AS stop_ratio,
+           floor((0.4 * least(len(string_split_regex(trim(lower(text)), '\s+'))
                  / 100.0, 1.0)
              + 0.3 * (len(regexp_extract_all(lower(text),
                  '\b(the|a|of|and|to|in|is)\b')) * 1.0
                / len(string_split_regex(trim(lower(text)), '\s+')))
              + 0.3 * least((length(regexp_replace(text, '\s', '', 'g')) * 1.0
-               / len(string_split_regex(trim(lower(text)), '\s+'))) / 8.0, 1.0),
-             4) AS quality
+               / len(string_split_regex(trim(lower(text)), '\s+'))) / 8.0,
+               1.0)) * 10000) / 10000 AS quality
          FROM documents ORDER BY doc_id""",
     "t22_lang_id" ->
       """SELECT doc_id,

@@ -57,13 +57,18 @@ object TextOps {
       lit(0.4) * least(nWords.cast("double") / 100.0, lit(1.0)) +
         lit(0.3) * stopRatio +
         lit(0.3) * least(avgWordLen / 8.0, lit(1.0))
+    // floor-truncation, not round(): both engines compute identical doubles
+    // from the int/int inputs, but their round() algorithms differ at exact
+    // .00005 boundaries (BigDecimal shortest-repr vs multiply-and-round);
+    // floor(x*1e4)/1e4 is unambiguous on identical doubles.
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000
     documents(s, d)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
         nWords.as("n_words"),
-        round(avgWordLen, 4).as("avg_word_len"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(score, 4).as("quality"))
+        trunc4(avgWordLen).as("avg_word_len"),
+        trunc4(stopRatio).as("stop_ratio"),
+        trunc4(score).as("quality"))
       .orderBy("doc_id")
   }
 
