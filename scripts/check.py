@@ -50,9 +50,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in sc:
             a, b = s[c], o[c]
             if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
-                import numpy as np
-                eq = (a.isna() & b.isna()) | np.isclose(
-                    a.fillna(0), b.fillna(0), rtol=0, atol=0, equal_nan=True)
+                # exact equality, mirroring the driver's hash compare; the
+                # asymmetric fillna sentinels make one-sided NaNs unequal
                 eq = (a.isna() & b.isna()) | (a.fillna(1.5) == b.fillna(2.5))
             else:
                 eq = (a.isna() & b.isna()) | (

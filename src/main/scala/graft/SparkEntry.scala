@@ -56,6 +56,8 @@ object SparkEntry {
     "v29_lsh_buckets" -> (VectorOps.v29LshBuckets _),
     "v30_ann_lsh" -> (VectorOps.v30AnnLsh _),
     "m31_binary_meta" -> (VectorOps.m31BinaryMeta _),
+    "d40_embed_neardup" -> (VectorOps.d40EmbedNearDup _),
+    "v41_ivf_ann" -> (VectorOps.v41IvfAnn _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -302,6 +304,8 @@ object SparkEntry {
          FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "v29_lsh_buckets" -> OracleGen.lshBuckets,
     "v30_ann_lsh" -> OracleGen.annLsh,
+    "d40_embed_neardup" -> OracleGen.embedNearDup,
+    "v41_ivf_ann" -> OracleGen.ivfAnn,
     "m31_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5, source

@@ -93,8 +93,9 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
     val df = indexDF
     val before = df.count()
     import spark.implicits._
+    val sconf = SerializableHadoopConf(spark)
     val existing = df.mapPartitions { rows =>
-      val conf = new Configuration()
+      val conf = sconf.value
       var cachedFs: FileSystem = null
       rows.filter { row =>
         val p = new Path(row.getAs[String]("marketDataFilePath"))
@@ -110,12 +111,21 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
   /** A14/A15: incremental insert of a source directory with re-layout
     * (import pattern) and duplicate policy. Returns rows inserted.
     *
-    * Dataflow: build the source-market DataFrame (same pipeline), compute
-    * destination paths from the pattern column, resolve each market's
-    * (metadata action, data action) against the CURRENT destination state
-    * (existence / row-equality / file-size, reference
-    * betfairdatabase/market.py:135-198), apply file moves in executors, then
-    * merge the index and swap the snapshot.
+    * Dataflow, in three strictly ordered phases:
+    *   1. RESOLVE (pure reads): build the source-market DataFrame (same
+    *      pipeline), compute destination paths from the pattern column, and
+    *      resolve each market's (metadata action, data action) against the
+    *      CURRENT destination state (existence / row-equality / file-size,
+    *      reference betfairdatabase/market.py:135-198). The resolved plan is
+    *      checkpointed to parquet — after phase 2 moves the source files,
+    *      nothing may lazily recompute from them (task retries and cache
+    *      eviction would otherwise re-read moved-away files).
+    *   2. APPLY (side effects): execute the moves from the checkpointed plan
+    *      in an executor pass that is idempotent under task retry — a market
+    *      whose source is gone but destination exists was already placed by a
+    *      previous attempt and is skipped; rename results are checked.
+    *   3. MERGE: the new index snapshot is built from the checkpointed plan
+    *      plus the live index, never from the moved source files.
     */
   def insert(sourceDir: String, copy: Boolean = false,
       pattern: ImportPattern = ImportPatterns.betfairHistorical,
@@ -134,9 +144,7 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
       .withColumn("_destMeta", concat(col("_destDir"), lit("/"), col("_metaName")))
       .withColumn("_destData", concat(col("_destDir"), lit("/"), col("_dataName")))
 
-    // Resolution + file side effects run per-partition in executors; results
-    // (one row per source market: the action taken) come back as a DataFrame.
-    val existing = indexDF.cache()
+    val existing = indexDF
     val existingByMeta = existing
       .select(Schemas.IndexColumns.filterNot(
         c => c == "marketMetadataFilePath" || c == "marketDataFilePath")
@@ -148,59 +156,89 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
       .withColumn("_rowMatches",
         nonPathCols.map(c => col(c) <=> col(s"_ex_$c")).reduce(_ && _))
 
-    import spark.implicits._
-    val doCopy = copy
-    val policy = onDuplicates
-    val applied = joined.mapPartitions { rows =>
-      val conf = new Configuration()
-      var cfs: FileSystem = null
-      def theFs(p: Path): FileSystem = {
-        if (cfs == null) cfs = p.getFileSystem(conf)
-        cfs
-      }
-      rows.map { row =>
-        val srcMeta = new Path(row.getAs[String]("marketMetadataFilePath"))
-        val srcData = new Path(row.getAs[String]("marketDataFilePath"))
-        val destMeta = new Path(row.getAs[String]("_destMeta"))
-        val destData = new Path(row.getAs[String]("_destData"))
-        val f = theFs(destMeta)
-        val metaExists = f.exists(destMeta)
-        val dataExists = f.exists(destData)
-        val rowMatches = row.getAs[Boolean]("_rowMatches")
-        // metadata action (reference market.py:146-165)
-        val action =
-          if (!metaExists) "INSERT"
-          else policy match {
-            case "replace" => "UPDATE"
-            case "skip" => "SKIP"
-            case "update" => if (rowMatches) "SKIP" else "UPDATE"
-          }
-        // data-file action (reference market.py:168-178)
-        val processData =
-          if (!dataExists) true
-          else policy match {
-            case "skip" => false
-            case "update" =>
-              f.getFileStatus(destData).getLen <
-                theFs(srcData).getFileStatus(srcData).getLen
-            case "replace" => true
-          }
-        f.mkdirs(destMeta.getParent)
-        def place(from: Path, to: Path): Unit = {
-          if (f.exists(to)) f.delete(to, false)
-          if (doCopy) FileUtil.copy(theFs(from), from, f, to, false, conf)
-          else f.rename(from, to)
-        }
-        if (action != "SKIP") place(srcMeta, destMeta)
-        if (processData) place(srcData, destData)
-        (row.getAs[String]("_destMeta"), row.getAs[String]("_destData"), action)
-      }
-    }.toDF("_destMeta", "_destData", "_action").cache()
-    applied.count() // force side effects exactly once
+    // ---- phase 1: RESOLVE. Existence/size probes are executor-side pure
+    // reads with the driver's Hadoop conf.
+    val sconf = SerializableHadoopConf(spark)
+    val existsUdf = udf { (s: String) =>
+      val p = new Path(s); p.getFileSystem(sconf.value).exists(p)
+    }
+    val lenUdf = udf { (s: String) =>
+      // -1 when absent: the caller's size comparison only matters when the
+      // destination exists, and expression reordering must never throw
+      val p = new Path(s)
+      val pfs = p.getFileSystem(sconf.value)
+      if (pfs.exists(p)) pfs.getFileStatus(p).getLen else -1L
+    }
+    // metadata action (reference market.py:146-165)
+    val actionCol = onDuplicates match {
+      case "replace" => when(!col("_metaExists"), "INSERT").otherwise("UPDATE")
+      case "skip" => when(!col("_metaExists"), "INSERT").otherwise("SKIP")
+      case "update" => when(!col("_metaExists"), "INSERT")
+        .when(col("_rowMatches"), "SKIP").otherwise("UPDATE")
+    }
+    // data-file action (reference market.py:168-178)
+    val processDataCol = onDuplicates match {
+      case "skip" => !col("_dataExists")
+      case "replace" => lit(true)
+      case "update" => !col("_dataExists") ||
+        lenUdf(col("_destData")) < lenUdf(col("marketDataFilePath"))
+    }
+    val resolved = joined
+      .withColumn("_metaExists", existsUdf(col("_destMeta")))
+      .withColumn("_dataExists", existsUdf(col("_destData")))
+      .withColumn("_action", actionCol)
+      .withColumn("_processData", processDataCol)
+      .select((Schemas.IndexColumns.map(col) ++
+        Seq(col("_destMeta"), col("_destData"), col("_action"),
+          col("_processData"))): _*)
 
-    val actions = applied.filter(col("_action") =!= "SKIP")
-    // new rows: source markets re-pointed at their destination paths
-    val newRows = src.join(actions, Seq("_destMeta", "_destData"), "left_semi")
+    // checkpoint: one row per source market — small next to the data files
+    val planPath = s"$databaseDir/.graft_insert_plan_tmp"
+    resolved.write.mode("overwrite").parquet(planPath)
+    val plan = spark.read.parquet(planPath)
+
+    // ---- phase 2: APPLY, idempotently.
+    val doCopy = copy
+    plan.filter(col("_action") =!= "SKIP" || col("_processData"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val conf = sconf.value
+        rows.foreach { row =>
+          val destMeta = new Path(row.getAs[String]("_destMeta"))
+          val destData = new Path(row.getAs[String]("_destData"))
+          val f = destMeta.getFileSystem(conf)
+          f.mkdirs(destMeta.getParent)
+          def place(fromS: String, to: Path): Unit = {
+            val from = new Path(fromS)
+            val srcFs = from.getFileSystem(conf)
+            if (!srcFs.exists(from)) {
+              // already placed by a previous (partially failed) attempt
+              if (f.exists(to)) ()
+              else throw new java.io.IOException(
+                s"insert: source $from missing and destination $to absent")
+            } else if (from == to || PathCanon.canonical(from.makeQualified(
+                srcFs.getUri, srcFs.getWorkingDirectory)) ==
+                PathCanon.canonical(to.makeQualified(f.getUri,
+                  f.getWorkingDirectory))) {
+              () // in-place import (flat pattern over the database dir)
+            } else {
+              if (f.exists(to)) f.delete(to, false)
+              if (doCopy || srcFs.getUri != f.getUri) {
+                if (!FileUtil.copy(srcFs, from, f, to, !doCopy, conf))
+                  throw new java.io.IOException(s"insert: copy $from -> $to failed")
+              } else if (!f.rename(from, to))
+                throw new java.io.IOException(s"insert: rename $from -> $to failed")
+            }
+          }
+          if (row.getAs[String]("_action") != "SKIP")
+            place(row.getAs[String]("marketMetadataFilePath"), destMeta)
+          if (row.getAs[Boolean]("_processData"))
+            place(row.getAs[String]("marketDataFilePath"), destData)
+        }
+      }
+
+    // ---- phase 3: MERGE from the checkpointed plan only.
+    val actions = plan.filter(col("_action") =!= "SKIP")
+    val newRows = actions
       .withColumn("marketMetadataFilePath", col("_destMeta"))
       .withColumn("marketDataFilePath", col("_destData"))
       .select(Schemas.IndexColumns.map(col): _*)
@@ -211,8 +249,7 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
       .dropDuplicates("marketMetadataFilePath", "marketDataFilePath")
     val inserted = newRows.count()
     writeSnapshot(merged)
-    existing.unpersist()
-    applied.unpersist()
+    fs.delete(new Path(planPath), true)
     inserted
   }
 

@@ -67,20 +67,23 @@ object Discover {
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val st = it.next()
-        // toUri.getPath: strip the file:// scheme so paths match
-        // java.io/reference-style absolute paths.
-        if (st.isFile) classify(st.getPath.toUri.getPath).foreach(buf += _)
+        // PathCanon: decoded OS-style path on file://, scheme-qualified
+        // elsewhere — the SAME canonical form input_file_name() is mapped to
+        // in IndexPipeline, so the metadata join key always matches.
+        if (st.isFile) classify(PathCanon.canonical(st.getPath)).foreach(buf += _)
       }
       spark.createDataset(buf.toSeq).toDF()
     } else {
-      // distributed listing: executors walk one subtree each
+      // distributed listing: executors walk one subtree each, with the
+      // driver's Hadoop conf (credentials/defaultFS) shipped along
+      val sconf = SerializableHadoopConf(spark)
       val rootFiles = files.filter(_.isFile)
-        .flatMap(st => classify(st.getPath.toUri.getPath)).toSeq
+        .flatMap(st => classify(PathCanon.canonical(st.getPath))).toSeq
       val subdirs = dirs.map(_.getPath.toString).toSeq
       val listed = spark.createDataset(subdirs)
         .repartition(math.min(subdirs.length, 256))
         .mapPartitions { paths =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = sconf.value
           paths.flatMap { p =>
             val sub = new Path(p)
             val sfs = sub.getFileSystem(conf)
@@ -88,7 +91,7 @@ object Discover {
             val it = sfs.listFiles(sub, true)
             while (it.hasNext) {
               val st = it.next()
-              if (st.isFile) classify(st.getPath.toUri.getPath).foreach(out += _)
+              if (st.isFile) classify(PathCanon.canonical(st.getPath)).foreach(out += _)
             }
             out
           }

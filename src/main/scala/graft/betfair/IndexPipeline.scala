@@ -28,6 +28,12 @@ object IndexPipeline {
   private val raceMetaUdf: UserDefinedFunction =
     udf((name: String) => Functions.extractRaceMetadata(name))
 
+  /** input_file_name() → the pipeline's canonical path form (decodes the
+    * percent-encoded URI and matches Discover's key — see [[PathCanon]]).
+    */
+  private val canonPathUdf: UserDefinedFunction =
+    udf((s: String) => PathCanon.canonicalUri(s))
+
   /** Read per-market metadata JSON files (catalogue or definition, one object
     * per file — multiLine tolerates pretty-printing, PERMISSIVE routes
     * corrupt bodies to _corrupt_record; reference A22).
@@ -43,8 +49,7 @@ object IndexPipeline {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(paths: _*)
-        .withColumn("metaPath",
-          regexp_replace(input_file_name(), "^file:/+", "/"))
+        .withColumn("metaPath", canonPathUdf(input_file_name()))
 
   /** Read bulk metadata.json files (JSON arrays of metadata dicts; A3). */
   private def readBulk(spark: SparkSession, paths: Seq[String]): DataFrame =
@@ -58,8 +63,7 @@ object IndexPipeline {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(paths: _*)
-        .withColumn("metaPath",
-          regexp_replace(input_file_name(), "^file:/+", "/"))
+        .withColumn("metaPath", canonPathUdf(input_file_name()))
 
   /** Parse extracted definition JSON strings (from MarketDefExtract). */
   private def parseExtracted(extracted: DataFrame): DataFrame = {

@@ -84,13 +84,13 @@ object MarketDefExtract {
     } finally in.close()
   }
 
-  private def openDecompressed(fs: FileSystem, p: Path, name: String)
-      : InputStream = {
+  private def openDecompressed(fs: FileSystem, p: Path, name: String,
+      conf: Configuration): InputStream = {
     val raw = fs.open(p)
     if (name.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
     else if (name.endsWith(".bz2")) {
       val codec = new org.apache.hadoop.io.compress.BZip2Codec()
-      codec.setConf(new Configuration())
+      codec.setConf(conf)
       codec.createInputStream(raw)
     } else if (name.endsWith(".zip")) {
       // Zip (incl. ZIP-LZMA, the reference's fixture format): central
@@ -151,8 +151,9 @@ object MarketDefExtract {
   def extract(spark: SparkSession, files: Dataset[(String, String)],
       writeMetadataFiles: Boolean): DataFrame = {
     import spark.implicits._
+    val sconf = SerializableHadoopConf(spark)
     files.mapPartitions { it =>
-      val conf = new Configuration()
+      val conf = sconf.value
       val mapper = new ObjectMapper()
       it.map { case (stem, dataPath) =>
         val p = new Path(dataPath)
@@ -163,7 +164,7 @@ object MarketDefExtract {
           val line =
             if (name.endsWith(".gz") || name.endsWith(".bz2") ||
               name.endsWith(".zip")) {
-              val in = openDecompressed(fs, p, name)
+              val in = openDecompressed(fs, p, name, conf)
               try lastMarkerLine(in) finally in.close()
             } else {
               val len = fs.getFileStatus(p).getLen

@@ -21,15 +21,33 @@ object Compat {
   /** SQLite `time(ts)` → "HH:mm:ss". */
   def time(ts: Column): Column = date_format(ts, "HH:mm:ss")
 
-  /** SQLite `strftime(fmt, ts)` for literal fmt — rewritten to date_format. */
-  def strftime(fmt: String, ts: Column): Column =
-    date_format(ts, translate(fmt))
-
-  /** Translate an SQLite %-code format string to a java.time pattern.
-    * Covers the codes used by SQLite docs/tests; unknown codes throw.
-    * Literal text is quoted so pattern letters in it stay literal.
+  /** SQLite `strftime(fmt, ts)` for literal fmt — rewritten to date_format.
+    * `%w` (weekday digit, 0=Sunday) has no java.time pattern equivalent
+    * (Spark's proleptic formatter rejects 'e', and its numbering differs), so
+    * it compiles to `dayofweek(ts)-1` arithmetic (Spark dayofweek: 1=Sunday)
+    * concatenated between date_format segments.
     */
-  private[graft] def translate(fmt: String): String = {
+  def strftime(fmt: String, ts: Column): Column = tokenize(fmt) match {
+    case Seq(PatternSeg(p)) => date_format(ts, p)
+    case toks =>
+      val dow = (dayofweek(ts) - 1).cast("string")
+      concat(toks.map {
+        case PatternSeg(p) => date_format(ts, p)
+        case WeekdaySeg => dow
+      }: _*)
+  }
+
+  private[graft] sealed trait Seg
+  private[graft] final case class PatternSeg(pattern: String) extends Seg
+  private[graft] case object WeekdaySeg extends Seg
+
+  /** Tokenize an SQLite %-code format string into java.time pattern segments
+    * interleaved with `%w` markers. Covers the codes used by SQLite
+    * docs/tests; unknown codes throw. Literal text is quoted so pattern
+    * letters in it stay literal.
+    */
+  private[graft] def tokenize(fmt: String): Seq[Seg] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seg]
     val sb = new StringBuilder
     val lit = new StringBuilder
     def flushLit(): Unit = if (lit.nonEmpty) {
@@ -39,6 +57,7 @@ object Compat {
       else sb.append(s)
       lit.clear()
     }
+    def flushPattern(): Unit = { flushLit(); if (sb.nonEmpty) { out += PatternSeg(sb.toString); sb.clear() } }
     var i = 0
     while (i < fmt.length) {
       val c = fmt.charAt(i)
@@ -53,7 +72,7 @@ object Compat {
           case 'S' => sb.append("ss")
           case 'j' => sb.append("DDD")
           case 'A' => sb.append("EEEE")
-          case 'w' => sb.append("e") // day of week (approx; SQLite: 0=Sunday)
+          case 'w' => flushPattern(); out += WeekdaySeg
           case '%' => lit.append('%')
           case other =>
             throw new IllegalArgumentException(s"unsupported strftime code %$other")
@@ -61,8 +80,16 @@ object Compat {
         i += 2
       } else { lit.append(c); i += 1 }
     }
-    flushLit()
-    sb.toString
+    flushPattern()
+    if (out.isEmpty) out += PatternSeg("")
+    out.toSeq
+  }
+
+  /** The java.time pattern for formats without `%w` (spec/back-compat). */
+  private[graft] def translate(fmt: String): String = tokenize(fmt) match {
+    case Seq(PatternSeg(p)) => p
+    case _ => throw new IllegalArgumentException(
+      "%w has no pattern equivalent; use strftime(fmt, col)")
   }
 
   /** Register `sqlite_time` / `sqlite_strftime` (and aliases `time`,
@@ -73,7 +100,12 @@ object Compat {
       if (ts == null || fmt == null) null
       else {
         val zdt = ts.toInstant.atZone(java.time.ZoneOffset.UTC)
-        zdt.format(java.time.format.DateTimeFormatter.ofPattern(translate(fmt)))
+        tokenize(fmt).map {
+          case PatternSeg(p) =>
+            zdt.format(java.time.format.DateTimeFormatter.ofPattern(p))
+          // SQLite %w: 0=Sunday; java DayOfWeek: Monday=1..Sunday=7
+          case WeekdaySeg => (zdt.getDayOfWeek.getValue % 7).toString
+        }.mkString
       }
     val timeFn = (ts: java.sql.Timestamp) =>
       if (ts == null) null

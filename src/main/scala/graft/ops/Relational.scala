@@ -181,8 +181,14 @@ object Relational {
     */
   def q15AsOfJoin(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
+    // "prior" means STRICTLY earlier ts (oracle: e.ts < p.ts). Sorting
+    // purchases (rank 0) before same-ts non-purchases (rank 1) makes the
+    // preceding-rows frame of a purchase contain exactly the rows with
+    // ts < current ts — a same-ts non-purchase can never leak in, and
+    // same-ts purchases contribute only nulls to the ignoreNulls last().
+    val rank = when(col("event_type") === "purchase", 0).otherwise(1)
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"), rank, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     ev.withColumn("prior_event_id",
         last(when(col("event_type") =!= "purchase", col("event_id")), ignoreNulls = true)

@@ -123,6 +123,84 @@ object VectorOps {
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "dim")
 
+  /** Near-dup similarity floor for [[d40EmbedNearDup]] (calibrated to the
+    * synthetic embeddings: same-bucket cosines top out ≈0.46).
+    */
+  val NearDupThreshold = 0.25
+
+  private def bucketCol(s: SparkSession): Column =
+    (0 until NumPlanes).map { p =>
+      val plane = array(planes(p).map(v => lit(v)): _*)
+      when(planeDot(s, col("embedding"), plane) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of the
+    * dedup family (exact/minhash/simhash/ngram live in TextOps): LSH buckets
+    * generate candidate pairs via an equi-join (bounded bucket occupancy, no
+    * O(n²) pair blowup), exact cosine refines against the threshold. At 100 TB
+    * the bucket join shuffles each vector once; the refine is map-side.
+    */
+  def d40EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val withBucket = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), bucketCol(s).as("bucket"))
+    withBucket.as("a")
+      .join(withBucket.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        cosine(s, col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("d1"), col("d2"), round(col("sim"), 4).as("sim_r"))
+      .orderBy("d1", "d2")
+  }
+
+  /** IVF approximate nearest neighbor — the codebook-based scale path next to
+    * the LSH one (v30): per-label centroids form the coarse quantizer (rounded
+    * to 4dp so the codebook is bit-identical in any engine), every vector is
+    * assigned to its nearest centroid (inverted lists), and each query probes
+    * its nprobe=2 nearest lists only. All joins are broadcasts of the tiny
+    * codebook/query side; the corpus is touched by scans and one equi-join.
+    */
+  def v41IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x").cast("double")), 4).as("cv"))
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+    // assignment distance: double-precision dot/norm with the same
+    // element-order accumulation as DuckDB's list_dot_product
+    val vd = col("embedding").cast("array<double>")
+    val asim = planeDot(s, col("embedding"), col("cvec")) /
+      (sqrt(planeDot(s, vd, vd)) *
+        sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec"))))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("asim").desc, col("clabel"))
+    val ranked = emb.crossJoin(broadcast(cent))
+      .withColumn("asim", asim)
+      .withColumn("arn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("clabel"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("arn") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("clabel"))
+    val cand = assigned.join(broadcast(probes),
+        assigned("clabel") === probes("clabel") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(s, col("qv"), col("embedding")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim_r"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash) — the schema/partitioning shape for
     * image/audio columns; decode itself is stubbed (see
