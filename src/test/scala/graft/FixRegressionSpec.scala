@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.betfair.{BetfairDatabase, Fixtures, ImportPatterns, PathCanon, SparkSpec}
+import graft.fn.Compat
+
+/** Regression tests for the round-2 correctness fixes: as-of strict-inequality
+  * tie semantics, SQLite %w weekday compilation, canonical path pairing, and
+  * the idempotent/in-place-safe insert file placement.
+  */
+class FixRegressionSpec extends SparkSpec {
+
+  test("q15 as-of join: same-timestamp events are not 'prior'") {
+    import spark.implicits._
+    // user 1: np(1)@1000ns, np(2)@2000, purchase(3)@2000, np(4)@2000,
+    //         purchase(5)@3000; user 2: purchase(6)@1000 with no prior.
+    // The np events sharing ts=2000 with purchase 3 must NOT be its prior
+    // (oracle: e.ts < p.ts strictly) — the old (ts, event_id) window order
+    // leaked np(2) (smaller id than the purchase) into the frame.
+    val rows = Seq(
+      (1L, 1L, "view", 1000L), (2L, 1L, "view", 2000L),
+      (3L, 1L, "purchase", 2000L), (4L, 1L, "click", 2000L),
+      (5L, 1L, "purchase", 3000L), (6L, 2L, "purchase", 1000L))
+    val dir = Fixtures.tempDir("asof")
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ops.Relational.q15AsOfJoin(spark, dir.toString)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString).orNull))
+      .toSeq
+    assert(got == Seq((3L, "1"), (5L, "4"), (6L, null)))
+  }
+
+  test("strftime %w compiles to SQLite weekday digits (0=Sunday)") {
+    import spark.implicits._
+    val df = Seq("2023-07-30 10:00:00", "2023-07-31 10:00:00",
+      "2023-08-05 10:00:00")
+      .toDF("s").withColumn("ts", to_timestamp(col("s")))
+    // Sunday, Monday, Saturday
+    assert(df.select(Compat.strftime("%w", col("ts"))).as[String].collect()
+      .toSeq == Seq("0", "1", "6"))
+    assert(df.select(Compat.strftime("%Y-%m-%d %w", col("ts"))).as[String]
+      .collect().toSeq ==
+      Seq("2023-07-30 0", "2023-07-31 1", "2023-08-05 6"))
+    // registered UDF path (raw-SQL where strings)
+    Compat.register(spark)
+    assert(df.selectExpr("strftime('%w', ts)").as[String].collect()
+      .toSeq == Seq("0", "1", "6"))
+    // pattern-only formats still translate; %w alone has no pattern form
+    assert(Compat.translate("%Y-%m") == "yyyy-MM")
+    intercept[IllegalArgumentException] { Compat.translate("%w") }
+  }
+
+  test("PathCanon: decoded file paths, scheme-qualified remote paths") {
+    assert(PathCanon.canonicalUri("file:///data%20dir/1.23.json")
+      == "/data dir/1.23.json")
+    assert(PathCanon.canonicalUri("file:/data/1.23") == "/data/1.23")
+    assert(PathCanon.canonicalUri("hdfs://nn:8020/x/1.2")
+      == "hdfs://nn:8020/x/1.2")
+    assert(PathCanon.canonical(new org.apache.hadoop.fs.Path("/plain/p"))
+      == "/plain/p")
+  }
+
+  test("insert replace-policy onto itself leaves files intact (idempotent place)") {
+    val dir = Fixtures.tempDir("graftdb")
+    Fixtures.multiSportDb(dir)
+    val db = new BetfairDatabase(spark, dir.toString)
+    db.index()
+    val before = db.size
+    // 1st flat self-insert relocates every market to the db root (the rows
+    // for the old subdir locations go stale — clean() purges them, like the
+    // reference workflow after files move)
+    db.insert(dir.toString, copy = false,
+      pattern = ImportPatterns.flat, onDuplicates = "replace")
+    db.clean()
+    assert(db.size == before)
+    val rootPaths = db.select(columns = Seq("marketDataFilePath")).collect()
+      .map(_.getString(0))
+    // 2nd flat self-insert is a true in-place pass: source == destination
+    // for every file. replace policy forces UPDATE + data placement; the old
+    // code deleted the destination and then renamed the (now missing) source
+    // onto it, losing the file.
+    db.insert(dir.toString, copy = false,
+      pattern = ImportPatterns.flat, onDuplicates = "replace")
+    rootPaths.foreach { p =>
+      assert(Files.exists(java.nio.file.Paths.get(p)), s"lost $p")
+    }
+    assert(db.size == before)
+  }
+}
