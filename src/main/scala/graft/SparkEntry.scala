@@ -58,6 +58,7 @@ object SparkEntry {
     "m31_binary_meta" -> (VectorOps.m31BinaryMeta _),
     "d40_embed_neardup" -> (VectorOps.d40EmbedNearDup _),
     "v41_ivf_ann" -> (VectorOps.v41IvfAnn _),
+    "q42_quantile_sketch" -> (Relational.q42QuantileSketch _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */

@@ -355,4 +355,25 @@ object Relational {
         round(abs(col("approx_users") - col("exact_users")) /
           col("exact_users"), 4))
       .orderBy("event_type")
+
+  /** §2.C sketches: quantile sketch (approx_percentile / KLL-style) next to
+    * the exact percentile of q32 — the 100 TB path for quantiles, since exact
+    * percentile state is O(distinct values) per group while the sketch is
+    * bounded by the accuracy parameter and mergeable across partitions.
+    * Rows-only check (sketch estimates are engine-specific); the estimate is
+    * validated in-row against the exact value instead.
+    */
+  def q42QuantileSketch(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4)
+          .as("p50_sketch"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4)
+          .as("p95_sketch"),
+        count(lit(1)).as("n"))
+      .withColumn("rel_err",
+        round(abs(col("p50_sketch") - col("p50_exact")) / col("p50_exact"), 4))
+      .orderBy("l_returnflag")
 }

@@ -69,6 +69,22 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup for document pipelines: normalize → fingerprint →
+    * `dropDuplicatesWithinWatermark`. The watermark bounds the dedup state
+    * (fingerprints older than the delay are evicted), which is what makes
+    * exact dedup feasible on an unbounded 100 TB/day feed — global exact
+    * dedup belongs to the batch ops (d24); this catches the duplicates that
+    * actually co-occur in time (crawler re-fetches, retry storms).
+    * Input needs an event-time `ts` column and a `text` column.
+    */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes")
+      : DataFrame =
+    docs
+      .withColumn("fp",
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming ingestion of exchange-stream NDJSON files: parse each line's
     * market-change message, keep the latest marketDefinition per market via
     * max_by in foreachBatch upserts. Mirrors the reference's incremental

@@ -72,4 +72,25 @@ class StreamOpsSpec extends SparkSpec {
       .getAs[String]("name") == "6f Mdn")
     assert(defs.forall(_.getAs[String]("marketId") == "1.500000001"))
   }
+
+  test("streaming dedup drops in-watermark duplicate fingerprints") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.dedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // same normalized fingerprint for 1 and 2 ("Hello,  World!" ≡ "hello world")
+    mem.addData((t(0), 1L, "Hello,  World!"), (t(1), 2L, "hello world"),
+      (t(2), 3L, "different doc"))
+    q.processAllAvailable()
+    mem.addData((t(3), 4L, "HELLO world."))
+    q.processAllAvailable()
+    val out = s.sql("select doc_id from dedup").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(out.toSeq == Seq(1L, 3L))
+  }
 }
