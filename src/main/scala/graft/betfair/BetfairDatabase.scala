@@ -23,7 +23,25 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
   private def fs: FileSystem =
     new Path(databaseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def indexExists: Boolean = fs.exists(new Path(indexPath))
+  /** Self-healing existence check: a crashed snapshot swap is repaired
+    * (retired snapshot restored) before answering.
+    */
+  def indexExists: Boolean = {
+    recoverSnapshot()
+    fs.exists(new Path(indexPath))
+  }
+
+  private def retiredPath = new Path(s"$databaseDir/${IndexDirName}_old")
+
+  /** Self-heal a snapshot swap that crashed between retiring the live index
+    * and publishing the new one: the retired snapshot is still complete, so
+    * restore it. (Crash after publish just leaves a stale `_old` to delete.)
+    */
+  private def recoverSnapshot(): Unit = {
+    val f = fs
+    val live = new Path(indexPath)
+    if (!f.exists(live) && f.exists(retiredPath)) f.rename(retiredPath, live)
+  }
 
   /** A13: build and persist the index. */
   def index(force: Boolean = false): IndexPipeline.Counters = {
@@ -75,11 +93,16 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
   /** A17: market count. */
   def size: Long = indexDF.count()
 
-  /** A18: CSV export (header, NULL -> ""). Returns the output path. */
-  def export(dest: String): String = {
-    // parity mode: one header + all rows in one file (reference
-    // betfairdatabase/database.py:165-186 materializes a single CSV)
-    indexDF.coalesce(1).write.mode("overwrite")
+  /** A18: CSV export (header, NULL -> ""). Returns the output path.
+    *
+    * `single = true` is reference parity (one CSV file, like the reference's
+    * in-memory DictWriter dump — its docs call that path slow by design);
+    * `single = false` is the scale path: one CSV part per partition, no
+    * single-node bottleneck.
+    */
+  def export(dest: String, single: Boolean = true): String = {
+    val df = if (single) indexDF.coalesce(1) else indexDF
+    df.write.mode("overwrite")
       .option("header", "true").option("nullValue", "")
       .option("emptyValue", "\"\"")
       .csv(dest)
@@ -253,16 +276,23 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
     inserted
   }
 
-  /** Snapshot-swap write: write to a temp dir, then atomically rename over
-    * the live index (SURVEY.md §7.3).
+  /** Snapshot-swap write (SURVEY.md §7.3): write the new snapshot to a temp
+    * dir, retire the live index by rename (NOT delete — a crash between the
+    * two renames leaves a recoverable `_old`, see [[recoverSnapshot]]),
+    * publish the temp dir, then drop the retired copy. Both renames are
+    * checked; each step is idempotent on re-run.
     */
   private def writeSnapshot(df: DataFrame): Unit = {
-    val tmp = s"$databaseDir/.betfairdatabaseindex_tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    val tmp = new Path(s"$databaseDir/${BetfairDatabase.IndexDirName}_tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
     val f = fs
     val live = new Path(indexPath)
-    if (f.exists(live)) f.delete(live, true)
-    f.rename(new Path(tmp), live)
+    if (f.exists(retiredPath)) f.delete(retiredPath, true)
+    if (f.exists(live) && !f.rename(live, retiredPath))
+      throw new java.io.IOException(s"snapshot swap: cannot retire $live")
+    if (!f.rename(tmp, live))
+      throw new java.io.IOException(s"snapshot swap: cannot publish $tmp")
+    f.delete(retiredPath, true)
   }
 }
 

@@ -63,6 +63,21 @@ class FixRegressionSpec extends SparkSpec {
       == "/plain/p")
   }
 
+  test("snapshot swap crash between retire and publish self-heals") {
+    val dir = Fixtures.tempDir("graftdb")
+    Fixtures.multiSportDb(dir)
+    val db = new BetfairDatabase(spark, dir.toString)
+    db.index()
+    val n = db.size
+    // simulate the crash window: live index retired, new one never published
+    Files.move(dir.resolve(".betfairdatabaseindex"),
+      dir.resolve(".betfairdatabaseindex_old"))
+    assert(db.indexExists) // recovery happens inside the check
+    assert(db.size == n)
+    assert(Files.exists(dir.resolve(".betfairdatabaseindex")))
+    assert(!Files.exists(dir.resolve(".betfairdatabaseindex_old")))
+  }
+
   test("insert replace-policy onto itself leaves files intact (idempotent place)") {
     val dir = Fixtures.tempDir("graftdb")
     Fixtures.multiSportDb(dir)
