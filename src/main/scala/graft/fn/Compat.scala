@@ -22,24 +22,27 @@ object Compat {
   def time(ts: Column): Column = date_format(ts, "HH:mm:ss")
 
   /** SQLite `strftime(fmt, ts)` for literal fmt — rewritten to date_format.
-    * `%w` (weekday digit, 0=Sunday) has no java.time pattern equivalent
-    * (Spark's proleptic formatter rejects 'e', and its numbering differs), so
-    * it compiles to `dayofweek(ts)-1` arithmetic (Spark dayofweek: 1=Sunday)
-    * concatenated between date_format segments.
+    * Codes without a java.time pattern equivalent (`%w` weekday 0=Sunday,
+    * `%u` ISO weekday 1=Monday, `%s` epoch seconds — Spark's proleptic
+    * formatter rejects or renumbers their pattern letters) compile to
+    * arithmetic columns concatenated between date_format segments.
     */
   def strftime(fmt: String, ts: Column): Column = tokenize(fmt) match {
     case Seq(PatternSeg(p)) => date_format(ts, p)
     case toks =>
-      val dow = (dayofweek(ts) - 1).cast("string")
       concat(toks.map {
         case PatternSeg(p) => date_format(ts, p)
-        case WeekdaySeg => dow
+        // Spark dayofweek: 1=Sunday..7=Saturday
+        case ComputedSeg('w') => (dayofweek(ts) - 1).cast("string")
+        case ComputedSeg('u') => ((dayofweek(ts) + 5) % 7 + 1).cast("string")
+        case ComputedSeg('s') => unix_timestamp(ts).cast("string")
+        case ComputedSeg(other) => throw new IllegalStateException(s"%$other")
       }: _*)
   }
 
   private[graft] sealed trait Seg
   private[graft] final case class PatternSeg(pattern: String) extends Seg
-  private[graft] case object WeekdaySeg extends Seg
+  private[graft] final case class ComputedSeg(code: Char) extends Seg
 
   /** Tokenize an SQLite %-code format string into java.time pattern segments
     * interleaved with `%w` markers. Covers the codes used by SQLite
@@ -70,9 +73,13 @@ object Compat {
           case 'H' => sb.append("HH")
           case 'M' => sb.append("mm")
           case 'S' => sb.append("ss")
+          case 'f' => sb.append("ss.SSS") // fractional seconds SS.SSS
           case 'j' => sb.append("DDD")
           case 'A' => sb.append("EEEE")
-          case 'w' => flushPattern(); out += WeekdaySeg
+          case 'p' => sb.append("a") // AM/PM
+          case 'R' => sb.append("HH:mm")
+          case 'T' => sb.append("HH:mm:ss")
+          case c @ ('w' | 'u' | 's') => flushPattern(); out += ComputedSeg(c)
           case '%' => lit.append('%')
           case other =>
             throw new IllegalArgumentException(s"unsupported strftime code %$other")
@@ -89,7 +96,7 @@ object Compat {
   private[graft] def translate(fmt: String): String = tokenize(fmt) match {
     case Seq(PatternSeg(p)) => p
     case _ => throw new IllegalArgumentException(
-      "%w has no pattern equivalent; use strftime(fmt, col)")
+      "%w/%u/%s have no pattern equivalent; use strftime(fmt, col)")
   }
 
   /** Register `sqlite_time` / `sqlite_strftime` (and aliases `time`,
@@ -104,7 +111,10 @@ object Compat {
           case PatternSeg(p) =>
             zdt.format(java.time.format.DateTimeFormatter.ofPattern(p))
           // SQLite %w: 0=Sunday; java DayOfWeek: Monday=1..Sunday=7
-          case WeekdaySeg => (zdt.getDayOfWeek.getValue % 7).toString
+          case ComputedSeg('w') => (zdt.getDayOfWeek.getValue % 7).toString
+          case ComputedSeg('u') => zdt.getDayOfWeek.getValue.toString
+          case ComputedSeg('s') => zdt.toInstant.getEpochSecond.toString
+          case ComputedSeg(other) => throw new IllegalStateException(s"%$other")
         }.mkString
       }
     val timeFn = (ts: java.sql.Timestamp) =>

@@ -51,6 +51,15 @@ class FixRegressionSpec extends SparkSpec {
     // pattern-only formats still translate; %w alone has no pattern form
     assert(Compat.translate("%Y-%m") == "yyyy-MM")
     intercept[IllegalArgumentException] { Compat.translate("%w") }
+    // extended codes: %u ISO weekday (Mon=1), %s epoch, %T/%R/%p patterns
+    assert(df.select(Compat.strftime("%u", col("ts"))).as[String].collect()
+      .toSeq == Seq("7", "1", "6"))
+    assert(df.select(Compat.strftime("%s", col("ts"))).as[String].collect()
+      .head == "1690711200") // 2023-07-30T10:00:00Z
+    assert(df.select(Compat.strftime("%T", col("ts"))).as[String].collect()
+      .head == "10:00:00")
+    assert(df.select(Compat.strftime("%R %p", col("ts"))).as[String].collect()
+      .head == "10:00 AM")
   }
 
   test("PathCanon: decoded file paths, scheme-qualified remote paths") {
