@@ -85,6 +85,44 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** End-to-end continuous indexing: stream market definitions from `dir`
+    * and upsert the latest (by `pt`) definition per market into a parquet
+    * snapshot at `indexPath` via foreachBatch — the streaming twin of
+    * `BetfairDatabase.insert` (incremental by design, reference README.md:97).
+    * Each micro-batch is a merge: new definitions win over stored ones only
+    * with a strictly higher `pt`; the snapshot swap is the same
+    * write-temp-then-rename pattern as the batch engine. Returns the started
+    * query (caller stops it).
+    */
+  def continuousIndex(spark: SparkSession, dir: String, indexPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamMarketDefinitions(spark, dir)
+      .writeStream
+      .option("checkpointLocation", s"$indexPath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val latest = batch
+          .groupBy("marketId")
+          .agg(max_by(struct(col("pt"), col("definition")), col("pt")).as("x"))
+          .select(col("marketId"), col("x.pt").as("pt"),
+            col("x.definition").as("definition"))
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) latest
+          else spark.read.parquet(indexPath).unionByName(latest)
+            .groupBy("marketId")
+            .agg(max_by(struct(col("pt"), col("definition")), col("pt")).as("x"))
+            .select(col("marketId"), col("x.pt").as("pt"),
+              col("x.definition").as("definition"))
+        val tmp = new org.apache.hadoop.fs.Path(s"$indexPath.tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val live = new org.apache.hadoop.fs.Path(indexPath)
+        if (fs.exists(live)) fs.delete(live, true)
+        fs.rename(tmp, live)
+        ()
+      }
+      .start()
+
   /** Streaming ingestion of exchange-stream NDJSON files: parse each line's
     * market-change message, keep the latest marketDefinition per market via
     * max_by in foreachBatch upserts. Mirrors the reference's incremental

@@ -73,6 +73,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(defs.forall(_.getAs[String]("marketId") == "1.500000001"))
   }
 
+  test("continuous index upserts the latest definition per market") {
+    val dir = Fixtures.tempDir("graftcont")
+    val in = dir.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val idx = dir.resolve("index.parquet").toString
+    Fixtures.writeLines(in.resolve("1.600000001"),
+      Fixtures.definitionStreamLines("1.600000001", "6f Mdn", "WIN"))
+    val q = StreamOps.continuousIndex(spark, in.toString, idx)
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(idx).collect()
+    assert(after1.length == 1)
+    assert(after1.head.getAs[Long]("pt") == 1650390002000L)
+    assert(after1.head.getAs[org.apache.spark.sql.Row]("definition")
+      .getAs[String]("name") == "6f Mdn")
+    // a later capture file for a second market arrives: incremental upsert
+    Fixtures.writeLines(in.resolve("1.600000002"),
+      Fixtures.definitionStreamLines("1.600000002", "7f Nov", "WIN"))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(idx).collect()
+    assert(after2.length == 2)
+    assert(after2.map(_.getAs[String]("marketId")).sorted.toSeq ==
+      Seq("1.600000001", "1.600000002"))
+  }
+
   test("streaming dedup drops in-watermark duplicate fingerprints") {
     val s = spark
     import s.implicits._
