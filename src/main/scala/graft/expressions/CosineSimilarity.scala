@@ -128,6 +128,10 @@ object GraftFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // already registered in this session: skip (avoids a WARN per call —
+    // every VectorOps query invokes register, 40+ times per Bench run)
+    if (reg.functionExists(FunctionIdentifier("cosine_sim")) &&
+      reg.functionExists(FunctionIdentifier("dot_product"))) return
     reg.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
