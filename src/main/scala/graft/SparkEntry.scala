@@ -59,6 +59,8 @@ object SparkEntry {
     "d40_embed_neardup" -> (VectorOps.d40EmbedNearDup _),
     "v41_ivf_ann" -> (VectorOps.v41IvfAnn _),
     "q42_quantile_sketch" -> (Relational.q42QuantileSketch _),
+    "q43_cube" -> (Relational.q43Cube _),
+    "q44_intersect" -> (Relational.q44Intersect _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -286,6 +288,16 @@ object SparkEntry {
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
          EXCEPT
          SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+         ORDER BY c_custkey""",
+    "q43_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q44_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
          ORDER BY c_custkey""",
     "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
     "d26_minhash_lsh" -> OracleGen.minhashLsh,

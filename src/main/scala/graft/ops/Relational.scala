@@ -356,6 +356,30 @@ object Relational {
           col("exact_users"), 4))
       .orderBy("event_type")
 
+  /** §2.C: CUBE — all grouping-set combinations of (returnflag, linestatus).
+    * Plain-table cube (no join upstream), so the Dataset API is safe from
+    * the Spark 4.1 cube-after-join analyzer false positive (q10/q33 note).
+    */
+  def q43Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** §2.C set ops: INTERSECT (the companion leg to q36's EXCEPT) — BUILDING
+    * customers who are also big spenders. Spark plans INTERSECT as a
+    * left-semi join after aggregation: no full-row comparison shuffle.
+    */
+  def q44Intersect(s: SparkSession, d: String): DataFrame = {
+    val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bigSpenders = orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(bigSpenders)
+      .orderBy("c_custkey")
+  }
+
   /** §2.C sketches: quantile sketch (approx_percentile / KLL-style) next to
     * the exact percentile of q32 — the 100 TB path for quantiles, since exact
     * percentile state is O(distinct values) per group while the sketch is
