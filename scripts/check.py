@@ -49,13 +49,14 @@ def main(sf_dir: str, out_dir: str) -> int:
         diffs = []
         for c in sc:
             a, b = s[c], o[c]
+            # exact equality, mirroring the driver's hash compare; NaN-ness
+            # compared explicitly (no sentinel fills — a real value equal to
+            # a sentinel must not match a one-sided NaN)
             if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
-                # exact equality, mirroring the driver's hash compare; the
-                # asymmetric fillna sentinels make one-sided NaNs unequal
-                eq = (a.isna() & b.isna()) | (a.fillna(1.5) == b.fillna(2.5))
+                eq = (a.isna() == b.isna()) & (a.isna() | (a == b))
             else:
-                eq = (a.isna() & b.isna()) | (
-                    a.astype(object).fillna("\0") == b.astype(object).fillna("\0"))
+                aa, bb = a.astype(object), b.astype(object)
+                eq = (aa.isna() == bb.isna()) & (aa.isna() | (aa == bb))
             bad = (~eq).to_numpy().nonzero()[0]
             if len(bad):
                 diffs.append((c, bad[:3]))

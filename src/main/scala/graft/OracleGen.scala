@@ -20,10 +20,13 @@ object OracleGen {
 
   val ngramJaccard: String =
     s"""$shingleCte,
-       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       rare AS (SELECT sh FROM sh GROUP BY sh
+                HAVING count(*) <= ${graft.ops.TextOps.ShingleDfCap}),
+       shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
        inter AS (
          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
      SELECT d1, d2, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
      FROM inter
@@ -74,11 +77,22 @@ object OracleGen {
          $votes
          FROM h GROUP BY doc_id),
        sim AS (SELECT doc_id, $simExpr AS simhash FROM v),
-       x AS (SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sim)
-     SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-     FROM x a JOIN x b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       bkt AS (
+         ${(0 until graft.ops.TextOps.SimhashTables).map { t =>
+            val r = 8 * t
+            val rot =
+              if (r == 0) "simhash"
+              else s"(((simhash << $r) | (simhash >> ${32 - r})) & 4294967295)"
+            s"SELECT doc_id, simhash, $t AS tbl, ($rot) >> 16 AS bucket FROM sim"
+          }.mkString("\n         UNION ALL ")}),
+       cand AS (
+         SELECT ba.doc_id AS d1, bb.doc_id AS d2,
+           CAST(bit_count(xor(ba.simhash, bb.simhash)) AS BIGINT) AS hamming
+         FROM bkt ba JOIN bkt bb ON ba.tbl = bb.tbl
+           AND ba.bucket = bb.bucket AND ba.doc_id < bb.doc_id)
+     SELECT DISTINCT d1, d2, hamming
+     FROM cand
+     WHERE hamming <= 6
      ORDER BY d1, d2"""
   }
 

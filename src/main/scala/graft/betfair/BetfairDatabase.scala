@@ -37,11 +37,8 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
     * and publishing the new one: the retired snapshot is still complete, so
     * restore it. (Crash after publish just leaves a stale `_old` to delete.)
     */
-  private def recoverSnapshot(): Unit = {
-    val f = fs
-    val live = new Path(indexPath)
-    if (!f.exists(live) && f.exists(retiredPath)) f.rename(retiredPath, live)
-  }
+  private def recoverSnapshot(): Unit =
+    SnapshotSwap.recover(fs, new Path(indexPath), retiredPath)
 
   /** A13: build and persist the index. */
   def index(force: Boolean = false): IndexPipeline.Counters = {
@@ -93,20 +90,41 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
   /** A17: market count. */
   def size: Long = indexDF.count()
 
-  /** A18: CSV export (header, NULL -> ""). Returns the output path.
+  /** A18: CSV export (header, NULL -> ""). Returns the output file path.
     *
-    * `single = true` is reference parity (one CSV file, like the reference's
-    * in-memory DictWriter dump — its docs call that path slow by design);
-    * `single = false` is the scale path: one CSV part per partition, no
-    * single-node bottleneck.
+    * `single = true` is reference parity (reference database.py:165-186):
+    * ONE CSV file — if `dest` is an existing directory the file is named
+    * `<database dir name>.csv` inside it, otherwise `dest` itself is the
+    * file. Implemented as a coalesce(1) write to a temp dir plus a rename of
+    * the lone part file (the reference's in-memory DictWriter dump is slow by
+    * design; this at least streams). `single = false` is the scale path: one
+    * CSV part per partition under `dest`, no single-node bottleneck.
     */
   def export(dest: String, single: Boolean = true): String = {
-    val df = if (single) indexDF.coalesce(1) else indexDF
-    df.write.mode("overwrite")
+    val writer = (df: DataFrame) => df.write.mode("overwrite")
       .option("header", "true").option("nullValue", "")
       .option("emptyValue", "\"\"")
-      .csv(dest)
-    dest
+    if (!single) {
+      writer(indexDF).csv(dest)
+      dest
+    } else {
+      val destPath = new Path(dest)
+      val dfs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val target =
+        if (dfs.exists(destPath) && dfs.getFileStatus(destPath).isDirectory)
+          new Path(destPath, new Path(databaseDir).getName + ".csv")
+        else destPath
+      val tmp = new Path(target.getParent, s"_graft_export_tmp_${target.getName}")
+      writer(indexDF.coalesce(1)).csv(tmp.toString)
+      val part = dfs.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+        .getOrElse(throw new java.io.IOException(s"export: no part file in $tmp"))
+      if (dfs.exists(target)) dfs.delete(target, false)
+      if (!dfs.rename(part, target))
+        throw new java.io.IOException(s"export: rename $part -> $target failed")
+      dfs.delete(tmp, true)
+      target.toString
+    }
   }
 
   /** A16: drop index rows whose data file no longer exists. Returns the
@@ -132,7 +150,10 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
   }
 
   /** A14/A15: incremental insert of a source directory with re-layout
-    * (import pattern) and duplicate policy. Returns rows inserted.
+    * (import pattern) and duplicate policy. Returns the full audit counters
+    * (adds/updates/skips split, reference processor.py:47-53) — source-scan
+    * counts (totalMarkets, corrupt, missing-data/metadata) come from the
+    * source build, the action split from the checkpointed plan.
     *
     * Dataflow, in three strictly ordered phases:
     *   1. RESOLVE (pure reads): build the source-market DataFrame (same
@@ -152,7 +173,7 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
     */
   def insert(sourceDir: String, copy: Boolean = false,
       pattern: ImportPattern = ImportPatterns.betfairHistorical,
-      onDuplicates: String = "update"): Long = {
+      onDuplicates: String = "update"): IndexPipeline.Counters = {
     require(Seq("skip", "replace", "update").contains(onDuplicates))
     if (!indexExists) index(force = false)
     val built = IndexPipeline.build(spark, sourceDir)
@@ -270,10 +291,16 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
         Seq("marketMetadataFilePath"), "left_anti")
       .unionByName(newRows)
       .dropDuplicates("marketMetadataFilePath", "marketDataFilePath")
-    val inserted = newRows.count()
+    // one pass over the (tiny, one-row-per-market) plan for the action split
+    val actionCounts = plan.groupBy("_action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updated = actionCounts.getOrElse("UPDATE", 0L)
+    val skipped = actionCounts.getOrElse("SKIP", 0L)
+    val inserted = actionCounts.getOrElse("INSERT", 0L) + updated
     writeSnapshot(merged)
     fs.delete(new Path(planPath), true)
-    inserted
+    built.counters.copy(rowsInserted = inserted, marketsUpdated = updated,
+      marketsSkipped = skipped)
   }
 
   /** Snapshot-swap write (SURVEY.md §7.3): write the new snapshot to a temp
@@ -285,14 +312,7 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
   private def writeSnapshot(df: DataFrame): Unit = {
     val tmp = new Path(s"$databaseDir/${BetfairDatabase.IndexDirName}_tmp")
     df.write.mode("overwrite").parquet(tmp.toString)
-    val f = fs
-    val live = new Path(indexPath)
-    if (f.exists(retiredPath)) f.delete(retiredPath, true)
-    if (f.exists(live) && !f.rename(live, retiredPath))
-      throw new java.io.IOException(s"snapshot swap: cannot retire $live")
-    if (!f.rename(tmp, live))
-      throw new java.io.IOException(s"snapshot swap: cannot publish $tmp")
-    f.delete(retiredPath, true)
+    SnapshotSwap.publish(fs, tmp, new Path(indexPath), retiredPath)
   }
 }
 

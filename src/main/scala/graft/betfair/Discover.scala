@@ -57,6 +57,7 @@ object Discover {
   /** Scan a directory tree and return one DataFrame of classified entries. */
   def scan(spark: SparkSession, sourceDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val strip = PathCanon.stripFileScheme(conf)
     val root = new Path(sourceDir)
     val fs = root.getFileSystem(conf)
     val top = fs.listStatus(root)
@@ -67,10 +68,12 @@ object Discover {
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val st = it.next()
-        // PathCanon: decoded OS-style path on file://, scheme-qualified
-        // elsewhere — the SAME canonical form input_file_name() is mapped to
-        // in IndexPipeline, so the metadata join key always matches.
-        if (st.isFile) classify(PathCanon.canonical(st.getPath)).foreach(buf += _)
+        // PathCanon: decoded OS-style path on file:// (scheme kept when the
+        // default FS is remote), scheme-qualified elsewhere — the SAME
+        // canonical form input_file_name() is mapped to in IndexPipeline, so
+        // the metadata join key always matches.
+        if (st.isFile)
+          classify(PathCanon.canonical(st.getPath, strip)).foreach(buf += _)
       }
       spark.createDataset(buf.toSeq).toDF()
     } else {
@@ -78,7 +81,7 @@ object Discover {
       // driver's Hadoop conf (credentials/defaultFS) shipped along
       val sconf = SerializableHadoopConf(spark)
       val rootFiles = files.filter(_.isFile)
-        .flatMap(st => classify(PathCanon.canonical(st.getPath))).toSeq
+        .flatMap(st => classify(PathCanon.canonical(st.getPath, strip))).toSeq
       val subdirs = dirs.map(_.getPath.toString).toSeq
       val listed = spark.createDataset(subdirs)
         .repartition(math.min(subdirs.length, 256))
@@ -91,7 +94,8 @@ object Discover {
             val it = sfs.listFiles(sub, true)
             while (it.hasNext) {
               val st = it.next()
-              if (st.isFile) classify(PathCanon.canonical(st.getPath)).foreach(out += _)
+              if (st.isFile)
+                classify(PathCanon.canonical(st.getPath, strip)).foreach(out += _)
             }
             out
           }

@@ -43,20 +43,41 @@ object SerializableHadoopConf {
   */
 object PathCanon {
 
-  def canonical(p: Path): String = {
+  /** Whether bare OS-style paths are safe, i.e. the configured default
+    * filesystem IS the local one. On a cluster whose `fs.defaultFS` is
+    * remote, a stored bare `/x` would later resolve via
+    * `new Path(...).getFileSystem` against the default FS and point
+    * clean()/insert() at the wrong filesystem — there, `file://` paths must
+    * keep their scheme (decoded, so the pairing key still matches across
+    * listing and `input_file_name()` forms). Decided once per pipeline from
+    * the driver conf and captured into executor closures as a boolean.
+    */
+  def stripFileScheme(conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val s = org.apache.hadoop.fs.FileSystem.getDefaultUri(conf).getScheme
+    s == null || s == "file"
+  }
+
+  def canonical(p: Path): String = canonical(p, stripFile = true)
+
+  def canonical(p: Path, stripFile: Boolean): String = {
     val u = p.toUri
-    if (u.getScheme == null || u.getScheme == "file") u.getPath else p.toString
+    if (u.getScheme == null || u.getScheme == "file") {
+      if (stripFile) u.getPath else "file://" + u.getPath
+    } else p.toString
   }
 
   /** Canonicalize a (possibly percent-encoded) URI string, e.g. the output
     * of `input_file_name()`.
     */
-  def canonicalUri(s: String): String =
+  def canonicalUri(s: String): String = canonicalUri(s, stripFile = true)
+
+  def canonicalUri(s: String, stripFile: Boolean): String =
     if (s == null || s.isEmpty) s
     else
-      try canonical(new Path(new java.net.URI(s)))
+      try canonical(new Path(new java.net.URI(s)), stripFile)
       catch {
         // not URI-parseable (already a plain path, or odd chars): best-effort
-        case _: Exception => s.replaceFirst("^file:/+", "/")
+        case _: Exception =>
+          if (stripFile) s.replaceFirst("^file:/+", "/") else s
       }
 }

@@ -11,11 +11,20 @@ import Schemas._
   */
 object IndexPipeline {
 
-  /** Audit counters (A20; reference betfairdatabase/processor.py:35-79). */
+  /** Audit counters (A20; reference betfairdatabase/processor.py:35-79).
+    *
+    * `rowsInserted` counts index rows written (adds + updates, like the
+    * reference's INSERT-per-market); `marketsUpdated`/`marketsSkipped` split
+    * an import by duplicate-policy outcome, and `marketsAdded` is the derived
+    * add count (processor.py:51-53). The invariant mirrors
+    * `Counters.validate` (processor.py:68-79).
+    */
   case class Counters(totalMarkets: Long, marketsWithoutData: Long,
-      marketsWithoutMetadata: Long, corruptFiles: Long, rowsInserted: Long) {
+      marketsWithoutMetadata: Long, corruptFiles: Long, rowsInserted: Long,
+      marketsUpdated: Long = 0L, marketsSkipped: Long = 0L) {
+    def marketsAdded: Long = rowsInserted - marketsUpdated
     def consistent: Boolean =
-      totalMarkets == rowsInserted + marketsWithoutData +
+      totalMarkets == rowsInserted + marketsSkipped + marketsWithoutData +
         marketsWithoutMetadata + corruptFiles
   }
 
@@ -29,41 +38,51 @@ object IndexPipeline {
     udf((name: String) => Functions.extractRaceMetadata(name))
 
   /** input_file_name() → the pipeline's canonical path form (decodes the
-    * percent-encoded URI and matches Discover's key — see [[PathCanon]]).
+    * percent-encoded URI and matches Discover's key — see [[PathCanon]];
+    * `strip` is decided from the driver conf and captured as a boolean).
     */
-  private val canonPathUdf: UserDefinedFunction =
-    udf((s: String) => PathCanon.canonicalUri(s))
+  private def canonPathUdf(strip: Boolean): UserDefinedFunction =
+    udf((s: String) => PathCanon.canonicalUri(s, strip))
 
   /** Read per-market metadata JSON files (catalogue or definition, one object
     * per file — multiLine tolerates pretty-printing, PERMISSIVE routes
     * corrupt bodies to _corrupt_record; reference A22).
+    *
+    * The file set comes from a recursive glob scan of the tree, NOT a
+    * driver-collected path list — a 100 TB archive has millions of metadata
+    * files, and both the driver array and the serialized path list in the
+    * scan would be the bottleneck. Spark parallelizes the listing above
+    * `parallelPartitionDiscovery.threshold` dirs; the downstream inner join
+    * on the canonical path keeps exactly the paired markets.
     */
-  private def readPerMarket(spark: SparkSession, paths: Seq[String]): DataFrame =
-    if (paths.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      metadataSchema.add("metaPath", "string"))
-    else
-      spark.read
-        .schema(metadataSchema)
-        .option("multiLine", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(paths: _*)
-        .withColumn("metaPath", canonPathUdf(input_file_name()))
+  private def readPerMarket(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema(metadataSchema)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "1.*.json")
+      .json(dir)
+      .withColumn("metaPath",
+        canonPathUdf(PathCanon.stripFileScheme(
+          spark.sparkContext.hadoopConfiguration))(input_file_name()))
 
-  /** Read bulk metadata.json files (JSON arrays of metadata dicts; A3). */
-  private def readBulk(spark: SparkSession, paths: Seq[String]): DataFrame =
-    if (paths.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      metadataSchema.add("metaPath", "string"))
-    else
-      spark.read
-        .schema(metadataSchema)
-        .option("multiLine", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(paths: _*)
-        .withColumn("metaPath", canonPathUdf(input_file_name()))
+  /** Read bulk metadata.json files (JSON arrays of metadata dicts; A3) —
+    * same recursive glob scan as [[readPerMarket]].
+    */
+  private def readBulk(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema(metadataSchema)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "metadata.json")
+      .json(dir)
+      .withColumn("metaPath",
+        canonPathUdf(PathCanon.stripFileScheme(
+          spark.sparkContext.hadoopConfiguration))(input_file_name()))
 
   /** Parse extracted definition JSON strings (from MarketDefExtract). */
   private def parseExtracted(extracted: DataFrame): DataFrame = {
@@ -86,20 +105,22 @@ object IndexPipeline {
       writeMetadataFiles: Boolean = true): BuildResult = {
     import spark.implicits._
     Functions.register(spark)
+    // the recursive JSON scans below hit Spark's session FileStatusCache
+    // (no TTL): a rebuild after extraction wrote new metadata files would
+    // otherwise see the previous listing
+    spark.catalog.refreshByPath(sourceDir)
 
     val entries = Discover.scan(spark, sourceDir).cache()
     val meta = entries.filter(col("kind") === "metadata")
       .select(col("stem"), col("path").as("metaPath"))
     val data = entries.filter(col("kind") === "data")
       .select(col("stem"), col("path").as("dataPath"), col("dir"))
-    val bulkPaths = entries.filter(col("kind") === "bulk")
-      .select("path").as[String].collect().toSeq
 
     // ---- A3 bulk metadata: explode arrays, pair within the same directory,
     // take precedence over per-market files (consume the data file).
     // (.cache(): Spark disallows querying only _corrupt_record off a raw
     // JSON scan; the parsed result must be materialized first.)
-    val bulkRaw = readBulk(spark, bulkPaths).cache()
+    val bulkRaw = readBulk(spark, sourceDir).cache()
     val bulkValid = bulkRaw
       .filter(col("_corrupt_record").isNull && col("marketId").isNotNull)
       // reference: file_cache keyed by marketId — last entry per id wins
@@ -125,10 +146,9 @@ object IndexPipeline {
       .extract(spark, dataNoMeta, writeMetadataFiles).cache()
     val extractedDefs = parseExtracted(extracted)
 
-    // ---- per-market metadata reads (A5-A9)
-    val pairedRows = pairedMeta.select("stem", "metaPath", "dataPath").collect()
-    val metaPaths = pairedRows.map(_.getString(1)).toSeq
-    val perMarketRaw = readPerMarket(spark, metaPaths).cache()
+    // ---- per-market metadata reads (A5-A9): recursive glob scan, no
+    // driver-side path collection; the inner join below narrows to paired
+    val perMarketRaw = readPerMarket(spark, sourceDir).cache()
     val pathPairs = pairedMeta
       .select(col("metaPath"), col("stem").as("_stem"),
         col("dataPath").as("_dataPath"))

@@ -340,20 +340,23 @@ object Relational {
 
   /** §2.C sketches: HLL-based approximate distinct counts per group (the
     * scale path for cardinality at 100 TB — constant memory per group,
-    * mergeable across partitions). No SQL oracle: sketch estimates are
-    * engine-specific, so the driver records the weaker rows-only check; the
-    * estimate is asserted against the exact count in-row instead.
+    * mergeable across partitions). The sketch estimate itself is
+    * engine-specific, so it is NOT an output column; instead `sketch_ok`
+    * asserts the sketch's accuracy contract (within 5% of the exact count,
+    * rsd=0.02 → ~3σ) and the oracle asserts the exact columns plus a literal
+    * TRUE — a full hash-checked oracle for a sketch query.
     */
   def q37ApproxDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("_approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
-      .withColumn("rel_err",
-        round(abs(col("approx_users") - col("exact_users")) /
-          col("exact_users"), 4))
+      .withColumn("sketch_ok",
+        abs(col("_approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05)
+      .drop("_approx_users")
       .orderBy("event_type")
 
   /** §2.C: CUBE — all grouping-set combinations of (returnflag, linestatus).
@@ -384,20 +387,22 @@ object Relational {
     * the exact percentile of q32 — the 100 TB path for quantiles, since exact
     * percentile state is O(distinct values) per group while the sketch is
     * bounded by the accuracy parameter and mergeable across partitions.
-    * Rows-only check (sketch estimates are engine-specific); the estimate is
-    * validated in-row against the exact value instead.
+    * Like q37, the engine-specific sketch values are validated in-row against
+    * the exact percentiles (within 1%) and surfaced as `sketch_ok`, so the
+    * oracle hash-checks the exact columns plus a literal TRUE.
     */
   def q42QuantileSketch(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4)
-          .as("p50_sketch"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_p50_sketch"),
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-        round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4)
-          .as("p95_sketch"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("_p95_sketch"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_exact"),
         count(lit(1)).as("n"))
-      .withColumn("rel_err",
-        round(abs(col("p50_sketch") - col("p50_exact")) / col("p50_exact"), 4))
+      .withColumn("sketch_ok",
+        abs(col("_p50_sketch") - col("p50_exact")) <= col("p50_exact") * 0.01 &&
+          abs(col("_p95_sketch") - col("p95_exact")) <= col("p95_exact") * 0.01)
+      .drop("_p50_sketch", "_p95_sketch")
       .orderBy("l_returnflag")
 }

@@ -26,15 +26,22 @@ object Skew {
     * NOT be a function of the key alone. `monotonically_increasing_id()` is
     * per-row unique and partition-local (no shuffle to compute).
     */
+  /** Internal salt column — collision-proof name so a user `_salt` column is
+    * never silently overwritten (and guarded anyway).
+    */
+  private val SaltCol = "__graft_salt"
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    val l = left.withColumn("_salt",
+    require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
+      s"saltedJoin: inputs must not contain a $SaltCol column")
+    val l = left.withColumn(SaltCol,
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val reps = explode(array((0 until salt).map(i => lit(i.toLong)): _*))
-    val r = right.withColumn("_salt", reps)
-    l.join(r, l("_salt") === r("_salt") && l(key) === r(key))
-      .drop(r(key)).drop(l("_salt")).drop(r("_salt"))
+    val r = right.withColumn(SaltCol, reps)
+    l.join(r, l(SaltCol) === r(SaltCol) && l(key) === r(key))
+      .drop(r(key)).drop(l(SaltCol)).drop(r(SaltCol))
   }
 
   /** Per-key occupancy report — the diagnostic that decides between AQE

@@ -133,11 +133,27 @@ object TextOps {
       .distinct()
   }
 
+  /** Document-frequency cap for [[d25NgramJaccard]]'s candidate join: a
+    * shingle shared by k docs yields k(k-1)/2 candidate pairs, so one
+    * stop-shingle ("of the and") present in k docs is a k² blowup — the one
+    * quadratic path in the dedup family. Dropping shingles with df > τ before
+    * the self-join bounds every shingle's contribution to τ²/2 pairs; such
+    * shingles carry ~no Jaccard signal anyway (classic stop-shingle removal).
+    * The oracle (OracleGen.ngramJaccard) applies the identical cap.
+    */
+  val ShingleDfCap = 100
+
   /** N-gram Jaccard near-dup: candidate pairs via shared-shingle equi-join
-    * (no cross join), exact Jaccard, deterministic top-20.
+    * (no cross join) over df-capped shingles, exact Jaccard over the same
+    * capped sets, deterministic top-20.
     */
   def d25NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    val all = shingles(s, d)
+    // df-cap: one extra agg+join on the same key as the self-join, so the
+    // exchange is reused; bounds per-shingle pair fan-out to ShingleDfCap².
+    val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap).select("sh")
+    val sh = all.join(rare, "sh").select("doc_id", "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -194,9 +210,26 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix
+    * table misses any pair whose differing bits are all in the high half and
+    * its occupancy grows ∝ n/65536; four rotations (0/8/16/24 bits) cover
+    * every bit in exactly two windows, so a hamming≤6 pair is missed only if
+    * all four windows contain a differing bit, and each table keeps the full
+    * 2^16 keyspace (occupancy per table unchanged, candidate volume ≤4×).
+    */
+  val SimhashTables = 4
+
+  /** Rotate-left of a 32-bit value stored in a long. */
+  private def rot32(c: Column, r: Int): Column =
+    if (r == 0) c
+    else shiftleft(c, r).bitwiseOR(shiftright(c, 32 - r))
+      .bitwiseAND(lit(4294967295L))
+
   /** 32-bit SimHash per doc (single-pass: 32 parallel vote-sums over distinct
-    * word hashes), then near-pairs bucketed by the high-16-bit prefix with
-    * Hamming distance <= 6 (bit_count(xor)).
+    * word hashes), then near-pairs at Hamming distance <= 6 (bit_count(xor))
+    * bucketed by [[SimhashTables]] rotated 16-bit prefix tables: candidates
+    * from any table, deduped, then refined — an equi-join per table, never
+    * all-pairs.
     */
   def d27Simhash(s: SparkSession, d: String): DataFrame = {
     val wordsDf = documents(s, d)
@@ -216,14 +249,27 @@ object TextOps {
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     val hashes = votes.select(col("doc_id"), sim.as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 16))
-    hashes.as("a")
-      .join(hashes.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+    val tableStructs = (0 until SimhashTables).map { t =>
+      struct(lit(t).as("tbl"),
+        shiftright(rot32(col("simhash"), 8 * t), 16).as("bucket"))
+    }
+    val buckets = hashes
+      .select(col("doc_id"), col("simhash"),
+        explode(array(tableStructs: _*)).as("tb"))
+      .select(col("doc_id"), col("simhash"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // hamming refine runs map-side BEFORE the cross-table dedup, so the
+    // distinct's shuffle carries only passing pairs, not every 4×-duplicated
+    // candidate
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= 6)
+      .distinct()
       .orderBy("d1", "d2")
   }
 }

@@ -177,14 +177,27 @@ object VectorOps {
     val asim = planeDot(s, col("embedding"), col("cvec")) /
       (sqrt(planeDot(s, vd, vd)) *
         sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec"))))
+    // Assignment = argmax(asim) with clabel tiebreak per vector. A window over
+    // the corpus×centroids rows would shuffle |codebook|× the corpus; min_by
+    // over a (−asim, clabel) ordering struct is the same argmax but gets
+    // map-side partial aggregation — the shuffle moves one compact struct per
+    // vector. (Ties can't flip the result: min of the struct is lexicographic,
+    // exactly asim DESC, clabel ASC.)
+    val scored = emb.crossJoin(broadcast(cent)).withColumn("asim", asim)
+    val assigned = scored.groupBy("vec_id")
+      .agg(min_by(struct(col("embedding"), col("clabel")),
+        struct(-col("asim"), col("clabel"))).as("t"))
+      .select(col("vec_id"), col("t.embedding").as("embedding"),
+        col("t.clabel").as("clabel"))
+    // Probes need top-2 lists per query — a window, but only over the 10
+    // filtered query rows × |codebook|, never the corpus.
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("asim").desc, col("clabel"))
-    val ranked = emb.crossJoin(broadcast(cent))
+    val probes = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(cent))
       .withColumn("asim", asim)
       .withColumn("arn", row_number().over(wAssign))
-    val assigned = ranked.filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("clabel"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("arn") <= 2)
+      .filter(col("arn") <= 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("clabel"))
     val cand = assigned.join(broadcast(probes),

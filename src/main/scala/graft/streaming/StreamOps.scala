@@ -90,9 +90,13 @@ object StreamOps {
     * snapshot at `indexPath` via foreachBatch — the streaming twin of
     * `BetfairDatabase.insert` (incremental by design, reference README.md:97).
     * Each micro-batch is a merge: new definitions win over stored ones only
-    * with a strictly higher `pt`; the snapshot swap is the same
-    * write-temp-then-rename pattern as the batch engine. Returns the started
-    * query (caller stops it).
+    * with a strictly higher `pt`; the snapshot swap is the batch engine's
+    * crash-safe retire-then-publish ([[graft.betfair.SnapshotSwap]]) — the
+    * live index is never deleted, a crash mid-swap leaves a complete `_old`
+    * copy that the next batch restores before merging, and a crash mid-batch
+    * replays the batch against the intact live index (foreachBatch replay +
+    * idempotent swap = effectively-once). Returns the started query (caller
+    * stops it).
     */
   def continuousIndex(spark: SparkSession, dir: String, indexPath: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -100,15 +104,18 @@ object StreamOps {
       .writeStream
       .option("checkpointLocation", s"$indexPath.checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val live = new org.apache.hadoop.fs.Path(indexPath)
+        val retired = new org.apache.hadoop.fs.Path(s"${indexPath}_old")
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // heal a swap that crashed between retire and publish before reading
+        graft.betfair.SnapshotSwap.recover(fs, live, retired)
         val latest = batch
           .groupBy("marketId")
           .agg(max_by(struct(col("pt"), col("definition")), col("pt")).as("x"))
           .select(col("marketId"), col("x.pt").as("pt"),
             col("x.definition").as("definition"))
-        val fs = new org.apache.hadoop.fs.Path(indexPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) latest
+          if (!fs.exists(live)) latest
           else spark.read.parquet(indexPath).unionByName(latest)
             .groupBy("marketId")
             .agg(max_by(struct(col("pt"), col("definition")), col("pt")).as("x"))
@@ -116,10 +123,7 @@ object StreamOps {
               col("x.definition").as("definition"))
         val tmp = new org.apache.hadoop.fs.Path(s"$indexPath.tmp")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        val live = new org.apache.hadoop.fs.Path(indexPath)
-        if (fs.exists(live)) fs.delete(live, true)
-        fs.rename(tmp, live)
-        ()
+        graft.betfair.SnapshotSwap.publish(fs, tmp, live, retired)
       }
       .start()
 

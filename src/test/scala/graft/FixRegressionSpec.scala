@@ -70,6 +70,18 @@ class FixRegressionSpec extends SparkSpec {
       == "hdfs://nn:8020/x/1.2")
     assert(PathCanon.canonical(new org.apache.hadoop.fs.Path("/plain/p"))
       == "/plain/p")
+    // remote default FS (ADVICE r2): file paths keep a decoded file:// scheme
+    // so later Path resolution can't land on the wrong filesystem
+    assert(PathCanon.canonicalUri("file:///data%20dir/1.23.json",
+      stripFile = false) == "file:///data dir/1.23.json")
+    assert(PathCanon.canonicalUri("hdfs://nn:8020/x/1.2", stripFile = false)
+      == "hdfs://nn:8020/x/1.2")
+    val localConf = new org.apache.hadoop.conf.Configuration(false)
+    localConf.set("fs.defaultFS", "file:///")
+    assert(PathCanon.stripFileScheme(localConf))
+    val remoteConf = new org.apache.hadoop.conf.Configuration(false)
+    remoteConf.set("fs.defaultFS", "hdfs://nn:8020")
+    assert(!PathCanon.stripFileScheme(remoteConf))
   }
 
   test("snapshot swap crash between retire and publish self-heals") {

@@ -147,11 +147,21 @@ class BetfairDatabaseSpec extends SparkSpec {
   test("export: csv round-trips the index") {
     val (dir, db) = freshDb()
     db.index()
+    // dest names a (non-existent) file -> exactly that single CSV file
     val out = dir.resolve("export_csv").toString
-    db.export(out)
+    val written = db.export(out)
+    assert(written == out)
+    assert(Files.isRegularFile(java.nio.file.Paths.get(out)))
     val back = spark.read.option("header", "true").csv(out)
     assert(back.count() == 6)
     assert(back.columns.toSeq == Schemas.IndexColumns)
+    // dest is an existing directory -> "<database dir name>.csv" inside it
+    // (reference database.py:176-178, tests/test_integration.py:395-429)
+    val destDir = Fixtures.tempDir("graftexp")
+    val written2 = db.export(destDir.toString)
+    assert(new java.io.File(written2).getName == dir.getFileName.toString + ".csv")
+    assert(Files.isRegularFile(java.nio.file.Paths.get(written2)))
+    assert(spark.read.option("header", "true").csv(written2).count() == 6)
   }
 
   test("insert: moves source files in and indexes them (flat pattern)") {
@@ -165,7 +175,10 @@ class BetfairDatabaseSpec extends SparkSpec {
       Seq("""{"op":"mcm","mc":[{"id":"1.300000001","rc":[]}]}"""))
     val inserted = db.insert(srcDir.toString, copy = false,
       pattern = ImportPatterns.flat, onDuplicates = "update")
-    assert(inserted == 1)
+    assert(inserted.rowsInserted == 1)
+    assert(inserted.marketsAdded == 1 && inserted.marketsUpdated == 0 &&
+      inserted.marketsSkipped == 0)
+    assert(inserted.consistent)
     assert(db.size == 7)
     // moved, not copied
     assert(!Files.exists(srcDir.resolve("1.300000001")))
@@ -203,33 +216,46 @@ class BetfairDatabaseSpec extends SparkSpec {
       s
     }
     val line = """{"op":"mcm","mc":[{"id":"1.300000010","rc":[]}]}"""
-    // first insert
-    db.insert(mkSource("6f Mdn", Seq(line)).toString, copy = false,
+    // first insert: a pure add (reference counter semantics,
+    // processor.py:47-53 — rows_inserted = added + updated)
+    val ins1 = db.insert(mkSource("6f Mdn", Seq(line)).toString, copy = false,
       pattern = ImportPatterns.flat, onDuplicates = "update")
+    assert(ins1.rowsInserted == 1 && ins1.marketsAdded == 1 &&
+      ins1.marketsUpdated == 0 && ins1.marketsSkipped == 0)
+    assert(ins1.consistent)
     assert(db.size == 7)
-    // skip: same market again -> nothing changes
+    // skip: same market again -> nothing changes, counted as skipped
     val ins2 = db.insert(mkSource("6f Mdn", Seq(line)).toString, copy = false,
       pattern = ImportPatterns.flat, onDuplicates = "skip")
-    assert(ins2 == 0)
+    assert(ins2.rowsInserted == 0 && ins2.marketsAdded == 0 &&
+      ins2.marketsUpdated == 0 && ins2.marketsSkipped == 1)
+    assert(ins2.consistent)
     assert(db.size == 7)
-    // update with identical metadata: row untouched, but bigger data file
-    // replaces the existing one
+    // update with identical metadata: row untouched (skipped), but bigger
+    // data file replaces the existing one
     val bigger = Seq(line, line, line)
-    db.insert(mkSource("6f Mdn", bigger).toString, copy = false,
+    val ins3 = db.insert(mkSource("6f Mdn", bigger).toString, copy = false,
       pattern = ImportPatterns.flat, onDuplicates = "update")
+    assert(ins3.rowsInserted == 0 && ins3.marketsSkipped == 1)
+    assert(ins3.consistent)
     assert(db.size == 7)
     assert(Files.size(dbDir.resolve("1.300000010")) > line.length + 1)
-    // update with changed metadata: row is updated
-    db.insert(mkSource("7f Mdn", bigger).toString, copy = false,
+    // update with changed metadata: row is updated, not added
+    val ins4 = db.insert(mkSource("7f Mdn", bigger).toString, copy = false,
       pattern = ImportPatterns.flat, onDuplicates = "update")
+    assert(ins4.rowsInserted == 1 && ins4.marketsAdded == 0 &&
+      ins4.marketsUpdated == 1 && ins4.marketsSkipped == 0)
+    assert(ins4.consistent)
     assert(db.size == 7)
     val updated = db.indexDF.filter(col("marketId") === "1.300000010")
       .collect().head
     assert(updated.getAs[String]("marketName") == "7f Mdn")
-    // replace: always overwrites
+    // replace: always overwrites -> counted as an update of the existing row
     val ins5 = db.insert(mkSource("8f Mdn", Seq(line)).toString, copy = false,
       pattern = ImportPatterns.flat, onDuplicates = "replace")
-    assert(ins5 == 1)
+    assert(ins5.rowsInserted == 1 && ins5.marketsAdded == 0 &&
+      ins5.marketsUpdated == 1 && ins5.marketsSkipped == 0)
+    assert(ins5.consistent)
     assert(db.size == 7)
     val replaced = db.indexDF.filter(col("marketId") === "1.300000010")
       .collect().head

@@ -98,6 +98,35 @@ class StreamOpsSpec extends SparkSpec {
       Seq("1.600000001", "1.600000002"))
   }
 
+  test("continuous index recovers a swap that crashed between retire and publish") {
+    val dir = Fixtures.tempDir("graftcrash")
+    val in = dir.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val idx = dir.resolve("index.parquet").toString
+    Fixtures.writeLines(in.resolve("1.700000001"),
+      Fixtures.definitionStreamLines("1.700000001", "6f Mdn", "WIN"))
+    val q1 = StreamOps.continuousIndex(spark, in.toString, idx)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(idx).count() == 1)
+    // simulate the crash window: live index retired to _old, publish never ran
+    val live = new org.apache.hadoop.fs.Path(idx)
+    val retired = new org.apache.hadoop.fs.Path(s"${idx}_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(live, retired))
+    assert(!fs.exists(live) && fs.exists(retired))
+    // next batch must first restore the retired snapshot, then merge onto it
+    Fixtures.writeLines(in.resolve("1.700000002"),
+      Fixtures.definitionStreamLines("1.700000002", "7f Nov", "WIN"))
+    val q2 = StreamOps.continuousIndex(spark, in.toString, idx)
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(idx).collect()
+    assert(after.map(_.getAs[String]("marketId")).sorted.toSeq ==
+      Seq("1.700000001", "1.700000002"))
+    assert(!fs.exists(retired))
+  }
+
   test("streaming dedup drops in-watermark duplicate fingerprints") {
     val s = spark
     import s.implicits._
