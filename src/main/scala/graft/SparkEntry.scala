@@ -289,6 +289,16 @@ object SparkEntry {
          EXCEPT
          SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
          ORDER BY c_custkey""",
+    "q37_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           count(*) AS n, TRUE AS sketch_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q42_quantile_sketch" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           count(*) AS n, TRUE AS sketch_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q43_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
            round(sum(l_quantity), 2) AS sum_qty

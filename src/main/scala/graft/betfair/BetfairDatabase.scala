@@ -115,15 +115,22 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
           new Path(destPath, new Path(databaseDir).getName + ".csv")
         else destPath
       val tmp = new Path(target.getParent, s"_graft_export_tmp_${target.getName}")
-      writer(indexDF.coalesce(1)).csv(tmp.toString)
-      val part = dfs.listStatus(tmp).map(_.getPath)
-        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
-        .getOrElse(throw new java.io.IOException(s"export: no part file in $tmp"))
-      if (dfs.exists(target)) dfs.delete(target, false)
-      if (!dfs.rename(part, target))
-        throw new java.io.IOException(s"export: rename $part -> $target failed")
-      dfs.delete(tmp, true)
-      target.toString
+      try {
+        writer(indexDF.coalesce(1)).csv(tmp.toString)
+        val part = dfs.listStatus(tmp).map(_.getPath)
+          .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".csv"))
+          .getOrElse(
+            throw new java.io.IOException(s"export: no part file in $tmp"))
+        // a stale target may be a non-empty directory (e.g. a prior
+        // single=false export to the same path) — delete recursively and
+        // check the result, so the rename below can't fail misleadingly
+        if (dfs.exists(target) && !dfs.delete(target, true))
+          throw new java.io.IOException(
+            s"export: could not remove stale target $target")
+        if (!dfs.rename(part, target))
+          throw new java.io.IOException(s"export: rename $part -> $target failed")
+        target.toString
+      } finally dfs.delete(tmp, true)
     }
   }
 

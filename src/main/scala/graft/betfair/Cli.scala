@@ -31,14 +31,50 @@ object Cli {
   private val Patterns = Seq("betfair_historical", "event_id", "flat")
   private val OnDuplicates = Seq("skip", "replace", "update")
 
-  private def flag(args: Array[String], names: String*): Boolean =
-    names.exists(args.contains)
+  /** Options that consume the following token as their value. Parsed
+    * left-to-right so values like `flat` or `skip` never leak into the
+    * positional list (argparse-style interleaving — cli.py's parser).
+    */
+  private val ValueOpts =
+    Set("-p", "--pattern", "-d", "--on-duplicates",
+      "--where", "--columns", "--limit")
+  private val BoolOpts =
+    Set("-f", "--force", "-c", "--copy", "-v", "--verbose", "-q", "--quiet")
 
-  private def opt(args: Array[String], names: String*): Option[String] =
-    names.flatMap { name =>
-      val i = args.indexOf(name)
-      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
-    }.headOption
+  /** argv decomposed into positionals / option values / boolean flags.
+    * `version` is set only when -V/--version precedes the subcommand,
+    * matching argparse's top-level-only handling (cli.py:17-24): after the
+    * subcommand it is an unrecognized argument (exit 2), not a version
+    * request.
+    */
+  private[betfair] final case class Parsed(positionals: Vector[String],
+      values: Map[String, String], flags: Set[String], version: Boolean)
+
+  private[betfair] def parse(args: Array[String]): Parsed = {
+    var pos = Vector.empty[String]
+    var values = Map.empty[String, String]
+    var flags = Set.empty[String]
+    var version = false
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a == "-V" || a == "--version") {
+        if (pos.isEmpty) version = true
+        else { System.err.println(s"unrecognized argument: $a"); sys.exit(2) }
+      } else if (ValueOpts(a)) {
+        if (i + 1 >= args.length) {
+          System.err.println(s"option $a: expected one argument"); sys.exit(2)
+        }
+        values += a -> args(i + 1)
+        i += 1
+      } else if (BoolOpts(a)) flags += a
+      else if (a.startsWith("-") && a.length > 1) {
+        System.err.println(s"unrecognized argument: $a"); sys.exit(2)
+      } else pos :+= a
+      i += 1
+    }
+    Parsed(pos, values, flags, version)
+  }
 
   private def fail(msg: String): Nothing = {
     System.err.println(msg)
@@ -46,8 +82,12 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    if (flag(args, "-V", "--version")) { println(Version); return }
-    val cmds = args.filterNot(_.startsWith("-"))
+    val p = parse(args)
+    def flag(names: String*): Boolean = names.exists(p.flags)
+    def opt(names: String*): Option[String] =
+      names.flatMap(p.values.get).headOption
+    if (p.version) { println(Version); return }
+    val cmds = p.positionals
     if (cmds.isEmpty) { System.err.println("missing subcommand"); sys.exit(2) }
     val cmd = cmds.head
     if (cmd == "columns") {
@@ -63,8 +103,8 @@ object Cli {
       .getOrCreate()
     // quiet overrides verbose, like the reference (cli.py:160)
     val logLevel =
-      if (flag(args, "-q", "--quiet")) "OFF"
-      else if (flag(args, "-v", "--verbose")) "DEBUG"
+      if (flag("-q", "--quiet")) "OFF"
+      else if (flag("-v", "--verbose")) "DEBUG"
       else "WARN"
     spark.sparkContext.setLogLevel(logLevel)
     try {
@@ -72,7 +112,7 @@ object Cli {
       cmd match {
         case "index" =>
           val c =
-            try db.index(force = flag(args, "-f", "--force"))
+            try db.index(force = flag("-f", "--force"))
             catch {
               case ex: IllegalStateException =>
                 fail(ex.getMessage +
@@ -82,13 +122,17 @@ object Cli {
             s"(total=${c.totalMarkets}, withoutData=${c.marketsWithoutData}, " +
             s"withoutMetadata=${c.marketsWithoutMetadata}, corrupt=${c.corruptFiles})")
         case "select" =>
-          val cols = opt(args, "--columns").map(_.split(",").toSeq).orNull
-          val n = opt(args, "--limit").map(_.toInt).getOrElse(-1)
-          db.select(columns = cols, where = opt(args, "--where").orNull,
+          val cols = opt("--columns").map(_.split(",").toSeq).orNull
+          val n = opt("--limit").map { v =>
+            try v.toInt
+            catch { case _: NumberFormatException =>
+              fail(s"select: invalid --limit '$v' (expected an integer)") }
+          }.getOrElse(-1)
+          db.select(columns = cols, where = opt("--where").orNull,
             limit = n).show(1000, truncate = false)
         case "insert" =>
           if (cmds.length < 3) fail("insert: missing source directory argument")
-          val patternName = opt(args, "-p", "--pattern")
+          val patternName = opt("-p", "--pattern")
             .getOrElse("betfair_historical")
           if (!Patterns.contains(patternName))
             fail(s"insert: invalid --pattern '$patternName' " +
@@ -98,11 +142,11 @@ object Cli {
             case "event_id" => ImportPatterns.eventId
             case _ => ImportPatterns.betfairHistorical
           }
-          val dup = opt(args, "-d", "--on-duplicates").getOrElse("update")
+          val dup = opt("-d", "--on-duplicates").getOrElse("update")
           if (!OnDuplicates.contains(dup))
             fail(s"insert: invalid --on-duplicates '$dup' " +
               s"(choose from ${OnDuplicates.mkString(", ")})")
-          val c = db.insert(cmds(2), copy = flag(args, "-c", "--copy"),
+          val c = db.insert(cmds(2), copy = flag("-c", "--copy"),
             pattern = pattern, onDuplicates = dup)
           println(s"inserted ${c.rowsInserted} markets " +
             s"(added=${c.marketsAdded}, updated=${c.marketsUpdated}, " +

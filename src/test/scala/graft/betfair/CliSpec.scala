@@ -1,0 +1,42 @@
+package graft.betfair
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI argv parsing contract (reference cli.py uses argparse, which accepts
+  * interleaved options and consumes option values — values must never leak
+  * into the positional list).
+  */
+class CliSpec extends AnyFunSuite {
+
+  test("value-taking option values do not leak into positionals") {
+    // `insert <db> -p flat <src>`: "flat" is the pattern, not the source
+    val p = Cli.parse(Array("insert", "db", "-p", "flat", "src"))
+    assert(p.positionals == Vector("insert", "db", "src"))
+    assert(p.values("-p") == "flat")
+    // `insert -d skip <db> <src>`: "skip" is the policy, not the db dir
+    val q = Cli.parse(Array("insert", "-d", "skip", "db", "src"))
+    assert(q.positionals == Vector("insert", "db", "src"))
+    assert(q.values("-d") == "skip")
+  }
+
+  test("where/columns/limit values are consumed, flags collected") {
+    val p = Cli.parse(Array("select", "db", "--where", "marketType = 'WIN'",
+      "--columns", "marketId,venue", "--limit", "5"))
+    assert(p.positionals == Vector("select", "db"))
+    assert(p.values("--where") == "marketType = 'WIN'")
+    assert(p.values("--columns") == "marketId,venue")
+    assert(p.values("--limit") == "5")
+    val q = Cli.parse(Array("insert", "db", "src", "-c", "-p", "flat"))
+    assert(q.positionals == Vector("insert", "db", "src"))
+    assert(q.flags.contains("-c"))
+  }
+
+  test("-V is a version request only before the subcommand") {
+    assert(Cli.parse(Array("-V")).version)
+    assert(Cli.parse(Array("--version", "index", "db")).version)
+    // a --where value containing "-V" is consumed as a value, not a flag
+    val p = Cli.parse(Array("select", "db", "--where", "-V"))
+    assert(!p.version)
+    assert(p.values("--where") == "-V")
+  }
+}
