@@ -60,6 +60,29 @@ object OracleGen {
      GROUP BY 1, 2 ORDER BY d1, d2"""
   }
 
+  /** Connected components over the minhash candidate pairs: DuckDB's
+    * recursive CTE computes full reachability (fine at oracle scale), then
+    * labels each doc with the min reachable doc_id — the same fixpoint the
+    * Spark loop converges to.
+    */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE edges AS (
+         SELECT d1, d2 FROM ($minhashLsh) mh),
+       sym AS (
+         SELECT d1 AS a, d2 AS b FROM edges
+         UNION
+         SELECT d2 AS a, d1 AS b FROM edges),
+       reach AS (
+         SELECT a AS doc_id, a AS r FROM sym
+         UNION
+         SELECT reach.doc_id, s.b AS r
+         FROM reach JOIN sym s ON s.a = reach.r),
+       comp AS (
+         SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)
+     SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS csize
+     FROM comp ORDER BY doc_id"""
+
   val simhash: String = {
     val votes = (0 until 32).map { b =>
       s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b"

@@ -61,6 +61,11 @@ object SparkEntry {
     "q42_quantile_sketch" -> (Relational.q42QuantileSketch _),
     "q43_cube" -> (Relational.q43Cube _),
     "q44_intersect" -> (Relational.q44Intersect _),
+    "q45_sessionize" -> (Relational.q45Sessionize _),
+    "d46_dedup_clusters" -> (TextOps.d46DedupClusters _),
+    "t47_repetition" -> (TextOps.t47Repetition _),
+    "t48_pii_scan" -> (TextOps.t48PiiScan _),
+    "q49_heavy_hitters" -> (Relational.q49HeavyHitters _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -309,6 +314,65 @@ object SparkEntry {
          INTERSECT
          SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
          ORDER BY c_custkey""",
+    "q45_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts,
+             CAST(sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sess
+           FROM o)
+         SELECT user_id, sess, count(*) AS n_events,
+           min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+         FROM s GROUP BY user_id, sess ORDER BY user_id, sess""",
+    "t47_repetition" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+           FROM documents),
+         c AS (SELECT doc_id, word, count(*) AS cnt
+               FROM w GROUP BY doc_id, word)
+         SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(cnt) AS BIGINT) AS top_cnt,
+           floor(max(cnt) * 1.0 / sum(cnt) * 10000) / 10000 AS top_word_frac,
+           floor((sum(cnt) - count(*)) * 1.0 / sum(cnt) * 10000) / 10000
+             AS dup_word_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "t48_pii_scan" ->
+      """WITH p AS (SELECT doc_id,
+             text || ' contact uid.' || doc_id || '@example.org tel 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+               || ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+               AS pii
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(pii,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(pii, '\b\d{3}-\d{3}-\d{4}\b'))
+             AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(pii,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(pii,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+             AS red_fp
+         FROM p ORDER BY doc_id""",
+    "q49_heavy_hitters" ->
+      """SELECT event_type, count(*) AS cnt, TRUE AS sketch_ok
+         FROM events GROUP BY event_type
+         HAVING count(*) * 1.0 / (SELECT count(*) FROM events) > 0.05
+         ORDER BY event_type""",
+    "d46_dedup_clusters" -> OracleGen.dedupClusters,
     "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
     "d26_minhash_lsh" -> OracleGen.minhashLsh,
     "d27_simhash" -> OracleGen.simhash,

@@ -27,8 +27,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`, NOT `/`: Spark's `/` is double division, and epoch
+    // nanos (~1.7e18) exceed double's 2^53 mantissa — the rounding shifts
+    // some timestamps by ±1 microsecond, which flips millisecond boundaries
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

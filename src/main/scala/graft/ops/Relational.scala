@@ -383,6 +383,61 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Session gap for [[q45Sessionize]]: a new session starts after 30 min
+    * of inactivity (the classic web-analytics rule; same constant as the
+    * streaming sessionizer in StreamOps).
+    */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** §2.C windows: batch sessionization — per-user gap-based session
+    * assignment via lag + running sum, then session-level aggregation.
+    * The training-data shape: turning raw event streams into bounded
+    * interaction sessions.
+    *
+    * Scale: ONE shuffle on user_id for the window; the follow-up
+    * groupBy(user_id, sess) reuses it (hash-partitioning on user_id
+    * satisfies the clustered distribution of the superset key, so Catalyst
+    * plans no second exchange). Gap math is epoch-millis (exact — events.ts
+    * is whole microseconds).
+    */
+  def q45Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+    val newSession =
+      when(gapMs.isNull || gapMs > SessionGapMs, 1L).otherwise(0L)
+    events(s, d)
+      .withColumn("sess", sum(newSession).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"))
+      .orderBy("user_id", "sess")
+  }
+
+  /** §2.C sketches: heavy hitters (approximate frequent items) — the
+    * skew-detection primitive (find the hot keys before they melt a join).
+    * Exact side: one partial-aggregated groupBy + a scalar total via a
+    * broadcast single-row aggregate. Sketch side: `stat.freqItems` (a
+    * single-pass Karp/Misra-Gries-family sketch) whose contract — every item
+    * with frequency > support IS returned — is asserted in-row as
+    * `sketch_ok`, same oracle pattern as q37/q42.
+    */
+  def q49HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val support = 0.05
+    val sketch = ev.stat.freqItems(Array("event_type"), support)
+    val totals = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    totals
+      .crossJoin(broadcast(totals.agg(sum("cnt").as("total"))))
+      .filter(col("cnt") * 1.0 / col("total") > support)
+      .crossJoin(broadcast(sketch))
+      .select(col("event_type"), col("cnt"),
+        array_contains(col("event_type_freqItems"), col("event_type"))
+          .as("sketch_ok"))
+      .orderBy("event_type")
+  }
+
   /** §2.C sketches: quantile sketch (approx_percentile / KLL-style) next to
     * the exact percentile of q32 — the 100 TB path for quantiles, since exact
     * percentile state is O(distinct values) per group while the sketch is

@@ -272,4 +272,123 @@ object TextOps {
       .distinct()
       .orderBy("d1", "d2")
   }
+
+  /** Repetition-ratio quality metrics (the Gopher-style repetition filters
+    * for training corpora): most-frequent-word fraction and duplicate-word
+    * fraction per document.
+    *
+    * Scale: computed entirely map-side with higher-order array functions —
+    * the top-word count is a max-run-length scan over the doc's SORTED word
+    * array (O(n log n) per doc, in whole-stage codegen), NOT a
+    * groupBy(doc_id, word), so there is NO shuffle proportional to total
+    * tokens. At 100 TB this is the difference between a map-only pass and
+    * shuffling every token in the corpus.
+    */
+  def t47Repetition(s: SparkSession, d: String): DataFrame = {
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000
+    val ws = words(col("text"))
+    val sorted = array_sort(ws)
+    // run-length scan: (prev word, current run, best run) over sorted words
+    val run = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val r = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), r.as("run"),
+          greatest(acc.getField("best"), r).as("best"))
+      },
+      acc => acc.getField("best"))
+    documents(s, d)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        run.as("top_cnt"))
+      .withColumn("top_word_frac",
+        trunc4(col("top_cnt").cast("double") / col("n_words")))
+      .withColumn("dup_word_frac",
+        trunc4((col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words")))
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction: email/phone/IPv4 regex counts and the
+    * fingerprint of the redacted text. Documents are synthetic, so a
+    * deterministic PII suffix derived from doc_id is appended first — the
+    * point is the scan/redact plumbing (map-only, codegen regex), with the
+    * oracle constructing the identical suffix.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def t48PiiScan(s: SparkSession, d: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact uid."), col("doc_id"), lit("@example.org tel "),
+      lit("555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+      lit(" host 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"))
+    def n(pat: String): Column =
+      size(regexp_extract_all(pii, lit(pat), lit(0))).cast("long")
+    // redact emails first (they contain dots/digits the IP pattern could
+    // otherwise bite into), then phones, then IPs
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(pii, EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"),
+      IpPat, "<IP>")
+    documents(s, d)
+      .select(col("doc_id"),
+        n(EmailPat).as("n_emails"),
+        n(PhonePat).as("n_phones"),
+        n(IpPat).as("n_ips"),
+        md5(redacted).as("red_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup cluster assignment: connected components over the MinHash-LSH
+    * candidate pairs ([[d26MinhashLsh]]), labeling every clustered doc with
+    * the minimum doc_id reachable from it — the "pick one representative per
+    * duplicate group" step of corpus dedup.
+    *
+    * Scale: iterative min-label propagation (the standard distributed
+    * connected-components loop; converges in O(diameter) rounds, each round
+    * one equi-join + partial-aggregated min). Near-dup graphs are
+    * short-diameter (dup groups are near-cliques), so rounds stay single
+    * digits; each round's shuffle carries one compact (doc, label) row per
+    * clustered doc, never the corpus.
+    */
+  def d46DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = d26MinhashLsh(s, d).select(col("d1"), col("d2"))
+    val sym = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist()
+    var labels = sym.select(col("d1").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val viaNeighbor = sym
+        .join(labels, sym("d2") === labels("doc_id"))
+        .select(sym("d1").as("doc_id"), col("component"))
+      val next = labels.select("doc_id", "component").union(viaNeighbor)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("p"), "doc_id")
+        .filter(col("n.component") =!= col("p.component"))
+        .count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val byComp = Window.partitionBy("component")
+    val out = labels
+      .withColumn("csize", count(lit(1)).over(byComp))
+      .orderBy("doc_id")
+    sym.unpersist()
+    out
+  }
 }
