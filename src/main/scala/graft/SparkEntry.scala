@@ -66,6 +66,7 @@ object SparkEntry {
     "t47_repetition" -> (TextOps.t47Repetition _),
     "t48_pii_scan" -> (TextOps.t48PiiScan _),
     "q49_heavy_hitters" -> (Relational.q49HeavyHitters _),
+    "q50_moving_avg" -> (Relational.q50MovingAvg _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -372,6 +373,21 @@ object SparkEntry {
          FROM events GROUP BY event_type
          HAVING count(*) * 1.0 / (SELECT count(*) FROM events) > 0.05
          ORDER BY event_type""",
+    "q50_moving_avg" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev_raw,
+             count(*) AS n
+           FROM orders GROUP BY d),
+         wd AS (
+           SELECT d, rev_raw, n,
+             date_diff('day', DATE '1970-01-01', d) AS dn
+           FROM daily)
+         SELECT d, round(rev_raw, 2) AS rev, n,
+           round(sum(rev_raw) OVER (ORDER BY dn
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev7,
+           CAST(sum(n) OVER (ORDER BY dn
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
+         FROM wd ORDER BY d""",
     "d46_dedup_clusters" -> OracleGen.dedupClusters,
     "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
     "d26_minhash_lsh" -> OracleGen.minhashLsh,

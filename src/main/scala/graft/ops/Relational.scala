@@ -415,6 +415,27 @@ object Relational {
       .orderBy("user_id", "sess")
   }
 
+  /** §2.C windows: rolling 7-day revenue/order-count via a RANGE-frame
+    * window over day numbers. The window is ordered globally WITHOUT a
+    * partition key — safe at any corpus scale because it runs over the
+    * per-day aggregate, whose cardinality is bounded by the calendar
+    * (~365 rows/year), not by the fact table; the corpus-sized work is the
+    * partial-aggregated groupBy upstream.
+    */
+  def q50MovingAvg(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum("o_totalprice").as("rev_raw"), count(lit(1)).as("n"))
+      .withColumn("dn", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val w = Window.orderBy("dn").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7", round(sum("rev_raw").over(w), 2))
+      .withColumn("n7", sum("n").over(w))
+      .select(col("d"), round(col("rev_raw"), 2).as("rev"), col("n"),
+        col("rev7"), col("n7"))
+      .orderBy("d")
+  }
+
   /** §2.C sketches: heavy hitters (approximate frequent items) — the
     * skew-detection primitive (find the hot keys before they melt a join).
     * Exact side: one partial-aggregated groupBy + a scalar total via a

@@ -361,34 +361,49 @@ object TextOps {
     */
   def d46DedupClusters(s: SparkSession, d: String): DataFrame = {
     val edges = d26MinhashLsh(s, d).select(col("d1"), col("d2"))
+    val labels = connectedComponents(edges)
+    val byComp = Window.partitionBy("component")
+    labels
+      .withColumn("csize", count(lit(1)).over(byComp))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components of an undirected edge list (`d1`, `d2` node-id
+    * columns) via min-label propagation: every node ends labeled with the
+    * minimum node id in its component. Returns (doc_id, component).
+    *
+    * Each round is one equi-join (labels against the symmetrized edges) and
+    * one partial-aggregated min; labels are monotone non-increasing, so
+    * convergence is a scalar label-sum comparison, not a join-diff. Rounds ∝
+    * component diameter (cap 25 guards pathological chains).
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist()
     var labels = sym.select(col("d1").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
       .persist()
-    var changed = 1L
+    var prevSum =
+      labels.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (!converged && rounds < 25) {
       val viaNeighbor = sym
         .join(labels, sym("d2") === labels("doc_id"))
         .select(sym("d1").as("doc_id"), col("component"))
       val next = labels.select("doc_id", "component").union(viaNeighbor)
         .groupBy("doc_id").agg(min("component").as("component"))
         .persist()
-      changed = next.as("n")
-        .join(labels.as("p"), "doc_id")
-        .filter(col("n.component") =!= col("p.component"))
-        .count()
+      val nextSum =
+        next.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       rounds += 1
     }
-    val byComp = Window.partitionBy("component")
-    val out = labels
-      .withColumn("csize", count(lit(1)).over(byComp))
-      .orderBy("doc_id")
     sym.unpersist()
-    out
+    labels
   }
 }

@@ -85,6 +85,31 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Watermarked stream-stream interval join: attribute each purchase to the
+    * same user's clicks in the preceding `intervalSql` (event-time range
+    * condition). Both sides carry watermarks AND the join condition bounds
+    * click_ts relative to purchase_ts, so Spark can compute exactly how long
+    * to retain each side's state — the state store stays bounded on an
+    * unbounded feed (the prerequisite for running attribution on a
+    * production clickstream). Inputs need (user_id, event_id, ts) columns.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours", intervalSql: String = "1 hour")
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    p.join(c, expr(
+      s"""c_user = p_user AND
+          click_ts >= purchase_ts - INTERVAL $intervalSql AND
+          click_ts < purchase_ts"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** End-to-end continuous indexing: stream market definitions from `dir`
     * and upsert the latest (by `pt`) definition per market into a parquet
     * snapshot at `indexPath` via foreachBatch — the streaming twin of

@@ -29,6 +29,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(clicks.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("stream-stream attribution join bounds clicks to the prior hour") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(m: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    val q = StreamOps.attributionJoin(df(clicks), df(purchases))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: click 30 min before purchase (joins), click 2h before (outside
+    // window), click AFTER purchase (excluded); user 2: no purchase
+    clicks.addData((1L, 100L, t(10, 0)), (1L, 101L, t(11, 30)),
+      (1L, 102L, t(12, 30)), (2L, 200L, t(11, 0)))
+    purchases.addData((1L, 900L, t(12, 0)))
+    q.processAllAvailable()
+    val out = s.sql("select * from attr").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("click_id") == 101L)
+    assert(out.head.getAs[Long]("purchase_id") == 900L)
+  }
+
   test("sessionization: gap closes a session") {
     val s = spark
     import s.implicits._
