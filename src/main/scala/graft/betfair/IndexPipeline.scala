@@ -172,9 +172,16 @@ object IndexPipeline {
       .select("stem").distinct().count()
     val cWithoutData = metaWithoutData.count()
     val cWithoutMeta = extracted.filter(col("outcome") === "missing").count()
+    // a paired metadata file that produced NO parsed row (empty/whitespace
+    // file — nothing for PERMISSIVE mode to route to _corrupt_record) is a
+    // parse error in the reference (json.load raises; "Error parsing …") —
+    // count it corrupt or the market vanishes from the audit entirely
+    val unreadableMeta = pathPairs
+      .join(perMarketRaw.select("metaPath"), Seq("metaPath"), "left_anti")
     val cCorrupt = corrupt.count() +
       extracted.filter(col("outcome") === "corrupt").count() +
-      bulkRaw.filter(col("_corrupt_record").isNotNull).count()
+      bulkRaw.filter(col("_corrupt_record").isNotNull).count() +
+      unreadableMeta.count()
     val inserted = index.count()
     BuildResult(index,
       Counters(totalMarkets, cWithoutData, cWithoutMeta, cCorrupt, inserted))

@@ -93,6 +93,46 @@ class OfficialFixtureSpec extends SparkSpec {
     assertCounts("numberOfWinners", 1 -> 4L, 5 -> 1L, (null, 9L))
   }
 
+  test("corrupt + uncompressed: reference counter contract") {
+    // reference tests/test_database.py:34-83: 7 markets total, 5 added,
+    // 1 corrupt (1.221089567), 1 without data (1.199967351)
+    val dir = Fixtures.tempDir("graft-corrupt")
+    val res = Paths.get("src/test/resources/datasets")
+    Seq("corrupt", "uncompressed").foreach { d =>
+      copyTree(res.resolve(d), dir.resolve(d))
+    }
+    val db = new BetfairDatabase(spark, dir.toString)
+    val c = db.index()
+    assert(c.totalMarkets == 7)
+    assert(c.rowsInserted == 5)
+    assert(c.corruptFiles == 1)
+    assert(c.marketsWithoutData == 1)
+    assert(c.marketsWithoutMetadata == 0)
+    val ids = db.indexDF.select("marketId").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("1.221089567"))
+    assert(!ids.contains("1.199967351"))
+  }
+
+  test("missing metadata: definitions generated where possible") {
+    // reference tests/test_database.py:85-128 (flatten=true): 6 markets,
+    // 4 added with generated metadata, 1 corrupt (1.223716890 — unparsable),
+    // 1 without metadata (1.209492553 — stream file with no definition)
+    val dir = Fixtures.tempDir("graft-missingmeta")
+    copyTree(Paths.get("src/test/resources/datasets/missing_metadata"), dir)
+    val db = new BetfairDatabase(spark, dir.toString)
+    val c = db.index()
+    assert(c.totalMarkets == 6)
+    assert(c.rowsInserted == 4)
+    assert(c.corruptFiles == 1)
+    assert(c.marketsWithoutData == 0)
+    assert(c.marketsWithoutMetadata == 1)
+    // the 4 importable markets each got a generated catalogue file
+    assert(Files.list(dir).filter(_.toString.endsWith(".json")).count() == 4)
+    val ids = db.indexDF.select("marketId").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("1.209492553"))
+    assert(!ids.contains("1.223716890"))
+  }
+
   test("official goldens: derived metadata columns") {
     assertCounts("localDayOfWeek",
       "Friday" -> 4L, "Thursday" -> 3L, "Sunday" -> 2L, "Tuesday" -> 2L,
