@@ -133,6 +133,68 @@ class OfficialFixtureSpec extends SparkSpec {
     assert(!ids.contains("1.223716890"))
   }
 
+  private def copyFlat(src: Path, dst: Path): Unit = {
+    Files.list(src).forEach { p =>
+      Files.copy(p, dst.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("bulk metadata.json: pairs in-directory, no files generated") {
+    // reference tests/test_database.py:368-381: 4 markets, bulk metadata
+    // takes precedence, indexing creates NO metadata files
+    val dir = Fixtures.tempDir("graft-bulk")
+    copyTree(Paths.get("src/test/resources/datasets/bulk_metadata"),
+      dir.resolve("bulk_metadata"))
+    def marketFiles() = {
+      val s = Files.walk(dir)
+      try s.filter(p => p.getFileName.toString.startsWith("1.")).count()
+      finally s.close()
+    }
+    val before = marketFiles()
+    val db = new BetfairDatabase(spark, dir.toString)
+    val c = db.index()
+    assert(marketFiles() == before)
+    assert(c.rowsInserted == 4)
+    val ids = db.indexDF.select("marketId").collect().map(_.getString(0)).toSet
+    assert(ids == Set("1.197931750", "1.197931751", "1.201590187",
+      "1.214870442"))
+  }
+
+  test("truncated metadata.json: parse error + definition-extraction fallback") {
+    // reference tests/test_database.py:383-398: corrupt bulk file is logged
+    // as a parse error and the markets still import via extracted definitions
+    val dir = Fixtures.tempDir("graft-bulkbad")
+    copyTree(Paths.get("src/test/resources/datasets/bulk_metadata"),
+      dir.resolve("bulk_metadata"))
+    val mf = dir.resolve("bulk_metadata/metadata.json")
+    val bytes = Files.readAllBytes(mf)
+    Files.write(mf, java.util.Arrays.copyOf(bytes, bytes.length - 5))
+    val db = new BetfairDatabase(spark, dir.toString)
+    val c = db.index()
+    assert(c.corruptFiles == 1)
+    assert(c.rowsInserted == 4)
+  }
+
+  test("duplicates dataset: skip policy matches the reference import counters") {
+    // reference tests/test_database.py:137-218: index zip-lzma flattened
+    // (4 added), then insert duplicates/ with SKIP → 2 added, 1 skipped
+    val dir = Fixtures.tempDir("graft-dups")
+    copyFlat(Paths.get("src/test/resources/datasets/zip-lzma"), dir)
+    val db = new BetfairDatabase(spark, dir.toString)
+    val c = db.index()
+    assert(c.rowsInserted == 4 && c.corruptFiles == 0 &&
+      c.marketsWithoutData == 0 && c.marketsWithoutMetadata == 0)
+    val src = Fixtures.tempDir("graft-dups-src")
+    copyFlat(Paths.get("src/test/resources/datasets/duplicates"), src)
+    val ins = db.insert(src.toString, copy = true,
+      pattern = ImportPatterns.flat, onDuplicates = "skip")
+    assert(ins.marketsAdded == 2)
+    assert(ins.marketsUpdated == 0)
+    assert(ins.marketsSkipped == 1)
+    assert(db.size == 6)
+  }
+
   test("official goldens: derived metadata columns") {
     assertCounts("localDayOfWeek",
       "Friday" -> 4L, "Thursday" -> 3L, "Sunday" -> 2L, "Tuesday" -> 2L,
