@@ -67,6 +67,7 @@ object SparkEntry {
     "t48_pii_scan" -> (TextOps.t48PiiScan _),
     "q49_heavy_hitters" -> (Relational.q49HeavyHitters _),
     "q50_moving_avg" -> (Relational.q50MovingAvg _),
+    "q51_scalar_subquery" -> (Relational.q51ScalarSubquery _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -388,6 +389,12 @@ object SparkEntry {
            CAST(sum(n) OVER (ORDER BY dn
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7
          FROM wd ORDER BY d""",
+    "q51_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_above,
+           round(min(o_totalprice), 2) AS min_above
+         FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "d46_dedup_clusters" -> OracleGen.dedupClusters,
     "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
     "d26_minhash_lsh" -> OracleGen.minhashLsh,

@@ -436,6 +436,22 @@ object Relational {
       .orderBy("d")
   }
 
+  /** §2.C subqueries: uncorrelated scalar subquery — orders above the global
+    * average price, aggregated by priority. Catalyst plans the subquery as
+    * its own stage whose single-row result feeds the main scan's filter
+    * (no join, no per-row re-evaluation); the EXISTS/NOT EXISTS correlated
+    * forms are covered by q04/q05's semi/anti joins.
+    */
+  def q51ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_above,
+           round(min(o_totalprice), 2) AS min_above
+         FROM orders_v
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
   /** §2.C sketches: heavy hitters (approximate frequent items) — the
     * skew-detection primitive (find the hot keys before they melt a join).
     * Exact side: one partial-aggregated groupBy + a scalar total via a
