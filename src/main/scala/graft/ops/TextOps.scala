@@ -121,16 +121,21 @@ object TextOps {
       .orderBy("fp")
   }
 
-  /** Distinct word-3-shingles per doc (shared by the near-dup ops). */
+  /** Distinct word-3-shingles per doc (shared by the near-dup ops).
+    *
+    * The shingle set is deduplicated MAP-SIDE (`array_distinct` on the
+    * per-doc shingle array) before the explode — a `.distinct()` after
+    * explode would shuffle every token in the corpus; this shuffles
+    * nothing.
+    */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     val w = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
     w.select(col("doc_id"),
-        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
-      .select(col("doc_id"),
-        array_join(slice(col("ws"), col("i"), lit(3)), " ").as("sh"))
-      .distinct()
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => array_join(slice(col("ws"), i, lit(3)), " ")))).as("sh"))
   }
 
   /** Document-frequency cap for [[d25NgramJaccard]]'s candidate join: a
@@ -232,9 +237,11 @@ object TextOps {
     * all-pairs.
     */
   def d27Simhash(s: SparkSession, d: String): DataFrame = {
+    // distinct words per doc map-side (array_distinct before explode) — no
+    // token-volume shuffle
     val wordsDf = documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("w"))
       .select(col("doc_id"), h32(col("w")).as("h"))
     val votes = wordsDf.groupBy("doc_id").agg(
       (0 until 32).map { b =>
