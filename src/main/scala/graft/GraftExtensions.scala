@@ -5,18 +5,24 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.expressions.{CosineSimilarity, DotProduct}
 
-/** SparkSessionExtensions entry point: install graft's native expressions at
-  * session build time.
+/** Session-extensions entry point — the deployment hook for clusters:
   *
-  * Usage: `--conf spark.sql.extensions=graft.GraftExtensions` (or
-  * `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * injects the native vector expressions into every session (and every
+  * `newSession()`) without any explicit `register` call. The imperative
+  * twin `GraftFunctions.register` remains for sessions built without the
+  * conf (e.g. notebooks attaching to an existing session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

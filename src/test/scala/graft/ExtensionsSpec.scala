@@ -1,0 +1,22 @@
+package graft
+
+import graft.betfair.SparkSpec
+
+/** Proves the spark.sql.extensions entry point injects the native vector
+  * expressions: a brand-new session (fresh function registry, no imperative
+  * register call anywhere) resolves them in SQL.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("cosine_sim/dot_product resolve in a fresh session via extensions") {
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+                           CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS cs,
+           dot_product(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+                       CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>)) AS dp""")
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
+  }
+}
