@@ -99,8 +99,47 @@ object Compat {
       "%w/%u/%s have no pattern equivalent; use strftime(fmt, col)")
   }
 
-  /** Register `sqlite_time` / `sqlite_strftime` (and aliases `time`,
-    * `strftime`) for raw-SQL `where` strings. Idempotent.
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat,
+    DateFormatClass, DayOfWeek, Expression, ExpressionInfo, Literal, Pmod,
+    Subtract, UnixTimestamp}
+  import org.apache.spark.sql.types.StringType
+
+  /** The same strftime translation as [[strftime]], but as a raw Catalyst
+    * expression tree — used by the native `strftime`/`time` FunctionRegistry
+    * builders so the raw-SQL `where` path stays inside whole-stage codegen
+    * (no UDF). Semantics follow the session time zone (set UTC for SQLite
+    * parity, as every entry point here does).
+    */
+  private def strftimeExpr(fmt: String, ts: Expression): Expression =
+    tokenize(fmt) match {
+      case Seq(PatternSeg(p)) => DateFormatClass(ts, Literal(p))
+      case toks =>
+        Concat(toks.map {
+          case PatternSeg(p) => DateFormatClass(ts, Literal(p))
+          case ComputedSeg('w') =>
+            Cast(Subtract(DayOfWeek(ts), Literal(1)), StringType)
+          case ComputedSeg('u') =>
+            Cast(Add(Pmod(Add(DayOfWeek(ts), Literal(5)), Literal(7)),
+              Literal(1)), StringType)
+          case ComputedSeg('s') =>
+            Cast(new UnixTimestamp(ts), StringType)
+          case ComputedSeg(other) =>
+            throw new IllegalStateException(s"%$other")
+        })
+    }
+
+  private def literalString(e: Expression): Option[String] = e match {
+    case Literal(v, StringType) if v != null => Some(v.toString)
+    case _ => None
+  }
+
+  /** Register the SQLite-compat functions for raw-SQL `where` strings.
+    * `strftime`/`time` are NATIVE FunctionRegistry builders that expand to
+    * date_format/arithmetic expression trees at analysis time (codegen'd;
+    * requires a literal format string — always true on the reference's
+    * query surface). `sqlite_strftime`/`sqlite_time` remain UDFs for the
+    * dynamic-format corner. Idempotent.
     */
   def register(spark: SparkSession): Unit = {
     val fmtTs = (fmt: String, ts: java.sql.Timestamp) =>
@@ -123,7 +162,28 @@ object Compat {
         .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
     spark.udf.register("sqlite_strftime", fmtTs)
     spark.udf.register("sqlite_time", timeFn)
-    spark.udf.register("strftime", fmtTs)
-    spark.udf.register("time", timeFn)
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("strftime"),
+      new ExpressionInfo(Compat.getClass.getName, "strftime"),
+      (children: Seq[Expression]) => children match {
+        case Seq(fmt, ts) =>
+          literalString(fmt) match {
+            case Some(f) => strftimeExpr(f, ts)
+            case None => throw new IllegalArgumentException(
+              "strftime: format must be a literal string " +
+                "(use sqlite_strftime for dynamic formats)")
+          }
+        case _ => throw new IllegalArgumentException(
+          "strftime(fmt, ts) takes exactly two arguments")
+      })
+    reg.registerFunction(
+      FunctionIdentifier("time"),
+      new ExpressionInfo(Compat.getClass.getName, "time"),
+      (children: Seq[Expression]) => children match {
+        case Seq(ts) => DateFormatClass(ts, Literal("HH:mm:ss"))
+        case _ =>
+          throw new IllegalArgumentException("time(ts) takes one argument")
+      })
   }
 }
