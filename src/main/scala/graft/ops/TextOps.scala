@@ -388,8 +388,12 @@ object TextOps {
     val sym = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist()
-    var labels = sym.select(col("d1").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
+    // init fused with the first propagation round: every node appears as d1
+    // in the symmetric edge list, so min(least(d1, d2)) per d1 IS
+    // "min over self and direct neighbors" — one aggregation replaces the
+    // distinct-nodes shuffle plus a whole propagation round
+    var labels = sym.groupBy(col("d1").as("doc_id"))
+      .agg(min(least(col("d1"), col("d2"))).as("component"))
       .persist()
     var prevSum =
       labels.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
