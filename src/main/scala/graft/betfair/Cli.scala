@@ -68,7 +68,11 @@ object Cli {
         values += a -> args(i + 1)
         i += 1
       } else if (BoolOpts(a)) flags += a
-      else if (a.startsWith("-") && a.length > 1) {
+      else if (a.startsWith("--") && a.contains('=') &&
+        ValueOpts(a.takeWhile(_ != '='))) {
+        // argparse also accepts --option=value
+        values += a.takeWhile(_ != '=') -> a.dropWhile(_ != '=').tail
+      } else if (a.startsWith("-") && a.length > 1) {
         System.err.println(s"unrecognized argument: $a"); sys.exit(2)
       } else pos :+= a
       i += 1

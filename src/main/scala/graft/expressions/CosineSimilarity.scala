@@ -135,11 +135,18 @@ object GraftFunctions {
     reg.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children(0), children(1)))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_sim(a, b) takes exactly two arguments")
+      })
     reg.registerFunction(
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          "dot_product(a, b) takes exactly two arguments")
+      })
   }
 }

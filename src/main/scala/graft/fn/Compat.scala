@@ -167,6 +167,8 @@ object Compat {
       FunctionIdentifier("strftime"),
       new ExpressionInfo(Compat.getClass.getName, "strftime"),
       (children: Seq[Expression]) => children match {
+        // SQLite: strftime(NULL, ts) IS NULL
+        case Seq(Literal(null, _), _) => Literal(null, StringType)
         case Seq(fmt, ts) =>
           literalString(fmt) match {
             case Some(f) => strftimeExpr(f, ts)

@@ -399,7 +399,8 @@ object TextOps {
       labels.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       val viaNeighbor = sym
         .join(labels, sym("d2") === labels("doc_id"))
         .select(sym("d1").as("doc_id"), col("component"))
@@ -415,6 +416,12 @@ object TextOps {
       rounds += 1
     }
     sym.unpersist()
+    // returning a partial labeling would silently split one true component
+    // into several — fail loudly instead (a >50-hop chain of near-dups is a
+    // pathological corpus; raise the cap or pre-cluster if it's real)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        "(component diameter exceeds the cap)")
     labels
   }
 }

@@ -31,6 +31,19 @@ class CliSpec extends AnyFunSuite {
     assert(q.flags.contains("-c"))
   }
 
+  test("--option=value form is accepted like argparse") {
+    val p = Cli.parse(Array("select", "db", "--limit=5",
+      "--where=marketType = 'WIN'"))
+    assert(p.positionals == Vector("select", "db"))
+    assert(p.values("--limit") == "5")
+    assert(p.values("--where") == "marketType = 'WIN'")
+    val q = Cli.parse(Array("insert", "db", "src", "--pattern=flat",
+      "--on-duplicates=skip"))
+    assert(q.positionals == Vector("insert", "db", "src"))
+    assert(q.values("--pattern") == "flat")
+    assert(q.values("--on-duplicates") == "skip")
+  }
+
   test("-V is a version request only before the subcommand") {
     assert(Cli.parse(Array("-V")).version)
     assert(Cli.parse(Array("--version", "index", "db")).version)

@@ -16,11 +16,18 @@ import org.apache.spark.sql.functions._
 class OfficialFixtureSpec extends SparkSpec {
 
   private def copyTree(src: Path, dst: Path): Unit = {
-    Files.walk(src).forEach { p =>
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
       val t = dst.resolve(src.relativize(p).toString)
       if (Files.isDirectory(p)) Files.createDirectories(t)
       else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
+  }
+
+  private def countJsonFiles(dir: Path): Long = {
+    val s = Files.list(dir)
+    try s.filter(_.toString.endsWith(".json")).count()
+    finally s.close()
   }
 
   private lazy val (dbDir: Path, index: DataFrame) = {
@@ -55,9 +62,7 @@ class OfficialFixtureSpec extends SparkSpec {
       .count() == 0)
     // metadata is generated for the 4 official data files missing it
     // (py:124-131): official/ has 6 data files, 1 shipped .json
-    val official = dbDir.resolve("official")
-    assert(Files.list(official).filter(_.toString.endsWith(".json"))
-      .count() == 5)
+    assert(countJsonFiles(dbDir.resolve("official")) == 5)
   }
 
   test("official goldens: identity and event columns") {
@@ -127,17 +132,18 @@ class OfficialFixtureSpec extends SparkSpec {
     assert(c.marketsWithoutData == 0)
     assert(c.marketsWithoutMetadata == 1)
     // the 4 importable markets each got a generated catalogue file
-    assert(Files.list(dir).filter(_.toString.endsWith(".json")).count() == 4)
+    assert(countJsonFiles(dir) == 4)
     val ids = db.indexDF.select("marketId").collect().map(_.getString(0)).toSet
     assert(!ids.contains("1.209492553"))
     assert(!ids.contains("1.223716890"))
   }
 
   private def copyFlat(src: Path, dst: Path): Unit = {
-    Files.list(src).forEach { p =>
+    val s = Files.list(src)
+    try s.forEach { p =>
       Files.copy(p, dst.resolve(p.getFileName.toString),
         StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally s.close()
   }
 
   test("bulk metadata.json: pairs in-directory, no files generated") {
