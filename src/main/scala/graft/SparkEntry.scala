@@ -68,6 +68,8 @@ object SparkEntry {
     "q49_heavy_hitters" -> (Relational.q49HeavyHitters _),
     "q50_moving_avg" -> (Relational.q50MovingAvg _),
     "q51_scalar_subquery" -> (Relational.q51ScalarSubquery _),
+    "q52_filtered_agg" -> (Relational.q52FilteredAgg _),
+    "q53_string_agg" -> (Relational.q53StringAgg _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -395,6 +397,20 @@ object SparkEntry {
          FROM orders
          WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q52_filtered_agg" ->
+      """SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+             AS disc_rev,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q53_string_agg" ->
+      """SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+             ORDER BY o_orderkey) AS order_keys,
+           count(*) AS n_orders
+         FROM orders WHERE o_custkey % 100 = 0
+         GROUP BY o_custkey ORDER BY o_custkey""",
     "d46_dedup_clusters" -> OracleGen.dedupClusters,
     "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
     "d26_minhash_lsh" -> OracleGen.minhashLsh,

@@ -452,6 +452,38 @@ object Relational {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** §2.C aggregations: FILTER-clause conditional aggregation (ANSI
+    * `agg(...) FILTER (WHERE ...)`) — compiles to the same partial-agg
+    * shape as plain aggregates (the predicate folds into the agg buffer
+    * update, no extra scan or join).
+    */
+  def q52FilteredAgg(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+             AS disc_rev,
+           count(*) AS n
+         FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** §2.C aggregations: deterministic ordered string aggregation — per
+    * customer, the sorted comma-joined list of their order keys (bounded:
+    * emitted as one string per group; Spark's collect_list is
+    * order-nondeterministic, so sort_array makes it deterministic and
+    * engine-portable).
+    */
+  def q53StringAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_custkey") % 100 === 0)
+      .groupBy("o_custkey")
+      .agg(
+        concat_ws(",",
+          sort_array(collect_list(col("o_orderkey")))).as("order_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+
   /** §2.C sketches: heavy hitters (approximate frequent items) — the
     * skew-detection primitive (find the hot keys before they melt a join).
     * Exact side: one partial-aggregated groupBy + a scalar total via a
