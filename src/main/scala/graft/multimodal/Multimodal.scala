@@ -82,6 +82,33 @@ object Multimodal {
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
   }
 
+  /** Feature extraction: a fixed-dim float embedding per payload, produced
+    * in the same batched mapPartitions shape as [[decodeMeta]] (per-partition
+    * model load, then row-at-a-time inference). The embedding itself is the
+    * declared STUB — hash-seeded deterministic values, L2-normalized — but
+    * its schema (`Array[Float]`, same as the embeddings table) means the
+    * output plugs directly into the VectorOps family (cosine top-k, LSH
+    * buckets, IVF ANN) with no adaptation.
+    */
+  def featureExtract(withPayload: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayload.select("doc_id", "payload").mapPartitions { rows =>
+      // per-partition model initialization happens here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val seed = java.util.Arrays.hashCode(payload)
+        val rng = new java.util.Random(seed)
+        val raw = Array.fill(dim)(rng.nextFloat() - 0.5f)
+        val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+        val unit = if (norm == 0f) raw else raw.map(_ / norm)
+        Row(r.getAs[Long]("doc_id"), unit.toSeq)
+      }
+    }(enc)
+  }
+
   /** Frame sampling: up to `k` evenly-spaced frame indices per video row —
     * explode of a bounded sequence, fully codegen'd, no UDF.
     */

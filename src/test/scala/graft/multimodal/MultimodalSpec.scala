@@ -29,6 +29,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("duration_ms") == 0L)
   }
 
+  test("feature extraction yields unit vectors that feed the vector ops") {
+    val feats = Multimodal.featureExtract(Multimodal.attachPayload(docs))
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length == 16)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+    // deterministic: same payload → same embedding
+    val again = Multimodal.featureExtract(Multimodal.attachPayload(docs))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getSeq[Float](1)).toSeq ==
+      again.map(_.getSeq[Float](1)).toSeq)
+    // plugs into the native cosine expression (the VectorOps input shape)
+    val sim = feats.as("a").crossJoin(feats.as("b"))
+      .select(expr("cosine_sim(a.embedding, b.embedding)").as("cs"))
+      .collect()
+    assert(sim.forall(r => !r.isNullAt(0)))
+  }
+
   test("resize plan caps the longest dimension") {
     val resized = Multimodal.resizePlan(
       Multimodal.decodeMeta(Multimodal.attachPayload(docs)), maxDim = 128)
