@@ -99,7 +99,12 @@ object Multimodal {
       // per-partition model initialization happens here
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val seed = java.util.Arrays.hashCode(payload)
+        // 64-bit seed from the payload digest — a 32-bit hash seed would
+        // collide near-certainly at corpus scale and hand downstream dedup
+        // bit-identical embeddings for unrelated documents
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload)
+        val seed = java.nio.ByteBuffer.wrap(digest).getLong
         val rng = new java.util.Random(seed)
         val raw = Array.fill(dim)(rng.nextFloat() - 0.5f)
         val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat

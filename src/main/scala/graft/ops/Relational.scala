@@ -469,10 +469,15 @@ object Relational {
   }
 
   /** §2.C aggregations: deterministic ordered string aggregation — per
-    * customer, the sorted comma-joined list of their order keys (bounded:
-    * emitted as one string per group; Spark's collect_list is
-    * order-nondeterministic, so sort_array makes it deterministic and
-    * engine-portable).
+    * customer, the sorted comma-joined list of their order keys (Spark's
+    * collect_list is order-nondeterministic, so sort_array makes it
+    * deterministic and engine-portable).
+    *
+    * Scale caveat: unlike every other aggregate in this file, collect_list
+    * state grows with the GROUP size, not O(1) — safe here because
+    * orders-per-customer is naturally bounded; for unbounded or hot keys
+    * use slice(sort_array(collect_list(...)), 1, k) to cap the state, or a
+    * window top-k instead.
     */
   def q53StringAgg(s: SparkSession, d: String): DataFrame =
     orders(s, d)
