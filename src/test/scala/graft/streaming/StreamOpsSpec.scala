@@ -29,6 +29,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(clicks.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("end-to-end streaming document pipeline: filter, dedup, sink") {
+    // the composed training-data shape: ingest -> quality gate ->
+    // watermark-bounded exact dedup -> append sink
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val gated = docs.filter(length(col("text")) >= 10)
+    val deduped = StreamOps.dedupStream(gated, "5 minutes")
+    val q = deduped.writeStream.format("memory").queryName("pipe")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData(
+      (t(0), 1L, "a good long document body"),
+      (t(1), 2L, "short"), // fails the quality gate
+      (t(2), 3L, "A GOOD, long document body!"), // dup of 1 after normalize
+      (t(3), 4L, "another acceptable document"))
+    q.processAllAvailable()
+    val out = s.sql("select doc_id from pipe").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(out == Set(1L, 4L))
+  }
+
   test("stream-stream attribution join bounds clicks to the prior hour") {
     val s = spark
     import s.implicits._
