@@ -158,16 +158,20 @@ object TextOps {
     // exchange is reused; bounds per-shingle pair fan-out to ShingleDfCap².
     val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleDfCap).select("sh")
+    // per-doc capped-set size rides along as a window column INSTEAD of a
+    // separate sizes table: at corpus scale the sizes side has one row per
+    // document (billions — not broadcastable), so joining it back onto the
+    // pair table twice would be two full-corpus shuffle joins; carrying two
+    // longs through the candidate shuffle costs almost nothing
     val sh = all.join(rare, "sh").select("doc_id", "sh")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
       .select(col("d1"), col("d2"),
         (col("inter") * 1.0 / (col("sz1") + col("sz2") - col("inter")))
           .as("jaccard"))
