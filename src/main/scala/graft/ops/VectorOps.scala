@@ -164,6 +164,10 @@ object VectorOps {
     */
   def v41IvfAnn(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    // persist(): the codebook (one row per label) feeds BOTH the assignment
+    // and the probe branch — without it the whole posexplode+double-agg
+    // subtree runs twice. At production scale the codebook is a persisted
+    // artifact computed once offline; this is the in-plan equivalent.
     val cent = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
@@ -171,6 +175,7 @@ object VectorOps {
       .groupBy(col("label").as("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
+      .persist()
     // assignment distance: double-precision dot/norm with the same
     // element-order accumulation as DuckDB's list_dot_product
     val vd = col("embedding").cast("array<double>")
