@@ -380,17 +380,32 @@ object TextOps {
   }
 
   /** Connected components of an undirected edge list (`d1`, `d2` node-id
-    * columns) via min-label propagation: every node ends labeled with the
-    * minimum node id in its component. Returns (doc_id, component).
+    * columns) via min-label propagation with pointer jumping: every node ends
+    * labeled with the minimum node id in its component. Returns
+    * (doc_id, component).
     *
-    * Each round is one equi-join (labels against the symmetrized edges) and
-    * one partial-aggregated min; labels are monotone non-increasing, so
-    * convergence is a scalar label-sum comparison, not a join-diff. Rounds ∝
-    * component diameter (cap 25 guards pathological chains).
+    * Each round is one equi-join (labels against the symmetrized edges —
+    * persisted pre-partitioned on the join key, so the cached partitioning
+    * satisfies the join's required distribution and only the small label
+    * table moves per round), one partial-aggregated min, and a label-table
+    * self-join that shortcuts each node's label to its label's label. The
+    * shortcut is pointer doubling: label reach doubles per round, so even a
+    * pure path graph converges in O(log n) rounds, not O(diameter) — the
+    * near-clique dup groups of a real corpus still finish in 1-2. Labels are
+    * monotone non-increasing, so convergence is an exact scalar label-sum
+    * comparison in DECIMAL(38,0) (a raw Long sum could wrap at
+    * billions-of-nodes scale and fake a fixpoint one round early), not a
+    * join-diff. The round cap ([[ccMaxRounds]] = 50, ~2^50 reach) can only
+    * trip on a logic bug, never on graph shape — it still fails loudly
+    * rather than return a silently split component.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      // pre-partition on the per-round join key: each propagation round then
+      // reuses the cached hash partitioning instead of re-exchanging the
+      // (much larger) edge side
+      .repartition(col("d2"))
       .persist()
     // init fused with the first propagation round: every node appears as d1
     // in the symmetric edge list, so min(least(d1, d2)) per d1 IS
@@ -399,33 +414,72 @@ object TextOps {
     var labels = sym.groupBy(col("d1").as("doc_id"))
       .agg(min(least(col("d1"), col("d2"))).as("component"))
       .persist()
-    var prevSum =
-      labels.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    // the DataFrame whose cached/checkpointed blocks back `labels` — what
+    // unpersist must be called on once the round is over
+    var labelsStorage = labels
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    val maxRounds = 50
-    while (!converged && rounds < maxRounds) {
+    while (!converged && rounds < ccMaxRounds) {
       val viaNeighbor = sym
         .join(labels, sym("d2") === labels("doc_id"))
         .select(sym("d1").as("doc_id"), col("component"))
-      val next = labels.select("doc_id", "component").union(viaNeighbor)
+      val hopped = labels.select("doc_id", "component").union(viaNeighbor)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .persist()
-      val nextSum =
-        next.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
-      converged = nextSum == prevSum
+      // pointer jump: a node's label is itself a node id (min over a subset
+      // of the component), so following it one more hop — label(label(v)) —
+      // is always defined and only decreases. This collapses long chains
+      // exponentially while costing one self-join of the compact label table.
+      val raw = hopped.as("a")
+        .join(
+          hopped.select(col("doc_id").as("jc"), col("component").as("jcc"))
+            .as("b"),
+          col("a.component") === col("b.jc"), "left")
+        .select(
+          col("a.doc_id"),
+          coalesce(col("b.jcc"), col("a.component")).as("component"))
+      // the self-join references the round's plan twice, so without
+      // truncation lineage doubles per round (exponential plan size by round
+      // ~10). localCheckpoint cuts it; the label table is one compact row per
+      // clustered doc, so executor-local blocks are cheap. The checkpointed
+      // plan still carries constraints referencing pre-checkpoint expression
+      // ids (they break the next round's Union constraint rewrite), so the
+      // round's DataFrame is rebuilt from the checkpointed RDD with fresh
+      // attributes.
+      val ck = raw.localCheckpoint(true)
+      val next = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
+      labelsStorage.unpersist()
+      labelsStorage = ck
       labels = next
       rounds += 1
     }
     sym.unpersist()
     // returning a partial labeling would silently split one true component
-    // into several — fail loudly instead (a >50-hop chain of near-dups is a
-    // pathological corpus; raise the cap or pre-cluster if it's real)
+    // into several — fail loudly instead
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxRounds rounds " +
-        "(component diameter exceeds the cap)")
+      s"connectedComponents did not converge within $ccMaxRounds rounds " +
+        "(pointer jumping covers 2^rounds reach — this is a logic bug, " +
+        "not a graph-shape limit)")
     labels
   }
+
+  /** With pointer jumping the label frontier doubles per round, so 50 rounds
+    * cover components of diameter ~2^50; the cap exists to fail loudly on a
+    * logic bug, not to bound real graphs.
+    */
+  private val ccMaxRounds = 50
+
+  /** Exact label-sum for the convergence test: DECIMAL(38,0) so the sum of
+    * billions of 64-bit ids cannot wrap (non-ANSI Long sum wraps silently,
+    * and a wrapped collision would end the loop one round early).
+    */
+  private def labelSum(labels: DataFrame): java.math.BigDecimal =
+    labels
+      .agg(coalesce(
+        sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0)
 }

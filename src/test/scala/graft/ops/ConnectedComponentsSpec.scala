@@ -33,6 +33,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
   }
 
+  test("1000-node path graph converges well under the round cap") {
+    // worst case for plain propagation (diameter 999 > cap 50); pointer
+    // jumping must collapse it in ~log2(1000) rounds — no exception, and
+    // every node labeled with the path's minimum id
+    import spark.implicits._
+    val edges = (1L until 1000L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = TextOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 1000)
+    assert(labels.values.forall(_ == 1L))
+  }
+
   test("empty edge list yields empty labeling") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("d1", "d2")
