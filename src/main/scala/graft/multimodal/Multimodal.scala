@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,12 +12,16 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The Spark-side shape is real and tested — schema, partitioning, batch
-  * iteration (`mapPartitions`, the Scala analog of `mapInPandas` batch UDFs).
-  * The actual codec step is STUBBED with a deterministic fake (this
-  * environment ships no image/audio libraries): `fakeDecode` derives
-  * pseudo-metadata from the payload hash. Swap `fakeDecode` for a real
-  * decoder (e.g. TwelveMonkeys/JavaCV) without touching the plumbing.
+  * The image decode path is REAL: payloads are decoded with
+  * `javax.imageio` (header-only — dimensions come from the codec header
+  * without decompressing pixel data, which is the right cost model for
+  * metadata extraction over billions of payloads). Audio/video decode is
+  * STUBBED with a deterministic fake (this environment ships no audio/video
+  * codec libraries): `fakeDecode` derives pseudo-metadata from the payload
+  * hash. Swap `fakeDecode` for a real decoder (e.g. JavaCV) without touching
+  * the plumbing — schema, partitioning, and batch iteration
+  * (`mapPartitions`, the Scala analog of `mapInPandas` batch UDFs) are
+  * identical for all three modalities.
   */
 object Multimodal {
 
@@ -26,20 +34,62 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Attach a binary media payload to each document (payload = UTF-8 bytes
-    * here; in production this column comes from the lakehouse as real image
-    * bytes — the pipeline shape is identical).
+  /** Deterministic dimensions for the synthesized PNG payloads (exposed so
+    * tests can assert the decode round-trip against the generator).
     */
-  def attachPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      when(col("doc_id") % 3 === 0, "image/jpeg")
-        .when(col("doc_id") % 3 === 1, "audio/wav")
-        .otherwise("video/mp4").as("mime"))
+  def synthImageDims(id: Long): (Int, Int) =
+    (64 + (id % 7).toInt * 16, 64 + (id % 5).toInt * 16)
 
-  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation decodes the codec header here; everything below
-    * (batch shape, schema, null handling) is production plumbing.
+  /** A real PNG byte payload: deterministic pixels from (doc_id, text), so
+    * the same document always yields byte-identical bytes and
+    * [[decodeMeta]]'s ImageIO path exercises an actual codec header.
+    */
+  private def synthPng(id: Long, text: String): Array[Byte] = {
+    val (w, h) = synthImageDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val base = text.hashCode
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (base ^ (x * 31 + y)) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Attach a binary media payload to each document: image rows get a real
+    * synthesized PNG (in production this column comes from the lakehouse as
+    * real image bytes — the pipeline shape is identical), audio/video rows
+    * get opaque UTF-8 bytes for the stubbed decoders.
+    */
+  def attachPayload(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select("doc_id", "text").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        id % 3 match {
+          case 0 => Row(id, synthPng(id, text), "image/png")
+          case 1 => Row(id, text.getBytes("UTF-8"), "audio/wav")
+          case _ => Row(id, text.getBytes("UTF-8"), "video/mp4")
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB decode for audio/video: deterministic pseudo-metadata from the
+    * payload bytes. A real implementation decodes the codec header here;
+    * everything around it (batch shape, schema, null handling) is production
+    * plumbing.
     */
   private def fakeDecode(payload: Array[Byte], mime: String)
       : (Int, Int, Int, Long) = {
@@ -51,21 +101,54 @@ object Multimodal {
     (w, ht, frames, dur)
   }
 
+  /** Header-only image dimensions via an ImageIO reader — reads the codec
+    * header, never decompresses pixels. Returns null on an undecodable
+    * payload.
+    */
+  private def readImageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: Exception => None
+    } finally iis.close()
+  }
+
   /** Decode metadata for every payload — batch-iterating mapPartitions (one
-    * decoder instance per partition, like a pandas-batch UDF).
+    * decoder instance per partition, like a pandas-batch UDF). Image-mime
+    * rows are REALLY decoded (javax.imageio header read); an undecodable
+    * image payload yields null metadata — the corrupt-input marker — never
+    * fake numbers. Audio/video rows use the declared [[fakeDecode]] stub.
     */
   def decodeMeta(withPayload: DataFrame): DataFrame = {
-    val spark = withPayload.sparkSession
     val outSchema = StructType(
       StructField("doc_id", LongType) +: mediaSchema.fields.toSeq)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     withPayload.select("doc_id", "payload", "mime").mapPartitions { rows =>
       // per-partition decoder setup happens here (codec init, model load...)
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val mime = r.getAs[String]("mime")
-        val (w, h, frames, dur) = fakeDecode(payload, mime)
-        Row(r.getAs[Long]("doc_id"), payload, mime, w, h, frames, dur)
+        // positional access: rows from an upstream mapPartitions stage are
+        // schema-less GenericRows, and the select above fixes the order
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val mime = r.getString(2)
+        if (mime.startsWith("image/")) {
+          readImageDims(payload) match {
+            case Some((w, h)) => Row(id, payload, mime, w, h, 1, 0L)
+            case None => Row(id, payload, mime, null, null, null, null)
+          }
+        } else {
+          val (w, h, frames, dur) = fakeDecode(payload, mime)
+          Row(id, payload, mime, w, h, frames, dur)
+        }
       }
     }(enc)
   }
@@ -85,10 +168,18 @@ object Multimodal {
   /** Feature extraction: a fixed-dim float embedding per payload, produced
     * in the same batched mapPartitions shape as [[decodeMeta]] (per-partition
     * model load, then row-at-a-time inference). The embedding itself is the
-    * declared STUB — hash-seeded deterministic values, L2-normalized — but
-    * its schema (`Array[Float]`, same as the embeddings table) means the
+    * declared STUB — digest-derived deterministic values, L2-normalized —
+    * but its schema (`Array[Float]`, same as the embeddings table) means the
     * output plugs directly into the VectorOps family (cosine top-k, LSH
     * buckets, IVF ANN) with no adaptation.
+    *
+    * Values come from counter-mode expansion of the payload's full MD5
+    * digest (block j = MD5(digest ++ j), 4 ints per block): two payloads get
+    * the same embedding only on an MD5 collision. A PRNG seeded from the
+    * digest would be weaker — java.util.Random keeps only the low 48 seed
+    * bits, and even a full 64-bit generator birthday-collides around 2^32
+    * payloads, handing downstream dedup bit-identical embeddings for
+    * unrelated documents.
     */
   def featureExtract(withPayload: DataFrame, dim: Int = 16): DataFrame = {
     val outSchema = StructType(Seq(
@@ -97,19 +188,31 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     withPayload.select("doc_id", "payload").mapPartitions { rows =>
       // per-partition model initialization happens here
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        // 64-bit seed from the payload digest — a 32-bit hash seed would
-        // collide near-certainly at corpus scale and hand downstream dedup
-        // bit-identical embeddings for unrelated documents
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(payload)
-        val seed = java.nio.ByteBuffer.wrap(digest).getLong
-        val rng = new java.util.Random(seed)
-        val raw = Array.fill(dim)(rng.nextFloat() - 0.5f)
+        val payload = r.getAs[Array[Byte]](1)
+        md.reset()
+        val digest = md.digest(payload)
+        val raw = new Array[Float](dim)
+        var k = 0
+        var block = 0
+        while (k < dim) {
+          md.reset()
+          md.update(digest)
+          md.update(block.toByte)
+          val bb = java.nio.ByteBuffer.wrap(md.digest())
+          var i = 0
+          while (i < 4 && k < dim) {
+            // a signed 32-bit int scaled into [-0.5, 0.5)
+            raw(k) = (bb.getInt() / 4294967296.0).toFloat
+            i += 1
+            k += 1
+          }
+          block += 1
+        }
         val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
         val unit = if (norm == 0f) raw else raw.map(_ / norm)
-        Row(r.getAs[Long]("doc_id"), unit.toSeq)
+        Row(r.getLong(0), unit.toSeq)
       }
     }(enc)
   }

@@ -12,11 +12,11 @@ class MultimodalSpec extends SparkSpec {
       (3L, "another image")).toDF("doc_id", "text")
   }
 
-  test("payload attach + stub decode produce typed deterministic metadata") {
+  test("payload attach + decode produce typed deterministic metadata") {
     val decoded = Multimodal.decodeMeta(Multimodal.attachPayload(docs))
     val rows = decoded.orderBy("doc_id").collect()
     assert(rows.length == 4)
-    assert(rows(0).getAs[String]("mime") == "image/jpeg")
+    assert(rows(0).getAs[String]("mime") == "image/png")
     assert(rows(1).getAs[String]("mime") == "audio/wav")
     assert(rows(2).getAs[String]("mime") == "video/mp4")
     // deterministic: same input -> same decode
@@ -27,6 +27,33 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("width") >= 64))
     // image rows have no duration
     assert(rows(0).getAs[Long]("duration_ms") == 0L)
+  }
+
+  test("image metadata is read from the real PNG payload by ImageIO") {
+    // the payload is a genuine PNG; decode must return the codec header's
+    // dimensions, i.e. exactly what the generator drew
+    val rows = Multimodal.decodeMeta(Multimodal.attachPayload(docs))
+      .filter(col("mime") === "image/png").orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 3L))
+    rows.foreach { r =>
+      val (w, h) = Multimodal.synthImageDims(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Int]("width") == w)
+      assert(r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("n_frames") == 1)
+    }
+    // and the bytes really carry the PNG magic
+    val payload = rows.head.getAs[Array[Byte]]("payload")
+    assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte)
+  }
+
+  test("undecodable image payload yields null metadata, not fake numbers") {
+    val s = spark
+    import s.implicits._
+    val corrupt = Seq((9L, Array[Byte](1, 2, 3, 4), "image/png"))
+      .toDF("doc_id", "payload", "mime")
+    val row = Multimodal.decodeMeta(corrupt).collect().head
+    assert(row.isNullAt(row.fieldIndex("width")))
+    assert(row.isNullAt(row.fieldIndex("height")))
   }
 
   test("feature extraction yields unit vectors that feed the vector ops") {
