@@ -15,15 +15,24 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     // sorted: stable execution order across rounds (Map order is hash-based)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def runAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // two consecutive in-JVM iterations: the first is comparable to earlier
+    // rounds' numbers, the second has JIT/caches fully warm — a structural
+    // regression shows up in BOTH, host variance usually in one
+    val cold = runAll()
+    val warm = runAll()
+    val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
+    val totalWarm = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      json(cold)},"total_warm":$totalWarm,"queries_warm":${
+      json(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

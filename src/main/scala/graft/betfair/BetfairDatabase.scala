@@ -214,11 +214,12 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
       val p = new Path(s); p.getFileSystem(sconf.value).exists(p)
     }
     val lenUdf = udf { (s: String) =>
-      // -1 when absent: the caller's size comparison only matters when the
-      // destination exists, and expression reordering must never throw
+      // one FS round trip per file: stat directly and map absence to -1
+      // (an exists() probe before the stat would double the round trips,
+      // and expression reordering must never throw)
       val p = new Path(s)
-      val pfs = p.getFileSystem(sconf.value)
-      if (pfs.exists(p)) pfs.getFileStatus(p).getLen else -1L
+      try p.getFileSystem(sconf.value).getFileStatus(p).getLen
+      catch { case _: java.io.FileNotFoundException => -1L }
     }
     // metadata action (reference market.py:146-165)
     val actionCol = onDuplicates match {
@@ -227,16 +228,21 @@ class BetfairDatabase(spark: SparkSession, databaseDir: String) {
       case "update" => when(!col("_metaExists"), "INSERT")
         .when(col("_rowMatches"), "SKIP").otherwise("UPDATE")
     }
-    // data-file action (reference market.py:168-178)
+    // data-file action (reference market.py:168-178). The destination is
+    // statted exactly once per row (_destDataLen doubles as the existence
+    // probe); the source is statted only when the size comparison actually
+    // decides, via a lazily-evaluated `when` branch — a `||` would not
+    // short-circuit
     val processDataCol = onDuplicates match {
       case "skip" => !col("_dataExists")
       case "replace" => lit(true)
-      case "update" => !col("_dataExists") ||
-        lenUdf(col("_destData")) < lenUdf(col("marketDataFilePath"))
+      case "update" => when(!col("_dataExists"), lit(true))
+        .otherwise(col("_destDataLen") < lenUdf(col("marketDataFilePath")))
     }
     val resolved = joined
       .withColumn("_metaExists", existsUdf(col("_destMeta")))
-      .withColumn("_dataExists", existsUdf(col("_destData")))
+      .withColumn("_destDataLen", lenUdf(col("_destData")))
+      .withColumn("_dataExists", col("_destDataLen") >= 0)
       .withColumn("_action", actionCol)
       .withColumn("_processData", processDataCol)
       .select((Schemas.IndexColumns.map(col) ++

@@ -50,6 +50,12 @@ object Cli {
   private[betfair] final case class Parsed(positionals: Vector[String],
       values: Map[String, String], flags: Set[String], version: Boolean)
 
+  /** An argv error with its argparse exit code — thrown by [[parse]] (so the
+    * parser is testable) and converted to stderr + `sys.exit` in [[main]].
+    */
+  private[betfair] final case class CliExit(code: Int, msg: String)
+    extends RuntimeException(msg)
+
   private[betfair] def parse(args: Array[String]): Parsed = {
     var pos = Vector.empty[String]
     var values = Map.empty[String, String]
@@ -60,10 +66,15 @@ object Cli {
       val a = args(i)
       if (a == "-V" || a == "--version") {
         if (pos.isEmpty) version = true
-        else { System.err.println(s"unrecognized argument: $a"); sys.exit(2) }
+        else throw CliExit(2, s"unrecognized argument: $a")
       } else if (ValueOpts(a)) {
-        if (i + 1 >= args.length) {
-          System.err.println(s"option $a: expected one argument"); sys.exit(2)
+        // like argparse, a following token that is itself a known option is
+        // a missing value, not the value — a value that genuinely starts
+        // with an option name goes through the --option=value form
+        if (i + 1 >= args.length || ValueOpts(args(i + 1)) ||
+          BoolOpts(args(i + 1)) ||
+          args(i + 1) == "-V" || args(i + 1) == "--version") {
+          throw CliExit(2, s"option $a: expected one argument")
         }
         values += a -> args(i + 1)
         i += 1
@@ -73,7 +84,7 @@ object Cli {
         // argparse also accepts --option=value
         values += a.takeWhile(_ != '=') -> a.dropWhile(_ != '=').tail
       } else if (a.startsWith("-") && a.length > 1) {
-        System.err.println(s"unrecognized argument: $a"); sys.exit(2)
+        throw CliExit(2, s"unrecognized argument: $a")
       } else pos :+= a
       i += 1
     }
@@ -86,7 +97,9 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = {
-    val p = parse(args)
+    val p = try parse(args) catch {
+      case CliExit(code, msg) => System.err.println(msg); sys.exit(code)
+    }
     def flag(names: String*): Boolean = names.exists(p.flags)
     def opt(names: String*): Option[String] =
       names.flatMap(p.values.get).headOption

@@ -172,9 +172,17 @@ object Compat {
         case Seq(fmt, ts) =>
           literalString(fmt) match {
             case Some(f) => strftimeExpr(f, ts)
-            case None => throw new IllegalArgumentException(
-              "strftime: format must be a literal string " +
-                "(use sqlite_strftime for dynamic formats)")
+            case None =>
+              // dynamic-format corner (format is a column, not a literal):
+              // the expansion can't happen at analysis time, so fall back to
+              // the row-at-a-time sqlite_strftime UDF registered above —
+              // slower than the codegen'd tree, but the query still runs
+              reg.lookupFunctionBuilder(
+                  FunctionIdentifier("sqlite_strftime"))
+                .map(b => b(Seq(fmt, ts)))
+                .getOrElse(throw new IllegalArgumentException(
+                  "strftime: dynamic format requires sqlite_strftime, " +
+                    "which is not registered"))
           }
         case _ => throw new IllegalArgumentException(
           "strftime(fmt, ts) takes exactly two arguments")

@@ -501,7 +501,11 @@ object Relational {
     val ev = events(s, d)
     val support = 0.05
     val sketch = ev.stat.freqItems(Array("event_type"), support)
+    // persist(): totals feeds both the main plan and the single-row total
+    // aggregate — without it the events scan + groupBy subtree runs twice
+    // (same recompute pattern as the v41 codebook)
     val totals = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .persist()
     totals
       .crossJoin(broadcast(totals.agg(sum("cnt").as("total"))))
       .filter(col("cnt") * 1.0 / col("total") > support)

@@ -62,6 +62,20 @@ class FixRegressionSpec extends SparkSpec {
       .head == "10:00 AM")
   }
 
+  test("strftime with a column-valued format falls back to the UDF path") {
+    import spark.implicits._
+    Compat.register(spark)
+    val df = Seq(
+      ("%Y-%m-%d", "2023-07-30 10:00:00"),
+      ("%H:%M", "2023-07-31 10:20:00"),
+      ("%w", "2023-08-05 10:00:00"))
+      .toDF("fmt", "s").withColumn("ts", to_timestamp(col("s")))
+    // fmt is a column, so the analysis-time expansion can't apply — the
+    // builder must route to sqlite_strftime instead of failing
+    assert(df.selectExpr("strftime(fmt, ts)").as[String].collect()
+      .toSeq == Seq("2023-07-30", "10:20", "6"))
+  }
+
   test("PathCanon: decoded file paths, scheme-qualified remote paths") {
     assert(PathCanon.canonicalUri("file:///data%20dir/1.23.json")
       == "/data dir/1.23.json")

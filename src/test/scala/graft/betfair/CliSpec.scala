@@ -47,9 +47,28 @@ class CliSpec extends AnyFunSuite {
   test("-V is a version request only before the subcommand") {
     assert(Cli.parse(Array("-V")).version)
     assert(Cli.parse(Array("--version", "index", "db")).version)
-    // a --where value containing "-V" is consumed as a value, not a flag
-    val p = Cli.parse(Array("select", "db", "--where", "-V"))
+    // like argparse, an option name where a value is expected is a missing
+    // value, not the value...
+    val e = intercept[Cli.CliExit] {
+      Cli.parse(Array("select", "db", "--where", "-V"))
+    }
+    assert(e.code == 2 && e.msg.contains("expected one argument"))
+    // ...and a literal "-V" value goes through the = form
+    val p = Cli.parse(Array("select", "db", "--where=-V"))
     assert(!p.version)
     assert(p.values("--where") == "-V")
+  }
+
+  test("a value-option followed by another option reports a missing value") {
+    // `--limit --where x` must fail immediately, not bind "--where" as the
+    // limit and surface a confusing parse error later
+    val e = intercept[Cli.CliExit] {
+      Cli.parse(Array("select", "db", "--limit", "--where", "x"))
+    }
+    assert(e.code == 2 && e.msg == "option --limit: expected one argument")
+    val atEnd = intercept[Cli.CliExit] {
+      Cli.parse(Array("select", "db", "--limit"))
+    }
+    assert(atEnd.code == 2)
   }
 }
