@@ -177,6 +177,49 @@ object OracleGen {
      SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
      FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Unrolled Lloyd's loop matching [[VectorOps.v60Kmeans]]: KmeansIters
+    * rounds of (cosine argmax assignment with cid tiebreak, per-dim avg
+    * recompute rounded to 4dp), init = first K vectors rounded to 4dp.
+    * The 4dp rounding at every round makes the centroid trajectory
+    * bit-identical across engines.
+    */
+  val kmeans: String = {
+    val k = VectorOps.KmeansK
+    val iters = VectorOps.KmeansIters
+    def assign(a: String, c: String): String =
+      s"""$a AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, c.cvec)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+               c.cid) AS arn
+           FROM e, $c c) t WHERE arn = 1)"""
+    def recompute(cg: String, c: String, a: String): String =
+      s"""$cg AS (
+         SELECT cid, dim, round(avg(x), 4) AS cv FROM (
+           SELECT cid, CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS dim,
+             unnest(v) AS x
+           FROM $a) u
+         GROUP BY cid, dim),
+       $c AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM $cg
+              GROUP BY cid)"""
+    val rounds = (1 to iters).map { i =>
+      s"""${assign(s"a$i", s"c${i - 1}")},
+       ${recompute(s"cg$i", s"c$i", s"a$i")}"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
+                list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS cvec
+              FROM embeddings WHERE vec_id < $k),
+       $rounds,
+       sizes AS (SELECT cid, count(*) AS n_vecs FROM a$iters GROUP BY cid)
+     SELECT g.cid, g.dim, g.cv AS centroid, s.n_vecs
+     FROM cg$iters g JOIN sizes s USING (cid)
+     ORDER BY cid, dim"""
+  }
+
   val annLsh: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv,

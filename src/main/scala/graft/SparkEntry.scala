@@ -70,6 +70,14 @@ object SparkEntry {
     "q51_scalar_subquery" -> (Relational.q51ScalarSubquery _),
     "q52_filtered_agg" -> (Relational.q52FilteredAgg _),
     "q53_string_agg" -> (Relational.q53StringAgg _),
+    "q54_lag_lead" -> (Relational.q54LagLead _),
+    "q55_unpivot" -> (Relational.q55Unpivot _),
+    "q56_correlated_sub" -> (Relational.q56CorrelatedSub _),
+    "d57_passage_dedup" -> (TextOps.d57PassageDedup _),
+    "t58_source_stats" -> (TextOps.t58SourceStats _),
+    "t59_gopher_filter" -> (TextOps.t59GopherFilter _),
+    "v60_kmeans" -> (VectorOps.v60Kmeans _),
+    "v61_array_hof" -> (VectorOps.v61ArrayHof _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -443,6 +451,87 @@ object SparkEntry {
          JOIN (SELECT CAST(l_shipdate AS DATE) AS sd FROM lineitem) l
            ON sd >= d AND sd < d + 7
          GROUP BY d ORDER BY d""",
+    "q54_lag_lead" ->
+      """SELECT event_id, user_id,
+           round(lag(value) OVER w, 2) AS prev_value,
+           round(lead(value) OVER w, 2) AS next_value,
+           round(value - coalesce(lag(value) OVER w, value), 2) AS delta
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "q55_unpivot" ->
+      """WITH base AS (
+           SELECT l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2) AS sum_disc
+           FROM lineitem GROUP BY l_linestatus)
+         SELECT l_linestatus, measure, val FROM (
+           SELECT l_linestatus, 'sum_qty' AS measure, sum_qty AS val FROM base
+           UNION ALL
+           SELECT l_linestatus, 'sum_price', sum_price FROM base
+           UNION ALL
+           SELECT l_linestatus, 'sum_disc', sum_disc FROM base) u
+         ORDER BY l_linestatus, measure""",
+    "q56_correlated_sub" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders o
+         WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                               FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "d57_passage_dedup" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents
+           WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 10),
+         ch AS (
+           SELECT doc_id, array_to_string(ws[i*10+1:i*10+10], ' ') AS chunk
+           FROM w, unnest(generate_series(0, len(ws)//10 - 1)) AS t(i))
+         SELECT md5(chunk) AS fp, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occ, min(doc_id) AS keeper
+         FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY fp""",
+    "t58_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+             AS BIGINT) AS total_words,
+           floor(avg(n_chars) * 100) / 100 AS avg_chars,
+           count(DISTINCT lang) AS n_langs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    "t59_gopher_filter" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+               AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+               AS n_alpha,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS n_stop,
+             (SELECT CAST(max(c) AS BIGINT) FROM (
+                SELECT count(*) AS c
+                FROM unnest(string_split_regex(trim(lower(text)), '\s+'))
+                  AS t(word)
+                GROUP BY word) q) AS top_cnt
+           FROM documents)
+         SELECT doc_id, n_words, n_alpha, n_stop, top_cnt,
+           n_words >= 15 AND n_words <= 100000 AS rule_wc,
+           n_alpha >= n_words * 3 AND n_alpha <= n_words * 10 AS rule_mwl,
+           n_stop >= 1 AS rule_stop,
+           top_cnt * 5 <= n_words AS rule_rep,
+           (n_words >= 15 AND n_words <= 100000)
+             AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
+             AND n_stop >= 1 AND top_cnt * 5 <= n_words AS keep
+         FROM m ORDER BY doc_id""",
+    "v60_kmeans" -> OracleGen.kmeans,
+    "v61_array_hof" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT vec_id,
+           round(sqrt(list_dot_product(v, v)), 4) AS l2_norm,
+           round(list_max(v), 4) AS v_max,
+           CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(v) / len(v), 4) AS v_mean
+         FROM e ORDER BY vec_id""",
     "v39_centroids" ->
       """SELECT label, dim, round(avg(v), 4) AS centroid, count(*) AS n_vecs
          FROM (SELECT label,

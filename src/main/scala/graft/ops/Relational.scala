@@ -489,6 +489,57 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
+  /** §2.C windows: lag/lead offset frames — per-user previous/next event
+    * value and the step delta (the change-detection primitive next to q50's
+    * RANGE frame). Both offsets and the delta share one window sort, so the
+    * whole query is a single shuffle on user_id.
+    */
+  def q54LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(lag("value", 1).over(w), 2).as("prev_value"),
+        round(lead("value", 1).over(w), 2).as("next_value"),
+        round(col("value") - coalesce(lag("value", 1).over(w), col("value")),
+          2).as("delta"))
+      .orderBy("event_id")
+  }
+
+  /** §2.C reshaping: unpivot/melt — the inverse of q34's pivot, turning the
+    * per-status measure columns into (measure, val) rows via Spark's native
+    * `unpivot` (an Expand node: map-side row replication, no shuffle beyond
+    * the feeding aggregate).
+    */
+  def q55Unpivot(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum("l_discount"), 2).as("sum_disc"))
+    base.unpivot(Array(col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "val")
+      .orderBy("l_linestatus", "measure")
+  }
+
+  /** §2.C subqueries: CORRELATED scalar subquery (per-row dependent
+    * aggregate) next to q51's uncorrelated one — orders beating 1.5× their
+    * own customer's average. Written as real subquery SQL so Catalyst's
+    * decorrelation kicks in: the optimizer rewrites it to one aggregate on
+    * o_custkey + an equi-join, i.e. the per-row re-evaluation a naive
+    * engine would do never happens, at any scale.
+    */
+  def q56CorrelatedSub(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q56")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders_q56 o
+         WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                               FROM orders_q56 o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""")
+  }
+
   /** §2.C sketches: heavy hitters (approximate frequent items) — the
     * skew-detection primitive (find the hot keys before they melt a join).
     * Exact side: one partial-aggregated groupBy + a scalar total via a

@@ -151,20 +151,33 @@ object TextOps {
   /** N-gram Jaccard near-dup: candidate pairs via shared-shingle equi-join
     * (no cross join) over df-capped shingles, exact Jaccard over the same
     * capped sets, deterministic top-20.
+    *
+    * The shingle explode runs ONCE: the exploded table is persisted, the
+    * df-cap is applied as an anti-join against the (small — at most
+    * total_shingle_rows/τ entries, Zipf makes it far smaller) HOT shingle
+    * list rather than a join with the rare majority, and the capped+sized
+    * table is persisted again so the candidate self-join reads cache on both
+    * sides. Without the two persists each self-join side re-scans and
+    * re-explodes the corpus (AQE's ReusedExchange does not fire across the
+    * df-cap join boundary — verified at plan level, see PLANS.md). Flipping
+    * rare→hot also lets AQE broadcast the hot list, so stop-shingle rows are
+    * dropped map-side and never transit the candidate shuffle.
     */
   def d25NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val all = shingles(s, d)
-    // df-cap: one extra agg+join on the same key as the self-join, so the
-    // exchange is reused; bounds per-shingle pair fan-out to ShingleDfCap².
-    val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap).select("sh")
+    val all = shingles(s, d).persist()
+    // hot = shingles with df > τ: the k² blowup keys. Broadcast-anti-joining
+    // the SMALL hot side (instead of equi-joining the corpus-scale rare side)
+    // keeps the cap map-side.
+    val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select("sh")
     // per-doc capped-set size rides along as a window column INSTEAD of a
     // separate sizes table: at corpus scale the sizes side has one row per
     // document (billions — not broadcastable), so joining it back onto the
     // pair table twice would be two full-corpus shuffle joins; carrying two
     // longs through the candidate shuffle costs almost nothing
-    val sh = all.join(rare, "sh").select("doc_id", "sh")
+    val sh = all.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .persist()
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -320,6 +333,104 @@ object TextOps {
       .withColumn("dup_word_frac",
         trunc4((col("n_words") - col("n_distinct")).cast("double") /
           col("n_words")))
+      .orderBy("doc_id")
+  }
+
+  /** Chunk width for [[d57PassageDedup]] (words per passage). */
+  val PassageChunk = 10
+
+  /** Duplicated-passage detection: each document is cut into non-overlapping
+    * [[PassageChunk]]-word chunks; a chunk whose fingerprint appears in ≥2
+    * distinct documents is boilerplate/copied text (the passage-level
+    * complement of d24's whole-document exact dedup).
+    *
+    * Scale: chunking is entirely map-side (higher-order `transform` over the
+    * word array, in whole-stage codegen); the only shuffle is one
+    * hash-groupBy on the chunk fingerprint with map-side partial
+    * aggregation. Unlike shingling (stride 1), the stride equals the chunk
+    * width, so the exploded volume is ≈ the corpus token count / chunk — no
+    * blowup at 100 TB.
+    */
+  def d57PassageDedup(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val chunk = PassageChunk
+    val chunks = documents(s, d)
+      .filter(size(words(col("text"))) >= chunk)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), (size(ws) / chunk).cast("int") - 1),
+          i => array_join(slice(ws, i * chunk + 1, lit(chunk)), " ")))
+          .as("chunk"))
+    chunks
+      .groupBy(md5(col("chunk")).as("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("doc_id").as("keeper"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fp")
+  }
+
+  /** Source/domain-level corpus rollup (the C4/Gopher "per-domain stats"
+    * step that decides which sources to keep, cap, or drop): doc counts,
+    * token volume, char-length spread, and language diversity per source.
+    * One partial-aggregated groupBy on `source`; all metrics are O(1) agg
+    * state.
+    */
+  def t58SourceStats(s: SparkSession, d: String): DataFrame = {
+    val nWords = size(words(col("text"))).cast("long")
+    documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"), nWords.as("nw"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nw").as("total_words"),
+        (floor(avg(col("n_chars")) * 100) / 100).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("source")
+  }
+
+  /** Gopher-style composite quality filter: per-document rule flags and the
+    * final keep/drop verdict. Rules (word count bounds, mean word length
+    * bounds, stopword floor, top-word repetition cap) follow the published
+    * Gopher corpus-filtering recipe shapes.
+    *
+    * Entirely map-side: the repetition rule reuses t47's sorted max-run scan
+    * (no per-token shuffle), and every threshold compare is integer
+    * arithmetic (`len >= 3*nw`, `top*5 <= nw`) so no float-boundary
+    * divergence is possible between engines.
+    */
+  def t59GopherFilter(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("long")
+    val compactLen = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long")
+    val sorted = array_sort(ws)
+    val topCnt = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val r = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), r.as("run"),
+          greatest(acc.getField("best"), r).as("best"))
+      },
+      acc => acc.getField("best"))
+    documents(s, d)
+      .select(col("doc_id"), nWords.as("n_words"), compactLen.as("n_alpha"),
+        nStop.as("n_stop"), topCnt.as("top_cnt"))
+      .withColumn("rule_wc",
+        col("n_words") >= 15 && col("n_words") <= 100000)
+      .withColumn("rule_mwl",
+        col("n_alpha") >= col("n_words") * 3 &&
+          col("n_alpha") <= col("n_words") * 10)
+      .withColumn("rule_stop", col("n_stop") >= 1)
+      .withColumn("rule_rep", col("top_cnt") * 5 <= col("n_words"))
+      .withColumn("keep",
+        col("rule_wc") && col("rule_mwl") && col("rule_stop") &&
+          col("rule_rep"))
       .orderBy("doc_id")
   }
 

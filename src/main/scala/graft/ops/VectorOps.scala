@@ -219,6 +219,93 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** v60 k-means cluster count. */
+  val KmeansK = 8
+  /** v60 Lloyd iteration count (fixed, so the loop is deterministic and the
+    * oracle can unroll it).
+    */
+  val KmeansIters = 3
+
+  /** Distributed k-means (Lloyd's algorithm, spherical/cosine assignment) —
+    * the embedding-clustering training loop a data pipeline runs before IVF
+    * indexing or topic bucketing. Init = the first [[KmeansK]] vectors;
+    * [[KmeansIters]] fixed rounds of assign → recompute; output = final
+    * centroids per dimension + cluster occupancy.
+    *
+    * Scale design (mirrors v41's codebook machinery):
+    *  - assignment is argmax-cosine via `min_by` over a (−sim, cid) ordering
+    *    struct — map-side partial aggregation, one compact struct per vector
+    *    through the shuffle, never a corpus×k window;
+    *  - the k-row codebook is broadcast every round and persisted so the
+    *    next round's two consumers don't recompute the aggregation;
+    *  - recompute is posexplode + partial-agg avg (the v39 centroid path) —
+    *    640 cells per round at any corpus size;
+    *  - centroids are rounded to 4dp each round, so the trajectory is
+    *    bit-identical in any engine (the oracle unrolls the same rounds).
+    * Per-round cost is one corpus scan + one compact shuffle; rounds are a
+    * fixed constant — at 100 TB this is KmeansIters linear passes.
+    */
+  def v60Kmeans(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val vd = col("embedding").cast("array<double>")
+    var cent = emb.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("cid"),
+        transform(vd, x => round(x, 4)).as("cvec"))
+      .persist()
+    // cg = the per-(cid, dim) recompute table of the current round, persisted
+    // (512 cells — the only thing worth caching; the corpus-sized assignment
+    // is deliberately NOT persisted and executes exactly once per round as
+    // cg's input). Cluster occupancy rides along as a count in the same
+    // aggregation, so the final sizes cost nothing extra — without it the
+    // last round's corpus-wide assignment would run a second time just to
+    // count members.
+    var cg: DataFrame = null
+    for (_ <- 1 to KmeansIters) {
+      val asim = planeDot(s, col("embedding"), col("cvec")) /
+        (sqrt(planeDot(s, vd, vd)) *
+          sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec"))))
+      val assigned = emb.crossJoin(broadcast(cent)).withColumn("asim", asim)
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("embedding"), col("cid")),
+          struct(-col("asim"), col("cid"))).as("t"))
+        .select(col("vec_id"), col("t.embedding").as("embedding"),
+          col("t.cid").as("cid"))
+      cg = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(round(avg(col("x").cast("double")), 4).as("cv"),
+          count(lit(1)).as("n_vecs"))
+        .persist()
+      cent = cg
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+    }
+    cg.select(col("cid"), col("dim").cast("int").as("dim"),
+        col("cv").as("centroid"), col("n_vecs"))
+      .orderBy("cid", "dim")
+  }
+
+  /** Higher-order array-function scalar library over the embedding column:
+    * L2 norm, max element, positive-element count, mean — all computed
+    * map-side with codegen'd `aggregate`/`filter`/`array_max` (plus the
+    * native dot-product expression for the norm). The per-vector profile a
+    * pipeline uses for embedding sanity checks (zero vectors, scale drift)
+    * without any shuffle at all.
+    */
+  def v61ArrayHof(s: SparkSession, d: String): DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        round(sqrt(planeDot(s, vd, vd)), 4).as("l2_norm"),
+        round(array_max(vd), 4).as("v_max"),
+        size(filter(vd, x => x > 0d)).cast("long").as("n_pos"),
+        round(aggregate(vd, lit(0.0d), (a, x) => a + x) / size(vd), 4)
+          .as("v_mean"))
+      .orderBy("vec_id")
+  }
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash) — the schema/partitioning shape for
     * image/audio columns; decode itself is stubbed (see
