@@ -60,13 +60,13 @@ object OracleGen {
      GROUP BY 1, 2 ORDER BY d1, d2"""
   }
 
-  /** Connected components over the minhash candidate pairs: DuckDB's
-    * recursive CTE computes full reachability (fine at oracle scale), then
-    * labels each doc with the min reachable doc_id — the same fixpoint the
-    * Spark loop converges to.
+  /** Connected-component CTE chain over the minhash candidate pairs (shared
+    * by dedupClusters and cleanPipeline): DuckDB's recursive CTE computes
+    * full reachability (fine at oracle scale), then labels each doc with the
+    * min reachable doc_id — the same fixpoint the Spark loop converges to.
     */
-  val dedupClusters: String =
-    s"""WITH RECURSIVE edges AS (
+  private val ccCtes: String =
+    s"""edges AS (
          SELECT d1, d2 FROM ($minhashLsh) mh),
        sym AS (
          SELECT d1 AS a, d2 AS b FROM edges
@@ -78,10 +78,55 @@ object OracleGen {
          SELECT reach.doc_id, s.b AS r
          FROM reach JOIN sym s ON s.a = reach.r),
        comp AS (
-         SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)
+         SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)"""
+
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $ccCtes
      SELECT doc_id, component,
        count(*) OVER (PARTITION BY component) AS csize
      FROM comp ORDER BY doc_id"""
+
+  /** Composed cleaning pipeline matching [[graft.ops.TextOps.t65CleanPipeline]]:
+    * Gopher quality keep + exact-dup keeper + near-dup cluster
+    * representative, all from the same sub-oracles the individual queries
+    * use.
+    */
+  val cleanPipeline: String =
+    s"""WITH RECURSIVE $ccCtes,
+       gf AS (
+         SELECT doc_id,
+           (n_words >= 15 AND n_words <= 100000)
+             AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
+             AND n_stop >= 1 AND top_cnt * 5 <= n_words AS keep_quality
+         FROM (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS n_alpha,
+             CAST(len(regexp_extract_all(lower(text),
+               '\\b(the|a|of|and|to|in|is)\\b')) AS BIGINT) AS n_stop,
+             (SELECT CAST(max(c) AS BIGINT) FROM (
+                SELECT count(*) AS c
+                FROM unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                  AS t(word)
+                GROUP BY word) q) AS top_cnt
+           FROM documents) m),
+       fpk AS (
+         SELECT doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+             AS keep_exact
+         FROM documents)
+     SELECT d.doc_id, gf.keep_quality, fpk.keep_exact,
+       (comp.component IS NULL OR comp.component = d.doc_id) AS keep_neardup,
+       gf.keep_quality AND fpk.keep_exact
+         AND (comp.component IS NULL OR comp.component = d.doc_id) AS kept
+     FROM documents d
+     JOIN gf USING (doc_id)
+     JOIN fpk USING (doc_id)
+     LEFT JOIN comp ON comp.doc_id = d.doc_id
+     ORDER BY d.doc_id"""
 
   val simhash: String = {
     val votes = (0 until 32).map { b =>
@@ -218,6 +263,66 @@ object OracleGen {
      SELECT g.cid, g.dim, g.cv AS centroid, s.n_vecs
      FROM cg$iters g JOIN sizes s USING (cid)
      ORDER BY cid, dim"""
+  }
+
+  /** Product-quantization ADC matching [[VectorOps.v64PqAnn]]: M subspaces,
+    * K codewords each, init = first K subvectors (4dp), one squared-L2
+    * Lloyd refinement (4dp), encode, then per-query lookup-table scoring.
+    * pd is rounded to 4dp before the sum so identical code tuples rank
+    * identically in any engine (see the Spark-side comment).
+    */
+  val pqAnn: String = {
+    val m = VectorOps.PqM
+    val k = VectorOps.PqK
+    val sub = VectorOps.Dim / m
+    val dist = "list_dot_product(s.sub, s.sub) " +
+      "- 2 * list_dot_product(s.sub, c.cvec) " +
+      "+ list_dot_product(c.cvec, c.cvec)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       subs AS (
+         SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+           list_slice(v, t.m * $sub + 1, (t.m + 1) * $sub) AS sub
+         FROM e, unnest(generate_series(0, ${m - 1})) AS t(m)),
+       c0 AS (
+         SELECT m, CAST(vec_id AS INTEGER) AS cid,
+           list_transform(sub, x -> round(x, 4)) AS cvec
+         FROM subs WHERE vec_id < $k),
+       a1 AS (
+         SELECT vec_id, m, sub, cid FROM (
+           SELECT s.vec_id, s.m, s.sub, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subs s JOIN c0 c ON s.m = c.m) t WHERE arn = 1),
+       cg AS (
+         SELECT m, cid, dim, round(avg(x), 4) AS cv FROM (
+           SELECT m, cid,
+             CAST(generate_subscripts(sub, 1) - 1 AS INTEGER) AS dim,
+             unnest(sub) AS x
+           FROM a1) u
+         GROUP BY m, cid, dim),
+       c1 AS (SELECT m, cid, list(cv ORDER BY dim) AS cvec FROM cg
+              GROUP BY m, cid),
+       codes AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subs s JOIN c1 c ON s.m = c.m) t WHERE arn = 1),
+       lut AS (
+         SELECT s.vec_id AS query_id, s.m, c.cid,
+           round(list_dot_product(s.sub, c.cvec), 4) AS pd
+         FROM subs s JOIN c1 c ON s.m = c.m WHERE s.vec_id < 5),
+       sc AS (
+         SELECT l.query_id, co.vec_id, round(sum(l.pd), 4) AS approx_r
+         FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
+         WHERE co.vec_id <> l.query_id
+         GROUP BY l.query_id, co.vec_id),
+       rk AS (
+         SELECT query_id, vec_id AS neighbor_id, approx_r,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_r DESC, vec_id) AS rnk FROM sc)
+     SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
+     ORDER BY query_id, rnk"""
   }
 
   val annLsh: String =

@@ -78,6 +78,10 @@ object SparkEntry {
     "t59_gopher_filter" -> (TextOps.t59GopherFilter _),
     "v60_kmeans" -> (VectorOps.v60Kmeans _),
     "v61_array_hof" -> (VectorOps.v61ArrayHof _),
+    "q62_rank_family" -> (Relational.q62RankFamily _),
+    "q63_date_trunc" -> (Relational.q63DateTrunc _),
+    "v64_pq_ann" -> (VectorOps.v64PqAnn _),
+    "t65_clean_pipeline" -> (TextOps.t65CleanPipeline _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -524,6 +528,24 @@ object SparkEntry {
              AND n_stop >= 1 AND top_cnt * 5 <= n_words AS keep
          FROM m ORDER BY doc_id""",
     "v60_kmeans" -> OracleGen.kmeans,
+    "q62_rank_family" ->
+      """SELECT event_id, user_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           floor(percent_rank() OVER w * 10000) / 10000 AS prnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           floor(cume_dist() OVER w * 10000) / 10000 AS cdist
+         FROM events WHERE user_id % 20 = 0
+         WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+         ORDER BY event_id""",
+    "q63_date_trunc" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           CAST(isodow(ts) - 1 AS BIGINT) AS iso_dow,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY week_start, iso_dow
+         ORDER BY week_start, iso_dow""",
+    "v64_pq_ann" -> OracleGen.pqAnn,
+    "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "v61_array_hof" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT vec_id,

@@ -540,6 +540,39 @@ object Relational {
          ORDER BY o_orderkey""")
   }
 
+  /** §2.C windows: the rank family — rank, dense_rank, percent_rank,
+    * ntile, cume_dist over one per-user ordering. All five share a single
+    * window sort, so the query is one user_id shuffle regardless of how
+    * many rank flavors ride it. Ratio outputs are floor-truncated (not
+    * rounded) for engine-exact parity on int/int rationals.
+    */
+  def q62RankFamily(s: SparkSession, d: String): DataFrame = {
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000
+    val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    events(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        trunc4(percent_rank().over(w)).as("prnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        trunc4(cume_dist().over(w)).as("cdist"))
+      .orderBy("event_id")
+  }
+
+  /** §2.C scalar lib: calendar bucketing — date_trunc-to-week rollup with
+    * extracted date parts (ISO weekday, hour). The time-dimension
+    * aggregation shape every event pipeline runs; one partial-agg shuffle
+    * on the truncated key.
+    */
+  def q63DateTrunc(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        to_date(date_trunc("week", col("ts"))).as("week_start"),
+        weekday(col("ts")).cast("long").as("iso_dow"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("week_start", "iso_dow")
+
   /** §2.C sketches: heavy hitters (approximate frequent items) — the
     * skew-detection primitive (find the hot keys before they melt a join).
     * Exact side: one partial-aggregated groupBy + a scalar total via a

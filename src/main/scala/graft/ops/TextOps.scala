@@ -434,6 +434,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end corpus-cleaning pipeline, composed from the library's
+    * own stages — the flagship "would a real training-data pipeline use
+    * this?" query. Per document, three keep verdicts and their conjunction:
+    *
+    *  1. `keep_quality`  — t59's Gopher composite filter;
+    *  2. `keep_exact`    — exact-dup keeper (d24's canonical fingerprint,
+    *                       min-doc_id-wins);
+    *  3. `keep_neardup`  — near-dup cluster representative (d26 MinHash+LSH
+    *                       candidates → connected components → the
+    *                       min-doc_id labeled representative survives;
+    *                       unclustered docs trivially survive).
+    *
+    * Scale: stage 1 is map-only, stage 2 is one window on the fingerprint,
+    * stage 3 reuses the d26/d46 candidate machinery (equi-join candidates,
+    * O(log n)-round components); the final assembly is equi-joins on doc_id
+    * — each verdict column joins at most one row per doc.
+    */
+  def t65CleanPipeline(s: SparkSession, d: String): DataFrame = {
+    val gf = t59GopherFilter(s, d)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val fpk = documents(s, d)
+      .select(col("doc_id"), md5(canon).as("fp"))
+      .withColumn("keep_exact",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
+      .select("doc_id", "keep_exact")
+    val labels = connectedComponents(
+      d26MinhashLsh(s, d).select(col("d1"), col("d2")))
+    val kn = documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("component").isNull || col("component") === col("doc_id"))
+          .as("keep_neardup"))
+    gf.join(fpk, "doc_id").join(kn, "doc_id")
+      .withColumn("kept",
+        col("keep_quality") && col("keep_exact") && col("keep_neardup"))
+      .orderBy("doc_id")
+  }
+
   /** PII detection + redaction: email/phone/IPv4 regex counts and the
     * fingerprint of the redacted text. Documents are synthetic, so a
     * deterministic PII suffix derived from doc_id is appended first — the

@@ -286,6 +286,88 @@ object VectorOps {
       .orderBy("cid", "dim")
   }
 
+  /** v64 product quantization: number of subspaces (64 dims → 4×16). */
+  val PqM = 4
+  /** v64 codewords per subspace. */
+  val PqK = 4
+  private val PqSubDim = Dim / PqM
+
+  /** Product-quantization ANN — the memory-bound scale path that completes
+    * the ANN family (v28 brute force, v30 LSH, v41 IVF): vectors are split
+    * into [[PqM]] subspaces, each subspace gets a [[PqK]]-codeword codebook
+    * (init = first K subvectors, one Lloyd refinement in squared-L2), every
+    * vector is encoded as M small codeword ids, and queries score the corpus
+    * by asymmetric distance computation (ADC) — a per-query lookup table of
+    * query-subvector·codeword dots, summed over the corpus's codes.
+    *
+    * Scale design: after encoding, the corpus side of the query join carries
+    * ONLY (vec_id, m, code) — M bytes-scale ids per vector instead of the
+    * raw floats (the 64→4 compression that lets a 100 TB corpus's index fit
+    * in cluster memory). The ADC lookup table (queries × M × K = 80 rows
+    * here) is broadcast; scoring is an equi-join on (m, code) + a
+    * partial-aggregated sum — never a corpus×query float dot. Codebook
+    * training mirrors v60 (broadcast codebook, min_by assignment, 4dp
+    * rounding each stage for engine-exact parity).
+    */
+  def v64PqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val vd = col("embedding").cast("array<double>")
+    // (vec_id, m, sub): each vector's M subvectors, built map-side
+    val subs = emb.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+        m => slice(vd, m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("m", "sub")))
+    // init codebook: subvectors of the first K vectors, rounded
+    var cb = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cid"),
+        transform(col("sub"), x => round(x, 4)).as("cvec"))
+      .persist()
+    // squared-L2 to a codeword, same accumulation order as the oracle
+    def dist = planeDot(s, col("sub"), col("sub")) -
+      lit(2.0) * planeDot(s, col("sub"), col("cvec")) +
+      planeDot(s, col("cvec").cast("array<double>"), col("cvec"))
+    def assign(df: DataFrame) =
+      df.join(broadcast(cb), "m").withColumn("dst", dist)
+        .groupBy("vec_id", "m")
+        .agg(min_by(struct(col("sub"), col("cid")),
+          struct(col("dst"), col("cid"))).as("t"))
+        .select(col("vec_id"), col("m"), col("t.sub").as("sub"),
+          col("t.cid").as("cid"))
+    // one Lloyd refinement per subspace (k*M*subdim = 256 cells, persisted)
+    cb = assign(subs)
+      .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy("m", "cid", "dim")
+      .agg(round(avg(col("x")), 4).as("cv"))
+      .groupBy("m", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .persist()
+    // encode: the corpus compresses to (vec_id, m, code)
+    val codes = assign(subs).select(col("vec_id"), col("m"), col("cid"))
+    // ADC lookup table: query-subvector · codeword, queries broadcast
+    // pd is rounded to 4dp BEFORE the sum: vectors sharing a code tuple get
+    // structurally-equal scores, and raw float sums of the same 4 values in
+    // different orders could flip their rank between engines — sums of 4dp
+    // multiples are never at a rounding boundary, so approx_r (and thus the
+    // rank order) is engine-exact
+    val lut = subs.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), "m")
+      .select(col("query_id"), col("m"), col("cid"),
+        round(planeDot(s, col("sub"), col("cvec")), 4).as("pd"))
+    val scored = codes
+      .join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum("pd"), 4).as("approx_r"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_r").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("approx_r"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Higher-order array-function scalar library over the embedding column:
     * L2 norm, max element, positive-element count, mean — all computed
     * map-side with codegen'd `aggregate`/`filter`/`array_max` (plus the

@@ -88,6 +88,64 @@ class Round5OpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q62 rank family: ranks are consistent within each user partition") {
+    val df = Relational.q62RankFamily(spark, sf).cache()
+    assert(df.count() > 0)
+    // dense_rank never exceeds rank; cume_dist and percent_rank in [0,1]
+    assert(df.filter(col("drnk") > col("rnk")).count() == 0)
+    assert(df.filter(col("prnk") < 0 || col("prnk") > 1).count() == 0)
+    assert(df.filter(col("cdist") <= 0 || col("cdist") > 1).count() == 0)
+    assert(df.filter(col("quartile") < 1 || col("quartile") > 4).count() == 0)
+    // per user, max rank equals the row count of that partition
+    val bad = df.groupBy("user_id")
+      .agg(max("rnk").as("mr"), count(lit(1)).as("n"))
+      .filter(col("mr") =!= col("n"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("q63 date_trunc: week buckets cover all events, weekday in range") {
+    val df = Relational.q63DateTrunc(spark, sf).cache()
+    val total = df.agg(sum("n")).head().getLong(0)
+    assert(total == graft.Tables.events(spark, sf).count())
+    assert(df.filter(col("iso_dow") < 0 || col("iso_dow") > 6).count() == 0)
+    // week_start is always a Monday (weekday 0)
+    assert(df.filter(weekday(col("week_start")) =!= 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("v64 pq ann: top-3 per query, codes compress, scores descend") {
+    val df = VectorOps.v64PqAnn(spark, sf).cache()
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.length == 5 && perQuery.forall(_.getLong(1) == 3L))
+    // rnk 1..3, approx_r non-increasing within a query
+    val w = df.select("query_id", "rnk", "approx_r").collect()
+      .groupBy(_.getLong(0))
+    w.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      assert(sorted.sliding(2).forall(p =>
+        p.head.getDouble(2) >= p.last.getDouble(2)))
+    }
+    df.unpersist()
+  }
+
+  test("t65 clean pipeline: kept is the conjunction, stages agree with parts") {
+    val df = TextOps.t65CleanPipeline(spark, sf).cache()
+    assert(df.count() == graft.Tables.documents(spark, sf).count())
+    assert(df.filter(col("kept") =!=
+      (col("keep_quality") && col("keep_exact") && col("keep_neardup")))
+      .count() == 0)
+    // keep_quality agrees with t59's keep verdict
+    val t59 = TextOps.t59GopherFilter(spark, sf)
+      .select(col("doc_id"), col("keep"))
+    assert(df.join(t59, "doc_id")
+      .filter(col("keep_quality") =!= col("keep")).count() == 0)
+    // something must survive and something must be dropped at sf0.001
+    assert(df.filter(col("kept")).count() > 0)
+    df.unpersist()
+  }
+
   test("v61 array hof: per-vector profile matches a driver-side recompute") {
     val df = VectorOps.v61ArrayHof(spark, sf)
     val row = df.filter(col("vec_id") === 0).head()
