@@ -265,6 +265,24 @@ object OracleGen {
      ORDER BY cid, dim"""
   }
 
+  /** Shingle-overlap decontamination matching
+    * [[graft.ops.TextOps.t67Decontaminate]] (benchmark = docs 0-9).
+    */
+  val decontaminate: String =
+    s"""$shingleCte,
+       bench AS (SELECT DISTINCT sh.sh FROM sh WHERE doc_id < 10),
+       corp AS (
+         SELECT s.doc_id, b.sh IS NOT NULL AS hit
+         FROM (SELECT * FROM sh WHERE doc_id >= 10) s
+         LEFT JOIN bench b ON s.sh = b.sh)
+     SELECT doc_id,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       count(*) AS n_sh,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END) * 5 >= count(*) AS contaminated
+     FROM corp GROUP BY doc_id
+     HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) >= 1
+     ORDER BY doc_id"""
+
   /** Product-quantization ADC matching [[VectorOps.v64PqAnn]]: M subspaces,
     * K codewords each, init = first K subvectors (4dp), one squared-L2
     * Lloyd refinement (4dp), encode, then per-query lookup-table scoring.

@@ -82,6 +82,8 @@ object SparkEntry {
     "q63_date_trunc" -> (Relational.q63DateTrunc _),
     "v64_pq_ann" -> (VectorOps.v64PqAnn _),
     "t65_clean_pipeline" -> (TextOps.t65CleanPipeline _),
+    "t66_hash_split" -> (TextOps.t66HashSplit _),
+    "t67_decontaminate" -> (TextOps.t67Decontaminate _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -546,6 +548,17 @@ object SparkEntry {
          ORDER BY week_start, iso_dow""",
     "v64_pq_ann" -> OracleGen.pqAnn,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
+    "t66_hash_split" ->
+      """SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+             AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 80
+                  THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100 < 90
+                  THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "t67_decontaminate" -> OracleGen.decontaminate,
     "v61_array_hof" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT vec_id,

@@ -3,6 +3,7 @@ package graft.multimodal
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,16 +13,16 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The image decode path is REAL: payloads are decoded with
-  * `javax.imageio` (header-only — dimensions come from the codec header
-  * without decompressing pixel data, which is the right cost model for
-  * metadata extraction over billions of payloads). Audio/video decode is
-  * STUBBED with a deterministic fake (this environment ships no audio/video
-  * codec libraries): `fakeDecode` derives pseudo-metadata from the payload
-  * hash. Swap `fakeDecode` for a real decoder (e.g. JavaCV) without touching
-  * the plumbing — schema, partitioning, and batch iteration
-  * (`mapPartitions`, the Scala analog of `mapInPandas` batch UDFs) are
-  * identical for all three modalities.
+  * The image AND audio decode paths are REAL: image payloads are decoded
+  * with `javax.imageio` and audio payloads with `javax.sound.sampled` —
+  * both header-only (dimensions / frame counts come from the codec header
+  * without decompressing sample data, which is the right cost model for
+  * metadata extraction over billions of payloads). Video decode is the one
+  * remaining STUB (this environment ships no video codec libraries):
+  * `fakeDecode` derives pseudo-metadata from the payload hash. Swap it for
+  * a real decoder (e.g. JavaCV) without touching the plumbing — schema,
+  * partitioning, and batch iteration (`mapPartitions`, the Scala analog of
+  * `mapInPandas` batch UDFs) are identical for all three modalities.
   */
 object Multimodal {
 
@@ -62,10 +63,41 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Sample rate of the synthesized WAV payloads. */
+  val SynthSampleRate = 8000
+
+  /** Deterministic PCM frame count for the synthesized WAV payloads
+    * (exposed so tests can assert the decode round-trip).
+    */
+  def synthAudioFrames(id: Long): Int = 800 + (id % 7).toInt * 400
+
+  /** A real WAV byte payload (RIFF header + 16-bit mono PCM) written by
+    * `javax.sound.sampled`, deterministic in (doc_id, text) — so
+    * [[decodeMeta]]'s audio path exercises an actual codec header.
+    */
+  private def synthWav(id: Long, text: String): Array[Byte] = {
+    val n = synthAudioFrames(id)
+    val base = text.hashCode
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((base ^ (i * 2654435761L)) % 32768).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SynthSampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Attach a binary media payload to each document: image rows get a real
-    * synthesized PNG (in production this column comes from the lakehouse as
-    * real image bytes — the pipeline shape is identical), audio/video rows
-    * get opaque UTF-8 bytes for the stubbed decoders.
+    * synthesized PNG, audio rows a real synthesized WAV (in production these
+    * columns come from the lakehouse as real media bytes — the pipeline
+    * shape is identical), video rows get opaque UTF-8 bytes for the stubbed
+    * decoder.
     */
   def attachPayload(docs: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -79,14 +111,28 @@ object Multimodal {
         val text = r.getString(1)
         id % 3 match {
           case 0 => Row(id, synthPng(id, text), "image/png")
-          case 1 => Row(id, text.getBytes("UTF-8"), "audio/wav")
+          case 1 => Row(id, synthWav(id, text), "audio/wav")
           case _ => Row(id, text.getBytes("UTF-8"), "video/mp4")
         }
       }
     }(enc)
   }
 
-  /** STUB decode for audio/video: deterministic pseudo-metadata from the
+  /** Header-only audio metadata via `javax.sound.sampled` — frame count and
+    * duration from the RIFF/WAV header, never the sample data. Returns None
+    * on an undecodable payload.
+    */
+  private def readAudioMeta(payload: Array[Byte]): Option[(Int, Long)] =
+    try {
+      val aff = AudioSystem.getAudioFileFormat(
+        new ByteArrayInputStream(payload))
+      val frames = aff.getFrameLength
+      val rate = aff.getFormat.getFrameRate
+      if (frames <= 0 || rate <= 0) None
+      else Some((frames, frames * 1000L / rate.toLong))
+    } catch { case _: Exception => None }
+
+  /** STUB decode for video only: deterministic pseudo-metadata from the
     * payload bytes. A real implementation decodes the codec header here;
     * everything around it (batch shape, schema, null handling) is production
     * plumbing.
@@ -143,6 +189,13 @@ object Multimodal {
         if (mime.startsWith("image/")) {
           readImageDims(payload) match {
             case Some((w, h)) => Row(id, payload, mime, w, h, 1, 0L)
+            case None => Row(id, payload, mime, null, null, null, null)
+          }
+        } else if (mime.startsWith("audio/")) {
+          // audio has no spatial dims: width/height are null by contract
+          readAudioMeta(payload) match {
+            case Some((frames, dur)) =>
+              Row(id, payload, mime, null, null, frames, dur)
             case None => Row(id, payload, mime, null, null, null, null)
           }
         } else {

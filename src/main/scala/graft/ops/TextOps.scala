@@ -434,6 +434,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic hash-based train/valid/test splitting — the reproducible
+    * alternative to `sample()` (whose per-partition RNG changes assignment
+    * with partitioning): bucket = md5(doc_id) mod 100, split by 80/10/10
+    * bucket ranges. Pure map-side; any engine assigns every doc to the same
+    * split forever, which is what makes held-out sets stable across corpus
+    * versions.
+    */
+  def t66HashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        (h48(col("doc_id").cast("string")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: flag corpus documents sharing word-shingles
+    * with a benchmark/eval set (docs 0-9 stand in for the eval set here) —
+    * the overlap check every serious training pipeline runs before
+    * training. A doc with ≥20% of its shingles in the benchmark is flagged
+    * (integer-compare threshold).
+    *
+    * Scale: the benchmark set is SMALL by definition, so its distinct
+    * shingles broadcast; the corpus is shingled once map-side and makes one
+    * partial-aggregated pass (broadcast left join + one groupBy) — overlap
+    * counting never shuffles token volume.
+    */
+  def t67Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val bench = sh.filter(col("doc_id") < 10).select("sh").distinct()
+    val corp = sh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("sh"), "left")
+    corp.groupBy("doc_id")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_shared"),
+        count(lit(1)).as("n_sh"))
+      .filter(col("n_shared") >= 1)
+      .withColumn("contaminated", col("n_shared") * 5 >= col("n_sh"))
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end corpus-cleaning pipeline, composed from the library's
     * own stages — the flagship "would a real training-data pipeline use
     * this?" query. Per document, three keep verdicts and their conjunction:

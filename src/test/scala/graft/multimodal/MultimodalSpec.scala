@@ -24,9 +24,39 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(rows.map(_.getAs[Int]("width")).toSeq ==
       again.map(_.getAs[Int]("width")).toSeq)
-    assert(rows.forall(_.getAs[Int]("width") >= 64))
+    // spatial dims exist exactly where the modality has them
+    assert(rows.filter(r => !r.isNullAt(r.fieldIndex("width")))
+      .forall(_.getAs[Int]("width") >= 64))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("width"))) // audio: no dims
     // image rows have no duration
     assert(rows(0).getAs[Long]("duration_ms") == 0L)
+  }
+
+  test("audio metadata is read from the real WAV payload by javax.sound") {
+    val rows = Multimodal.decodeMeta(Multimodal.attachPayload(docs))
+      .filter(col("mime") === "audio/wav").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val frames = Multimodal.synthAudioFrames(id)
+      assert(r.getAs[Int]("n_frames") == frames)
+      assert(r.getAs[Long]("duration_ms") ==
+        frames * 1000L / Multimodal.SynthSampleRate)
+      // and the bytes really carry the RIFF/WAVE magic
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(new String(p.take(4), "US-ASCII") == "RIFF")
+      assert(new String(p.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+  }
+
+  test("undecodable audio payload yields null metadata, not fake numbers") {
+    val s = spark
+    import s.implicits._
+    val corrupt = Seq((9L, Array[Byte](1, 2, 3, 4), "audio/wav"))
+      .toDF("doc_id", "payload", "mime")
+    val row = Multimodal.decodeMeta(corrupt).collect().head
+    assert(row.isNullAt(row.fieldIndex("n_frames")))
+    assert(row.isNullAt(row.fieldIndex("duration_ms")))
   }
 
   test("image metadata is read from the real PNG payload by ImageIO") {

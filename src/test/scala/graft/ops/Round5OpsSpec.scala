@@ -146,6 +146,33 @@ class Round5OpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t66 hash split: stable buckets, splits partition the corpus") {
+    val df = TextOps.t66HashSplit(spark, sf).cache()
+    assert(df.count() == graft.Tables.documents(spark, sf).count())
+    assert(df.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    val bad = df.filter(
+      (col("bucket") < 80 && col("split") =!= "train") ||
+        (col("bucket") >= 80 && col("bucket") < 90 &&
+          col("split") =!= "valid") ||
+        (col("bucket") >= 90 && col("split") =!= "test"))
+    assert(bad.count() == 0)
+    // deterministic: re-running assigns identical splits
+    val again = TextOps.t66HashSplit(spark, sf)
+      .withColumnRenamed("split", "split2").select("doc_id", "split2")
+    assert(df.join(again, "doc_id")
+      .filter(col("split") =!= col("split2")).count() == 0)
+    df.unpersist()
+  }
+
+  test("t67 decontaminate: benchmark docs excluded, flag matches threshold") {
+    val df = TextOps.t67Decontaminate(spark, sf).cache()
+    assert(df.filter(col("doc_id") < 10).count() == 0)
+    assert(df.filter(col("n_shared") > col("n_sh")).count() == 0)
+    assert(df.filter(col("contaminated") =!=
+      (col("n_shared") * 5 >= col("n_sh"))).count() == 0)
+    df.unpersist()
+  }
+
   test("v61 array hof: per-vector profile matches a driver-side recompute") {
     val df = VectorOps.v61ArrayHof(spark, sf)
     val row = df.filter(col("vec_id") === 0).head()
