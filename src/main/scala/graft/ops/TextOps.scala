@@ -214,7 +214,12 @@ object TextOps {
       min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % MinhashP)
         .as(s"s$i")
     }
+    // persist(): the compact signature table (one row of k longs per doc)
+    // feeds BOTH band self-join sides — without it the shingle scan + k-min
+    // aggregation executes twice (ReusedExchange does not bridge self-join
+    // branches; same finding as d25/d27)
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .persist()
     val bandStructs = (0 until MinhashBands).map { b =>
       val key = md5(concat_ws(",",
         (0 until MinhashK / MinhashBands).map(r => col(s"s${b * 4 + r}")): _*))
@@ -272,7 +277,12 @@ object TextOps {
     val sim = (0 until 32)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val hashes = votes.select(col("doc_id"), sim.as("simhash"))
+    // persist(): the compact (doc_id, simhash) table feeds BOTH candidate
+    // self-join sides — without it the whole scan+explode+32-vote aggregation
+    // executes twice (AQE's ReusedExchange does not bridge self-join
+    // branches here, same finding as d25). One row per doc, cheap to cache
+    // at any scale.
+    val hashes = votes.select(col("doc_id"), sim.as("simhash")).persist()
     val tableStructs = (0 until SimhashTables).map { t =>
       struct(lit(t).as("tbl"),
         shiftright(rot32(col("simhash"), 8 * t), 16).as("bucket"))
@@ -311,23 +321,11 @@ object TextOps {
   def t47Repetition(s: SparkSession, d: String): DataFrame = {
     def trunc4(c: Column): Column = floor(c * 10000) / 10000
     val ws = words(col("text"))
-    val sorted = array_sort(ws)
-    // run-length scan: (prev word, current run, best run) over sorted words
-    val run = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val r = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), r.as("run"),
-          greatest(acc.getField("best"), r).as("best"))
-      },
-      acc => acc.getField("best"))
     documents(s, d)
       .select(col("doc_id"),
         size(ws).cast("long").as("n_words"),
         size(array_distinct(ws)).cast("long").as("n_distinct"),
-        run.as("top_cnt"))
+        maxRun(array_sort(ws)).as("top_cnt"))
       .withColumn("top_word_frac",
         trunc4(col("top_cnt").cast("double") / col("n_words")))
       .withColumn("dup_word_frac",
@@ -401,23 +399,28 @@ object TextOps {
     * arithmetic (`len >= 3*nw`, `top*5 <= nw`) so no float-boundary
     * divergence is possible between engines.
     */
+  /** Max same-word run length over a SORTED word array — the map-side
+    * top-word count shared by t47, t59, and t65 (deliberately NOT a
+    * groupBy(doc_id, word), which would shuffle every token).
+    */
+  private def maxRun(sortedWs: Column): Column = aggregate(
+    sortedWs,
+    struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+    (acc, x) => {
+      val r = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+        .otherwise(lit(1L))
+      struct(x.as("prev"), r.as("run"),
+        greatest(acc.getField("best"), r).as("best"))
+    },
+    acc => acc.getField("best"))
+
   def t59GopherFilter(s: SparkSession, d: String): DataFrame = {
     val ws = words(col("text"))
     val nWords = size(ws).cast("long")
     val compactLen = length(regexp_replace(col("text"), "\\s", "")).cast("long")
     val nStop = size(regexp_extract_all(lower(col("text")),
       lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long")
-    val sorted = array_sort(ws)
-    val topCnt = aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val r = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), r.as("run"),
-          greatest(acc.getField("best"), r).as("best"))
-      },
-      acc => acc.getField("best"))
+    val topCnt = maxRun(array_sort(ws))
     documents(s, d)
       .select(col("doc_id"), nWords.as("n_words"), compactLen.as("n_alpha"),
         nStop.as("n_stop"), topCnt.as("top_cnt"))
@@ -487,28 +490,36 @@ object TextOps {
     *                       min-doc_id labeled representative survives;
     *                       unclustered docs trivially survive).
     *
-    * Scale: stage 1 is map-only, stage 2 is one window on the fingerprint,
-    * stage 3 reuses the d26/d46 candidate machinery (equi-join candidates,
-    * O(log n)-round components); the final assembly is equi-joins on doc_id
-    * — each verdict column joins at most one row per doc.
+    * Scale: stages 1+2 come from ONE documents scan — the Gopher verdict is
+    * a map expression and the exact-dup keeper one window on the
+    * fingerprint, so no corpus-corpus join exists for them at all. Stage 3
+    * reuses the d26/d46 candidate machinery (equi-join candidates,
+    * O(log n)-round components) and joins back as a single
+    * shuffled-hash-hinted left join on doc_id (labels carry one row per
+    * CLUSTERED doc only — no sort, no SMJ).
     */
   def t65CleanPipeline(s: SparkSession, d: String): DataFrame = {
-    val gf = t59GopherFilter(s, d)
-      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("long")
+    val nAlpha = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long")
+    val keepQuality =
+      nWords >= 15 && nWords <= 100000 &&
+        nAlpha >= nWords * 3 && nAlpha <= nWords * 10 &&
+        nStop >= 1 && maxRun(array_sort(ws)) * 5 <= nWords
     val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-    val fpk = documents(s, d)
-      .select(col("doc_id"), md5(canon).as("fp"))
+    val base = documents(s, d)
+      .select(col("doc_id"), keepQuality.as("keep_quality"),
+        md5(canon).as("fp"))
       .withColumn("keep_exact",
         col("doc_id") === min("doc_id").over(Window.partitionBy("fp")))
-      .select("doc_id", "keep_exact")
     val labels = connectedComponents(
       d26MinhashLsh(s, d).select(col("d1"), col("d2")))
-    val kn = documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    base.join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_quality"), col("keep_exact"),
         (col("component").isNull || col("component") === col("doc_id"))
           .as("keep_neardup"))
-    gf.join(fpk, "doc_id").join(kn, "doc_id")
       .withColumn("kept",
         col("keep_quality") && col("keep_exact") && col("keep_neardup"))
       .orderBy("doc_id")
