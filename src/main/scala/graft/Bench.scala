@@ -11,9 +11,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warm-up outside the timed region: JIT + codegen + parquet
-    // footer caches otherwise land entirely on the first timed query.
+    // footer/page caches otherwise land entirely on the first timed query
+    // (alphabetically d24 — which made it look 8x its steady-state cost).
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    Seq("nation", "region", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings", "events").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
     // sorted: stable execution order across rounds (Map order is hash-based)
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
