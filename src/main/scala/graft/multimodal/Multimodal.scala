@@ -13,16 +13,19 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The image AND audio decode paths are REAL: image payloads are decoded
-  * with `javax.imageio` and audio payloads with `javax.sound.sampled` —
-  * both header-only (dimensions / frame counts come from the codec header
-  * without decompressing sample data, which is the right cost model for
-  * metadata extraction over billions of payloads). Video decode is the one
-  * remaining STUB (this environment ships no video codec libraries):
-  * `fakeDecode` derives pseudo-metadata from the payload hash. Swap it for
-  * a real decoder (e.g. JavaCV) without touching the plumbing — schema,
-  * partitioning, and batch iteration (`mapPartitions`, the Scala analog of
-  * `mapInPandas` batch UDFs) are identical for all three modalities.
+  * All three decode paths are REAL and header-only — the right cost model
+  * for metadata extraction over billions of payloads (never decompress
+  * sample data):
+  *  - image: `javax.imageio` codec-header read (PNG/JPEG/...);
+  *  - audio: `javax.sound.sampled` RIFF/WAV header read;
+  *  - video: a hand-rolled ISO BMFF (MP4) box parser — ftyp/moov/mvhd for
+  *    timescale+duration, trak/tkhd for the 16.16-fixed display dims,
+  *    stbl/stsz for the sample (frame) count. The box grammar is the
+  *    public ISO 14496-12 layout; a production deployment would swap in a
+  *    full demuxer (e.g. JavaCV) for non-trivial codecs without touching
+  *    the plumbing — schema, partitioning, and batch iteration
+  *    (`mapPartitions`, the Scala analog of `mapInPandas` batch UDFs) are
+  *    identical for all three modalities.
   */
 object Multimodal {
 
@@ -93,11 +96,84 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic display dims for the synthesized MP4 payloads. */
+  def synthVideoDims(id: Long): (Int, Int) =
+    (320 + (id % 4).toInt * 16, 240 + (id % 5).toInt * 16)
+
+  /** Deterministic frame count for the synthesized MP4 payloads. */
+  def synthVideoFrames(id: Long): Int = 48 + (id % 5).toInt * 24
+
+  /** Movie timescale (units/second) written into the synthesized MP4s. */
+  val SynthVideoTimescale = 600
+  /** Nominal frame rate of the synthesized MP4s. */
+  val SynthVideoFps = 24
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(typ.getBytes("US-ASCII"))
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** A real (minimal) MP4 byte payload: valid ISO BMFF box structure with
+    * ftyp + moov[mvhd + trak[tkhd + mdia[minf[stbl[stsz]]]]], deterministic
+    * in doc_id — so [[decodeMeta]]'s video path parses an actual container
+    * header.
+    */
+  private def synthMp4(id: Long): Array[Byte] = {
+    val (w, h) = synthVideoDims(id)
+    val frames = synthVideoFrames(id)
+    val durationUnits = frames * SynthVideoTimescale / SynthVideoFps
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0)                      // version/flags
+      bb.putInt(0).putInt(0)            // ctime, mtime
+      bb.putInt(SynthVideoTimescale)
+      bb.putInt(durationUnits)
+      bb.putInt(0x00010000)             // rate 1.0
+      bb.putShort(0x0100.toShort)       // volume 1.0
+      bb.position(bb.position() + 10)   // reserved
+      Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)             // unity matrix
+      bb.position(bb.position() + 24)   // pre_defined
+      bb.putInt(2)                      // next_track_ID
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0)                      // version/flags
+      bb.putInt(0).putInt(0)            // ctime, mtime
+      bb.putInt(1)                      // track_ID
+      bb.putInt(0)                      // reserved
+      bb.putInt(durationUnits)
+      bb.position(bb.position() + 16)   // reserved, layer, group, volume, pad
+      Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)
+      bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed display dims
+      bb.array()
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0)                      // version/flags
+      bb.putInt(1024)                   // constant sample_size (no table)
+      bb.putInt(frames)                 // sample_count
+      bb.array()
+    }
+    val stbl = mp4Box("stbl", mp4Box("stsz", stsz))
+    val mdia = mp4Box("mdia", mp4Box("minf", stbl))
+    val trak = mp4Box("trak", mp4Box("tkhd", tkhd) ++ mdia)
+    val moov = mp4Box("moov", mp4Box("mvhd", mvhd) ++ trak)
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isom".getBytes("US-ASCII"))
+    ftyp ++ moov
+  }
+
   /** Attach a binary media payload to each document: image rows get a real
-    * synthesized PNG, audio rows a real synthesized WAV (in production these
-    * columns come from the lakehouse as real media bytes — the pipeline
-    * shape is identical), video rows get opaque UTF-8 bytes for the stubbed
-    * decoder.
+    * synthesized PNG, audio rows a real synthesized WAV, video rows a real
+    * synthesized minimal MP4 (in production these columns come from the
+    * lakehouse as real media bytes — the pipeline shape is identical).
     */
   def attachPayload(docs: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
@@ -112,7 +188,7 @@ object Multimodal {
         id % 3 match {
           case 0 => Row(id, synthPng(id, text), "image/png")
           case 1 => Row(id, synthWav(id, text), "audio/wav")
-          case _ => Row(id, text.getBytes("UTF-8"), "video/mp4")
+          case _ => Row(id, synthMp4(id), "video/mp4")
         }
       }
     }(enc)
@@ -132,20 +208,42 @@ object Multimodal {
       else Some((frames, frames * 1000L / rate.toLong))
     } catch { case _: Exception => None }
 
-  /** STUB decode for video only: deterministic pseudo-metadata from the
-    * payload bytes. A real implementation decodes the codec header here;
-    * everything around it (batch shape, schema, null handling) is production
-    * plumbing.
+  /** Header-only video metadata via a minimal ISO BMFF (MP4) box walk:
+    * mvhd → timescale+duration, tkhd → display dims, stsz → frame count.
+    * Returns None on anything that does not parse as valid box structure.
     */
-  private def fakeDecode(payload: Array[Byte], mime: String)
-      : (Int, Int, Int, Long) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = 64 + math.abs(h % 1024)
-    val ht = 64 + math.abs((h / 1024) % 1024)
-    val frames = if (mime.startsWith("video")) 1 + math.abs(h % 240) else 1
-    val dur = if (mime.startsWith("image")) 0L else 1000L + math.abs(h % 60000)
-    (w, ht, frames, dur)
-  }
+  private def readVideoMeta(payload: Array[Byte])
+      : Option[(Int, Int, Int, Long)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      var timescale, duration, w, h, frames = -1
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val size = bb.getInt(pos)
+          if (size < 8 || pos + size > end) return
+          val typ = new String(payload, pos + 4, 4, "US-ASCII")
+          typ match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(pos + 8, pos + size)
+            case "mvhd" =>
+              timescale = bb.getInt(pos + 8 + 12)
+              duration = bb.getInt(pos + 8 + 16)
+            case "tkhd" =>
+              w = bb.getInt(pos + 8 + 76) >>> 16
+              h = bb.getInt(pos + 8 + 80) >>> 16
+            case "stsz" =>
+              frames = bb.getInt(pos + 8 + 8)
+            case _ => ()
+          }
+          pos += size
+        }
+      }
+      walk(0, payload.length)
+      if (timescale <= 0 || duration < 0 || w <= 0 || h <= 0 || frames < 0)
+        None
+      else Some((w, h, frames, duration.toLong * 1000L / timescale))
+    } catch { case _: Exception => None }
 
   /** Header-only image dimensions via an ImageIO reader — reads the codec
     * header, never decompresses pixels. Returns null on an undecodable
@@ -169,10 +267,11 @@ object Multimodal {
   }
 
   /** Decode metadata for every payload — batch-iterating mapPartitions (one
-    * decoder instance per partition, like a pandas-batch UDF). Image-mime
-    * rows are REALLY decoded (javax.imageio header read); an undecodable
-    * image payload yields null metadata — the corrupt-input marker — never
-    * fake numbers. Audio/video rows use the declared [[fakeDecode]] stub.
+    * decoder instance per partition, like a pandas-batch UDF). All three
+    * modalities are REALLY decoded header-only (ImageIO for images,
+    * javax.sound for WAV, the ISO BMFF box walk for MP4); an undecodable
+    * payload yields null metadata — the corrupt-input marker — never fake
+    * numbers.
     */
   def decodeMeta(withPayload: DataFrame): DataFrame = {
     val outSchema = StructType(
@@ -199,8 +298,11 @@ object Multimodal {
             case None => Row(id, payload, mime, null, null, null, null)
           }
         } else {
-          val (w, h, frames, dur) = fakeDecode(payload, mime)
-          Row(id, payload, mime, w, h, frames, dur)
+          readVideoMeta(payload) match {
+            case Some((w, h, frames, dur)) =>
+              Row(id, payload, mime, w, h, frames, dur)
+            case None => Row(id, payload, mime, null, null, null, null)
+          }
         }
       }
     }(enc)

@@ -49,6 +49,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video metadata is read from the real MP4 box structure") {
+    val rows = Multimodal.decodeMeta(Multimodal.attachPayload(docs))
+      .filter(col("mime") === "video/mp4").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = Multimodal.synthVideoDims(id)
+      val frames = Multimodal.synthVideoFrames(id)
+      assert(r.getAs[Int]("width") == w)
+      assert(r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("n_frames") == frames)
+      assert(r.getAs[Long]("duration_ms") ==
+        (frames.toLong * Multimodal.SynthVideoTimescale /
+          Multimodal.SynthVideoFps) * 1000L / Multimodal.SynthVideoTimescale)
+      // and the payload really is ISO BMFF: box 1 is ftyp/isom
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(new String(p.slice(4, 8), "US-ASCII") == "ftyp")
+      assert(new String(p.slice(8, 12), "US-ASCII") == "isom")
+    }
+  }
+
+  test("undecodable video payload yields null metadata, not fake numbers") {
+    val s = spark
+    import s.implicits._
+    val corrupt = Seq((9L, "not an mp4 at all".getBytes("UTF-8"), "video/mp4"))
+      .toDF("doc_id", "payload", "mime")
+    val row = Multimodal.decodeMeta(corrupt).collect().head
+    assert(row.isNullAt(row.fieldIndex("width")))
+    assert(row.isNullAt(row.fieldIndex("n_frames")))
+    assert(row.isNullAt(row.fieldIndex("duration_ms")))
+  }
+
   test("undecodable audio payload yields null metadata, not fake numbers") {
     val s = spark
     import s.implicits._
