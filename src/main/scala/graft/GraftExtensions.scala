@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, NfcNormalize}
 
 /** Session-extensions entry point — the deployment hook for clusters:
   *
@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException(
           "dot_product(a, b) takes exactly two arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize(s) takes exactly one argument")
       }))
   }
 }

@@ -84,6 +84,11 @@ object SparkEntry {
     "t65_clean_pipeline" -> (TextOps.t65CleanPipeline _),
     "t66_hash_split" -> (TextOps.t66HashSplit _),
     "t67_decontaminate" -> (TextOps.t67Decontaminate _),
+    "t68_nfc_normalize" -> (TextOps.t68NfcNormalize _),
+    "t69_pack_sequences" -> (TextOps.t69PackSequences _),
+    "t70_stratified_sample" -> (TextOps.t70StratifiedSample _),
+    "t71_tfidf_topterms" -> (TextOps.t71TfidfTopTerms _),
+    "t72_temp_mixing" -> (TextOps.t72TempMixing _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -574,5 +579,83 @@ object SparkEntry {
                  CAST(unnest(embedding) AS DOUBLE) AS v
                FROM embeddings) t
          GROUP BY label, dim ORDER BY label, dim""",
+    "t68_nfc_normalize" ->
+      """WITH r AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 2 = 0
+               THEN ' caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233)
+               ELSE ' cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769)
+             END AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm,
+           nfc_normalize(raw) <> raw AS changed,
+           md5(nfc_normalize(raw)) AS fp_norm
+         FROM r ORDER BY doc_id""",
+    "t69_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 16 AS shard,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_tok
+           FROM t)
+         SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
+           start_tok % 512 AS pack_offset
+         FROM c ORDER BY doc_id""",
+    "t70_stratified_sample" ->
+      """SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 12))::BIGINT
+             % 100 AS bucket,
+           CAST(CASE WHEN lang = 'en' THEN 40
+                WHEN lang = 'zh' THEN 70
+                ELSE 100 END AS BIGINT) AS rate
+         FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 12))::BIGINT
+             % 100
+           < CASE WHEN lang = 'en' THEN 40
+                  WHEN lang = 'zh' THEN 70
+                  ELSE 100 END
+         ORDER BY doc_id""",
+    "t71_tfidf_topterms" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             (n.n_docs * 100) // df.df AS idf_q,
+             tf.tf * ((n.n_docs * 100) // df.df) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (
+           SELECT *, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rn
+           FROM scored)
+         SELECT doc_id, term, tf, idf_q, score, rn
+         FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "t72_temp_mixing" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         m AS (SELECT min(n_docs) AS n_min FROM c),
+         r AS (SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1000) AS BIGINT)
+               AS keep_permille
+           FROM c CROSS JOIN m),
+         k AS (SELECT d.lang, count(*) AS n_kept
+           FROM documents d JOIN r USING (lang)
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 12))::BIGINT
+               % 1000
+             < keep_permille
+           GROUP BY 1)
+         SELECT lang, n_docs, keep_permille, n_kept
+         FROM r JOIN k USING (lang) ORDER BY lang""",
   )
 }

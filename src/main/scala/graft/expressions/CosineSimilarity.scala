@@ -131,7 +131,8 @@ object GraftFunctions {
     // already registered in this session: skip (avoids a WARN per call —
     // every VectorOps query invokes register, 40+ times per Bench run)
     if (reg.functionExists(FunctionIdentifier("cosine_sim")) &&
-      reg.functionExists(FunctionIdentifier("dot_product"))) return
+      reg.functionExists(FunctionIdentifier("dot_product")) &&
+      reg.functionExists(FunctionIdentifier("nfc_normalize"))) return
     reg.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -147,6 +148,14 @@ object GraftFunctions {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException(
           "dot_product(a, b) takes exactly two arguments")
+      })
+    reg.registerFunction(
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize(s) takes exactly one argument")
       })
   }
 }

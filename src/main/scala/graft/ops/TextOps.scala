@@ -668,6 +668,150 @@ object TextOps {
     labels
   }
 
+  /** Unicode NFC normalization via the native `nfc_normalize` expression
+    * ([[graft.expressions.NfcNormalize]] — codegen'd, no UDF boundary).
+    * Web-crawled corpora carry the same visible text both composed (U+00E9)
+    * and decomposed (U+0065 U+0301); unless canonicalized first, every
+    * downstream fingerprint/shingle/dedup operator treats the two as
+    * different documents. The synthetic docs are ASCII, so a deterministic
+    * mixed-form suffix keyed on doc_id parity exercises the real
+    * normalization path: even docs get the composed form, odd docs the
+    * decomposed one, and after NFC both collapse to identical bytes —
+    * exactly the property that makes post-NFC fingerprints dedup-safe.
+    *
+    * Scale: pure map-side; the `Normalizer.isNormalized` fast path makes
+    * the overwhelmingly-ASCII common case a scan with zero allocation.
+    */
+  def t68NfcNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    documents(s, d)
+      .withColumn("raw",
+        concat(col("text"),
+          // even docs: composed U+00E9; odd docs: decomposed U+0065 U+0301
+          when(col("doc_id") % 2 === 0, lit(" caf\u00E9 r\u00E9sum\u00E9"))
+            .otherwise(lit(" cafe\u0301 re\u0301sume\u0301"))))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(expr("nfc_normalize(raw)")).cast("long").as("n_norm"),
+        (expr("nfc_normalize(raw)") =!= col("raw")).as("changed"),
+        md5(expr("nfc_normalize(raw)")).as("fp_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Greedy contiguous sequence packing — the pretraining step that
+    * concatenates the token stream and slices it into fixed-size context
+    * windows; each document is assigned the pack its first token lands in
+    * (pack = exclusive-cumsum(tokens) div budget).
+    *
+    * Scale: a single global token stream would mean a one-partition window
+    * (the classic scale-killer). Documents are instead sharded by hash into
+    * independent streams and each shard packs its own token stream, so the
+    * window partitions by shard and parallelizes to any executor count
+    * while staying fully deterministic.
+    */
+  def t69PackSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 512L
+    val toks = documents(s, d).select(col("doc_id"),
+      pmod(col("doc_id"), lit(16L)).as("shard"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / budget.toDouble).cast("long").as("pack_id"),
+        (col("start_tok") % budget).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates (downsample
+    * the dominant language, keep the tail — the standard corpus-mixing
+    * lever) applied via the same md5-bucket construction as t66. The draw
+    * is a pure function of doc_id, so re-sampling after a corpus append
+    * never reshuffles previously-sampled docs — unlike `sample()`, whose
+    * per-partition RNG changes assignment with partitioning.
+    *
+    * Scale: map-only. The rate table is a literal CASE here; production
+    * would broadcast-join a config table — same plan shape.
+    */
+  def t70StratifiedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        h48(concat(col("doc_id").cast("string"), lit(":strat"))) % 100)
+      .withColumn("rate",
+        when(col("lang") === "en", 40L)
+          .when(col("lang") === "zh", 70L)
+          .otherwise(100L))
+      .filter(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "bucket", "rate")
+      .orderBy("doc_id")
+
+  /** TF-IDF top-terms per document with an integer-quantized IDF
+    * (idf_q = (N*100) div df). Floating-point log() is not IEEE-pinned
+    * across engines, so the quantized integer form keeps scores exactly
+    * reproducible everywhere while preserving the rarity ordering; ties
+    * break on the term itself.
+    *
+    * Scale: the corpus explodes to (doc, term) once; tf and df are both
+    * partial-agg shuffles on bounded keys; N is a one-row broadcast; the
+    * per-doc top-k is a window over tf's own doc partitioning. The df side
+    * shuffles on term (a real vocabulary cannot broadcast), which is the
+    * plan a 1000-executor run wants.
+    */
+  def t71TfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_q", expr("(n_docs * 100) div df"))
+      .withColumn("score", col("tf") * col("idf_q"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "tf", "idf_q", "score", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Temperature-based corpus mixing (T=0.5): re-weight languages so the
+    * sampled corpus moves from the natural distribution p toward
+    * p^0.5/Σp^0.5 — the standard lever against dominant-language crowd-out
+    * in multilingual pretraining. For T=0.5 the keep rate has the closed
+    * form r_s = sqrt(n_min/n_s) (rarest language kept whole), which avoids
+    * normalizing by a cross-group float sum — summation order is not
+    * deterministic across engines, but sqrt and division are IEEE-pinned.
+    * The per-doc draw reuses the t66/t70 md5-bucket construction
+    * (append-stable, partitioning-independent).
+    *
+    * Scale: one partial-agg count per language (broadcast back), one
+    * map-side draw over the corpus, one partial-agg kept-count. No join
+    * moves corpus volume.
+    */
+  def t72TempMixing(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min("n_docs").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("keep_permille",
+        floor(sqrt(col("n_min").cast("double") / col("n_docs")) * 1000)
+          .cast("long"))
+      .select("lang", "n_docs", "keep_permille")
+    val kept = docs
+      .select(col("doc_id"), col("lang"),
+        (h48(concat(col("doc_id").cast("string"), lit(":mix"))) % 1000)
+          .as("bucket"))
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("keep_permille"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, "lang")
+      .select("lang", "n_docs", "keep_permille", "n_kept")
+      .orderBy("lang")
+  }
+
   /** With pointer jumping the label frontier doubles per round, so 50 rounds
     * cover components of diameter ~2^50; the cap exists to fail loudly on a
     * logic bug, not to bound real graphs.

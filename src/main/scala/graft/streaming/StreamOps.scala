@@ -85,6 +85,35 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming benchmark decontamination — the stream-static twin of batch
+    * t67 ([[graft.ops.TextOps.t67Decontaminate]]): incoming documents are
+    * 3-gram-shingled map-side and joined against a STATIC benchmark-shingle
+    * table (broadcast — an eval set is small by definition), then per-doc
+    * overlap counts aggregate under the event-time watermark so the state
+    * store stays bounded on an unbounded feed. Emits (window, doc_id,
+    * n_shared) per contaminated document in append mode once its watermark
+    * passes — the shape a live ingestion pipeline needs to quarantine
+    * benchmark-leaking docs before they reach training storage.
+    * Input docs need (doc_id, ts, text); benchShingles needs (sh).
+    */
+  def decontaminateStream(docs: DataFrame, benchShingles: DataFrame,
+      watermarkDelay: String = "10 minutes", minShared: Long = 1L)
+      : DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val sh = docs
+      .withWatermark("ts", watermarkDelay)
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(ws) - 2),
+          i => array_join(slice(ws, i, lit(3)), " ")))).as("sh"))
+    sh.join(broadcast(benchShingles.select("sh")), Seq("sh"))
+      .groupBy(window(col("ts"), "10 minutes"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
+  }
+
   /** Watermarked stream-stream interval join: attribute each purchase to the
     * same user's clicks in the preceding `intervalSql` (event-time range
     * condition). Both sides carry watermarks AND the join condition bounds

@@ -19,4 +19,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
   }
+
+  test("nfc_normalize resolves via extensions and composes decomposed text") {
+    val fresh = spark.newSession()
+    // 'e' + U+0301 combining acute must compose to U+00E9
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00E9"
+    val r = fresh.sql(
+      s"SELECT nfc_normalize('$decomposed') AS n, length('$decomposed') AS lr")
+      .head()
+    assert(r.getString(0) == composed)
+    assert(r.getString(0).length == 4 && r.getInt(1) == 5)
+    // ASCII fast path returns the input unchanged
+    assert(fresh.sql("SELECT nfc_normalize('plain ascii') AS n")
+      .head().getString(0) == "plain ascii")
+  }
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.betfair.SparkSpec
+
+/** Invariant specs for the third round-5 batch (t68 NFC normalize, t69
+  * sequence packing, t70 stratified sampling, t71 TF-IDF top-terms). Exact
+  * values are covered by the DuckDB oracle gate; these assert the semantic
+  * contracts a hash compare alone would not explain if broken.
+  */
+class TrainingPipelineOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t68 nfc: odd (decomposed) docs change, even (composed) don't") {
+    val df = TextOps.t68NfcNormalize(spark, sf).cache()
+    assert(df.filter(col("doc_id") % 2 === 1 && !col("changed")).count() == 0)
+    assert(df.filter(col("doc_id") % 2 === 0 && col("changed")).count() == 0)
+    // NFC removes exactly the 3 combining marks of the decomposed suffix
+    assert(df.filter(col("doc_id") % 2 === 1 &&
+      col("n_norm") =!= col("n_raw") - 3).count() == 0)
+    assert(df.filter(col("doc_id") % 2 === 0 &&
+      col("n_norm") =!= col("n_raw")).count() == 0)
+    // the normalization stays inside whole-stage codegen (native expression,
+    // no UDF/eval boundary)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"nfc path fell out of codegen:\n$plan")
+    df.unpersist()
+  }
+
+  test("t69 packing: offsets bounded, streams contiguous per shard") {
+    val df = TextOps.t69PackSequences(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("pack_offset") < 0 ||
+      col("pack_offset") >= 512).count() == 0)
+    // each shard's first doc starts pack 0 at offset 0
+    val firsts = df.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    assert(firsts.filter(col("pack_id") =!= 0 ||
+      col("pack_offset") =!= 0).count() == 0)
+    // the packing is gap-free: total tokens per shard == last start + last n
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy(col("doc_id").desc)
+    val lastRows = df
+      .withColumn("start_tok", col("pack_id") * 512 + col("pack_offset"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("shard"), (col("start_tok") + col("n_tokens")).as("end_tok"))
+    val totals = df.groupBy("shard").agg(sum("n_tokens").as("tot"))
+    assert(lastRows.join(totals, "shard")
+      .filter(col("end_tok") =!= col("tot")).count() == 0)
+    df.unpersist()
+  }
+
+  test("t69 plan: the packing window partitions by shard, not globally") {
+    val df = TextOps.t69PackSequences(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // a global-stream formulation would show an empty partition spec and
+    // move the corpus through one task — the 100 TB failure mode
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"packing window is not shard-partitioned:\n$plan")
+  }
+
+  test("t71 plan: vocabulary join shuffles on term, no cartesian blowup") {
+    val df = TextOps.t71TfidfTopTerms(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"tfidf planned a cartesian product:\n$plan")
+    // the only nested-loop join allowed is the single-row N broadcast
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$plan")
+  }
+
+  test("t70 stratified sample: kept rows obey their stratum rate") {
+    val df = TextOps.t70StratifiedSample(spark, sf).cache()
+    assert(df.filter(col("bucket") >= col("rate")).count() == 0)
+    // non-downsampled strata are kept in full
+    val langs = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langs.keys.filterNot(l => l == "en" || l == "zh").foreach { l =>
+      assert(kept.getOrElse(l, 0L) == langs(l), s"stratum $l not kept whole")
+    }
+    // downsampled strata actually shrank (md5 buckets spread uniformly
+    // enough that a 40% rate cannot retain everything)
+    assert(kept.getOrElse("en", 0L) < langs("en"))
+    df.unpersist()
+  }
+
+  test("t72 mixing: rarest lang kept whole, rates monotone in corpus share") {
+    val df = TextOps.t72TempMixing(spark, sf).cache()
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the minimum-count language gets permille 1000 (kept whole, modulo
+    // nothing: bucket < 1000 always holds)
+    val minLang = rows.minBy(_._2)
+    assert(minLang._3 == 1000L && minLang._4 == minLang._2,
+      s"rarest stratum not kept whole: $minLang")
+    // bigger corpus share => smaller keep rate (temperature flattening)
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3, s"rates not monotone: $a $b")
+      case _ =>
+    }
+    // kept counts never exceed originals
+    assert(rows.forall(r => r._4 <= r._2))
+    df.unpersist()
+  }
+
+  test("t71 tfidf: top-3 per doc, scores ranked, idf floor is 100") {
+    val df = TextOps.t71TfidfTopTerms(spark, sf).cache()
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).count() == 0)
+    assert(df.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+    // score must be non-increasing with rank inside a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rn")
+    val bad = df.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() == 0)
+    // df <= N  =>  idf_q = (N*100) div df >= 100
+    assert(df.filter(col("idf_q") < 100).count() == 0)
+    assert(df.filter(col("score") =!= col("tf") * col("idf_q")).count() == 0)
+    df.unpersist()
+  }
+}

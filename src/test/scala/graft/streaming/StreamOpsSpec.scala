@@ -53,6 +53,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Set(1L, 4L))
   }
 
+  test("stream-static decontamination flags docs overlapping the eval set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    // static benchmark shingles (3-grams of the protected eval text)
+    val bench = Seq("the quick brown", "quick brown fox").toDF("sh")
+    val q = StreamOps.decontaminateStream(docs, bench, "5 minutes")
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    mem.addData(
+      (t(0), 1L, "the quick brown fox jumps"), // 2 shared shingles
+      (t(1), 2L, "a completely unrelated document body"),
+      (t(2), 3L, "short one")) // under 3 words after gate
+    q.processAllAvailable()
+    // advance the watermark past the window so append emits
+    mem.addData((t(30), 99L, "late watermark advancer text"))
+    q.processAllAvailable()
+    val out = s.sql("select doc_id, n_shared from decon").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(out == Map(1L -> 2L), s"got $out")
+  }
+
   test("stream-stream attribution join bounds clicks to the prior hour") {
     val s = spark
     import s.implicits._
