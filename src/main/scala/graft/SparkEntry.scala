@@ -89,6 +89,8 @@ object SparkEntry {
     "t70_stratified_sample" -> (TextOps.t70StratifiedSample _),
     "t71_tfidf_topterms" -> (TextOps.t71TfidfTopTerms _),
     "t72_temp_mixing" -> (TextOps.t72TempMixing _),
+    "q73_topk_agg" -> (Relational.q73TopKAgg _),
+    "v74_scalar_quant" -> (VectorOps.v74ScalarQuant _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -657,5 +659,32 @@ object SparkEntry {
            GROUP BY 1)
          SELECT lang, n_docs, keep_permille, n_kept
          FROM r JOIN k USING (lang) ORDER BY lang""",
+    "q73_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "v74_scalar_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
+                 len(v) AS n_dims
+               FROM e),
+         c AS (SELECT vec_id, lo, hi, n_dims,
+             list_transform(v, x -> CAST(least(floor((x - lo) * 255 / (hi - lo)), 255)
+               AS INTEGER)) AS codes,
+             list_transform(v, x -> abs(x - (lo +
+               (CAST(least(floor((x - lo) * 255 / (hi - lo)), 255) AS INTEGER) + 0.5)
+                 * ((hi - lo) / 255)))) AS errs
+           FROM b)
+         SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+           floor(lo * 10000) / 10000 AS lo4,
+           floor(hi * 10000) / 10000 AS hi4,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           floor(list_max(errs) * 10000) / 10000 AS max_err4,
+           floor(list_sum(errs) / n_dims * 10000) / 10000 AS mean_err4
+         FROM c ORDER BY vec_id""",
   )
 }

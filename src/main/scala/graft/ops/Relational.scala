@@ -622,4 +622,30 @@ object Relational {
           abs(col("_p95_sketch") - col("p95_exact")) <= col("p95_exact") * 0.01)
       .drop("_p50_sketch", "_p95_sketch")
       .orderBy("l_returnflag")
+
+  /** q06's top-3-per-customer re-expressed through the k-bounded
+    * [[TopKByValue]] aggregator: identical result, different physical
+    * contract. The window form shuffles every order row and sorts per
+    * customer; this form partial-aggregates map-side, so at most k entries
+    * per (customer, partition) reach the shuffle — O(groups × k) wire
+    * volume instead of O(rows), and no full per-group sort. The plan shows
+    * ObjectHashAggregate(partial) → exchange → ObjectHashAggregate(final)
+    * with no Window/Sort over the fact table (asserted in
+    * TrainingPipelineOpsSpec).
+    */
+  def q73TopKAgg(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new TopKByValue(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("topk"))
+      .select(col("o_custkey"), posexplode(col("topk")))
+      .select(col("o_custkey"),
+        col("col._2").as("o_orderkey"),
+        col("col._1").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
 }

@@ -762,7 +762,12 @@ object TextOps {
     val docs = documents(s, d)
     val terms = docs.select(col("doc_id"),
       explode(words(col("text"))).as("term"))
+    // tf feeds BOTH the df aggregation and the scored join; without the
+    // persist the corpus explode + tf aggregation execute twice (AQE's
+    // ReusedExchange does not bridge the two consumers — same finding as
+    // the d25/d26/d27 signature tables)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term")
@@ -795,11 +800,14 @@ object TextOps {
     val docs = documents(s, d)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val nmin = counts.agg(min("n_docs").as("n_min"))
+    // rates (one row per language) feeds both the draw join and the final
+    // result join — persist so the counts subtree runs once, not per branch
     val rates = counts.crossJoin(broadcast(nmin))
       .withColumn("keep_permille",
         floor(sqrt(col("n_min").cast("double") / col("n_docs")) * 1000)
           .cast("long"))
       .select("lang", "n_docs", "keep_permille")
+      .persist()
     val kept = docs
       .select(col("doc_id"), col("lang"),
         (h48(concat(col("doc_id").cast("string"), lit(":mix"))) % 1000)

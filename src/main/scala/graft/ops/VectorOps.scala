@@ -388,6 +388,45 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Per-vector int8 scalar quantization — the 4×-storage-compression step
+    * an embedding store runs before ANN serving (float32 → uint8 per dim,
+    * per-vector min/max range): quantize, dequantize, and report the
+    * reconstruction-error profile that decides whether int8 is acceptable
+    * for the corpus. Entirely map-side (higher-order transform/zip_with in
+    * codegen, no shuffle).
+    *
+    * Determinism: codes are floor((v-lo)·255/(hi-lo)) clamped to 255 —
+    * floor of IEEE-pinned arithmetic, no round() (HALF_UP vs HALF_EVEN
+    * differs across engines). Error stats divide by the dimension count and
+    * truncate at 4dp.
+    */
+  def v74ScalarQuant(s: SparkSession, d: String): DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    val lo = array_min(vd)
+    val hi = array_max(vd)
+    val scale = (hi - lo) / 255d
+    // code per dim; the max element lands exactly on 255 via the clamp
+    val codes = transform(vd, v =>
+      least(floor((v - lo) * 255d / (hi - lo)), lit(255d)).cast("int"))
+    val dequant = transform(codes, c => lo + (c.cast("double") + 0.5d) * scale)
+    val errs = zip_with(vd, dequant, (a, b) => abs(a - b))
+    embeddings(s, d)
+      .select(col("vec_id"), lo.as("lo"), hi.as("hi"),
+        codes.as("codes"), errs.as("errs"), size(vd).as("n_dims"))
+      .select(
+        col("vec_id"),
+        col("n_dims").cast("long").as("n_dims"),
+        floor(col("lo") * 10000) / 10000 as "lo4",
+        floor(col("hi") * 10000) / 10000 as "hi4",
+        // code histogram ends: how much of the uint8 range the vector uses
+        array_min(col("codes")).cast("long").as("code_min"),
+        array_max(col("codes")).cast("long").as("code_max"),
+        floor(array_max(col("errs")) * 10000) / 10000 as "max_err4",
+        floor(aggregate(col("errs"), lit(0.0d), (a, x) => a + x)
+          / col("n_dims") * 10000) / 10000 as "mean_err4")
+      .orderBy("vec_id")
+  }
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash) — the schema/partitioning shape for
     * image/audio columns; decode itself is stubbed (see

@@ -93,6 +93,42 @@ class TrainingPipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q73 topk aggregator: matches the window form, plans as partial agg") {
+    val viaAgg = Relational.q73TopKAgg(spark, sf)
+    val viaWindow = Relational.q06WindowTopN(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    // identical rows (q06 selects the same four columns, different order)
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+    // the scale contract: partial ObjectHashAggregate before the exchange,
+    // no Window/Sort over the full fact table
+    viaAgg.count()
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"aggregator did not plan as object hash aggregate:\n$plan")
+    assert("partial_topkbyvalue".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"no partial (map-side) aggregation in plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+  }
+
+  test("v74 scalar quant: full uint8 range used, error bounded by half-step") {
+    val df = VectorOps.v74ScalarQuant(spark, sf).cache()
+    assert(df.count() > 0)
+    // the per-vector min/max endpoints map to code 0 and 255 by construction
+    assert(df.filter(col("code_min") =!= 0 || col("code_max") =!= 255)
+      .count() == 0)
+    // mid-bucket dequantization: error can never exceed one bucket width
+    val bad = df.filter(
+      col("max_err4") > (col("hi4") - col("lo4")) / 255 + 0.0002)
+    assert(bad.count() == 0)
+    assert(df.filter(col("mean_err4") > col("max_err4")).count() == 0)
+    // map-only: no aggregation/join shuffle (the only exchange allowed is
+    // the final deterministic ORDER BY's range partitioning)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"v74 shuffled:\n$plan")
+    df.unpersist()
+  }
+
   test("t72 mixing: rarest lang kept whole, rates monotone in corpus share") {
     val df = TextOps.t72TempMixing(spark, sf).cache()
     val rows = df.collect().map(r =>
