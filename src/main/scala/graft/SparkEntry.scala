@@ -91,6 +91,7 @@ object SparkEntry {
     "t72_temp_mixing" -> (TextOps.t72TempMixing _),
     "q73_topk_agg" -> (Relational.q73TopKAgg _),
     "v74_scalar_quant" -> (VectorOps.v74ScalarQuant _),
+    "t75_collocations" -> (TextOps.t75Collocations _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -686,5 +687,24 @@ object SparkEntry {
            floor(list_max(errs) * 10000) / 10000 AS max_err4,
            floor(list_sum(errs) / n_dims * 10000) / 10000 AS mean_err4
          FROM c ORDER BY vec_id""",
+    "t75_collocations" ->
+      """WITH arr AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS v
+           FROM documents),
+         u AS (SELECT doc_id, unnest(v) AS w,
+                 generate_subscripts(v, 1) AS i
+               FROM arr),
+         bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS cnt_xy
+                FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+         uni AS (SELECT w, count(*) AS cnt FROM u GROUP BY 1),
+         n AS (SELECT count(*) AS n_tok FROM u)
+         SELECT w1, w2, cnt_xy, x.cnt AS cnt_x, y.cnt AS cnt_y,
+           (cnt_xy * 100 * n.n_tok) // (x.cnt * y.cnt) AS pmi_q
+         FROM bg
+           JOIN uni x ON bg.w1 = x.w
+           JOIN uni y ON bg.w2 = y.w
+           CROSS JOIN n
+         ORDER BY pmi_q DESC, w1, w2 LIMIT 20""",
   )
 }

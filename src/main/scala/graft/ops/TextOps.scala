@@ -820,6 +820,48 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** PMI collocation mining: the phrase-detection pass (word2vec-phrases /
+    * tokenizer-vocab style) that finds word pairs occurring together far
+    * more than chance — top-20 bigrams by pointwise mutual information with
+    * support ≥ 3. PMI is integer-quantized (cnt_xy·100·N div cnt_x·cnt_y —
+    * the argument of the log, monotone in PMI, so the ranking is identical)
+    * to stay bit-reproducible across engines; ties break on the words.
+    *
+    * Scale: bigrams are built MAP-SIDE (zip_with of the word array against
+    * its own tail — no self-join on token position); bigram and unigram
+    * counts are partial-agg shuffles; the unigram vocabulary feeds both the
+    * w1 and w2 joins and is persisted (it cannot broadcast at real corpus
+    * scale, so both joins shuffle on the word key — the correct plan). The
+    * BIGINT pmi numerator holds to ~10^18; a 100 TB corpus (10^12 tokens ×
+    * 10^6 pair counts) needs DECIMAL(38,0) — the same expression tree with
+    * one cast.
+    */
+  def t75Collocations(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val pairs = documents(s, d)
+      .select(explode(zip_with(
+        ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+    val bgc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_xy"))
+      .filter(col("cnt_xy") >= 3)
+    val uni = documents(s, d)
+      .select(explode(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val n = uni.agg(sum("cnt").as("n_tok"))
+    bgc
+      .join(uni.select(col("w").as("w1"), col("cnt").as("cnt_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("cnt_y")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_q",
+        expr("(cnt_xy * 100 * n_tok) div (cnt_x * cnt_y)"))
+      .select("w1", "w2", "cnt_xy", "cnt_x", "cnt_y", "pmi_q")
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** With pointer jumping the label frontier doubles per round, so 50 rounds
     * cover components of diameter ~2^50; the cap exists to fail loudly on a
     * logic bug, not to bound real graphs.

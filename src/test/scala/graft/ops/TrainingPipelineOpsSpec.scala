@@ -129,6 +129,20 @@ class TrainingPipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t75 collocations: support floor holds, pmi ranking is monotone") {
+    val rows = TextOps.t75Collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (cxy, cx, cy) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cxy >= 3, s"support floor violated: $r")
+      // a pair cannot occur more often than either of its words
+      assert(cx >= cxy && cy >= cxy, s"marginals inconsistent: $r")
+    }
+    val pmis = rows.map(_.getLong(5))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "pmi not sorted descending")
+  }
+
   test("t72 mixing: rarest lang kept whole, rates monotone in corpus share") {
     val df = TextOps.t72TempMixing(spark, sf).cache()
     val rows = df.collect().map(r =>
