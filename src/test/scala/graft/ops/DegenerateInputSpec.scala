@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.betfair.{Fixtures, SparkSpec}
+
+/** Degenerate-corpus hardening: real crawled corpora carry null texts, empty
+  * strings, whitespace-only and single-token documents. Every text operator
+  * must process such a corpus without throwing and with sensible per-doc
+  * verdicts (degenerate docs drop out of token-dependent results rather
+  * than poisoning them). The driver tables are clean, so this spec builds
+  * its own dirty corpus.
+  */
+class DegenerateInputSpec extends SparkSpec {
+
+  private lazy val dirtyDir: String = {
+    val dir = Fixtures.tempDir("graft-dirty").toString
+    val s = spark
+    import s.implicits._
+    Seq[(java.lang.Long, String, String, String, java.lang.Long)](
+      (1L, null, "en", "src0", null),
+      (2L, "", "en", "src0", 0L),
+      (3L, "   ", "de", "src1", 3L),
+      (4L, "single", "fr", "src1", 6L),
+      (5L, "two words", "en", "src0", 9L),
+      (6L, "a normal document with enough words to pass the basic gates " +
+        "of the quality and chunking operators in the library", "en",
+        "src0", 113L),
+      (7L, "a normal document with enough words to pass the basic gates " +
+        "of the quality and chunking operators in the library", "zh",
+        "src1", 113L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Seq(0.0f, 0.0f), 0), (2L, Seq(1.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("token/quality/fingerprint ops survive null and empty texts") {
+    val tok = TextOps.t20TokenCount(spark, dirtyDir).collect()
+    // null text drops out (null metrics filtered nowhere, but null rows
+    // must not throw); the rest produce defined counts
+    assert(tok.length >= 5)
+    val fp = TextOps.t23Fingerprint(spark, dirtyDir)
+    assert(fp.count() >= 5)
+    val q = TextOps.t21Quality(spark, dirtyDir)
+    assert(q.count() >= 5)
+  }
+
+  test("dedup family treats the two identical real docs as duplicates") {
+    // two groups: the identical real docs (6,7) AND the empty/whitespace
+    // pair (2,3), whose canonical forms both collapse to "" — degenerate
+    // docs dedup against each other, not against real content
+    val d24 = TextOps.d24ExactDedup(spark, dirtyDir)
+      .filter(col("n_docs") >= 2)
+    assert(d24.count() == 2)
+    val lsh = TextOps.d26MinhashLsh(spark, dirtyDir).collect()
+    assert(lsh.exists(r => r.getLong(0) == 6L && r.getLong(1) == 7L),
+      s"6/7 near-dup pair missed: ${lsh.mkString(",")}")
+  }
+
+  test("chunking/packing ops ignore sub-threshold docs without throwing") {
+    // passage dedup needs >= chunk-width words; the dirty corpus has two
+    // identical qualifying docs, so their chunks collide
+    val d57 = TextOps.d57PassageDedup(spark, dirtyDir)
+    assert(d57.count() > 0)
+    val t69 = TextOps.t69PackSequences(spark, dirtyDir).collect()
+    // null-text doc: token count is null-safe — doc must either appear
+    // with a defined n_tokens or be absent; no row may carry a null shard
+    assert(t69.forall(r => !r.isNullAt(1)))
+    val t75 = TextOps.t75Collocations(spark, dirtyDir).collect()
+    // the repeated long doc supplies bigrams with support >= 2 docs; the
+    // support floor of 3 may legitimately yield an empty result — the
+    // contract is "no throw", not "non-empty"
+    assert(t75.forall(_.getLong(2) >= 3))
+  }
+
+  test("mixing/stats ops keep partitions consistent on the dirty corpus") {
+    val stats = TextOps.t58SourceStats(spark, dirtyDir)
+    val total = stats.agg(sum("n_docs")).head().getLong(0)
+    assert(total == 7L)
+    val mix = TextOps.t72TempMixing(spark, dirtyDir).collect()
+    assert(mix.forall(r => r.getLong(3) <= r.getLong(1)))
+  }
+}
