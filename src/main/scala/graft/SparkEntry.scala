@@ -92,6 +92,7 @@ object SparkEntry {
     "q73_topk_agg" -> (Relational.q73TopKAgg _),
     "v74_scalar_quant" -> (VectorOps.v74ScalarQuant _),
     "t75_collocations" -> (TextOps.t75Collocations _),
+    "v76_matryoshka_recall" -> (VectorOps.v76MatryoshkaRecall _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -706,5 +707,30 @@ object SparkEntry {
            JOIN uni y ON bg.w2 = y.w
            CROSS JOIN n
          ORDER BY pmi_q DESC, w1, w2 LIMIT 20""",
+    "v76_matryoshka_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (SELECT query_id, vec_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cf,
+             list_dot_product(qv[1:16], cv[1:16])
+               / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                  * sqrt(list_dot_product(cv[1:16], cv[1:16]))) AS ct
+           FROM q, c WHERE vec_id <> query_id),
+         rf AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id) AS r
+                FROM s),
+         rt AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY ct DESC, vec_id) AS r
+                FROM s),
+         o AS (SELECT rf.query_id, count(*) AS recall10
+               FROM rf JOIN rt ON rf.query_id = rt.query_id
+                              AND rf.vec_id = rt.vec_id
+               WHERE rf.r <= 10 AND rt.r <= 10
+               GROUP BY 1)
+         SELECT q.query_id, CAST(COALESCE(o.recall10, 0) AS BIGINT) AS recall10
+         FROM q LEFT JOIN o USING (query_id) ORDER BY query_id""",
   )
 }

@@ -388,6 +388,44 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Matryoshka-style truncation evaluation: recall@10 of 16-dim-prefix
+    * cosine search against full 64-dim search, per query — the measurement
+    * that decides whether an embedding column can be served truncated (4×
+    * cheaper ANN) without quality loss. Both rankings and their overlap are
+    * computed in ONE corpus pass.
+    *
+    * Scale: this deliberately does NOT use the v28 window formulation —
+    * ranking per query via a window shuffles the whole scored table to 10
+    * partitions (one per query: maximal skew). Both top-10 lists come from
+    * the k-bounded [[TopKByValue]] aggregator instead (two aggregations in
+    * one groupBy pass), so the map side reduces to ≤10 entries per (query,
+    * partition, metric) before the shuffle and skew never materializes.
+    */
+  def v76MatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new TopKByValue(10),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    val emb = embeddings(s, d)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .filter(col("query_id") < 10)
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(s, col("qv"), col("embedding")).as("cf"),
+        cosine(s, slice(col("qv"), 1, 16), slice(col("embedding"), 1, 16))
+          .as("ct"))
+    scored.groupBy("query_id")
+      .agg(topk(col("vec_id"), col("cf")).as("tf"),
+        topk(col("vec_id"), col("ct")).as("tt"))
+      .select(col("query_id"),
+        size(array_intersect(
+          transform(col("tf"), x => x.getField("_2")),
+          transform(col("tt"), x => x.getField("_2"))))
+          .cast("long").as("recall10"))
+      .orderBy("query_id")
+  }
+
   /** Per-vector int8 scalar quantization — the 4×-storage-compression step
     * an embedding store runs before ANN serving (float32 → uint8 per dim,
     * per-vector min/max range): quantize, dequantize, and report the

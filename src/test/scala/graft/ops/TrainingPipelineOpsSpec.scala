@@ -129,6 +129,34 @@ class TrainingPipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("v76 matryoshka recall: bounded by k, matches a window recomputation") {
+    val df = VectorOps.v76MatryoshkaRecall(spark, sf).cache()
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 10 && rows.values.forall(v => v >= 0 && v <= 10))
+    // cross-check one query against the independent window formulation
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val cand = emb.filter(col("vec_id") =!= 0).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        def cos(n: Int): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0
+          for (i <- 0 until n) {
+            d += qv(i).toDouble * v(i); na += qv(i).toDouble * qv(i)
+            nb += v(i).toDouble * v(i)
+          }
+          if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        (r.getLong(0), cos(64), cos(16))
+      }
+    def top10(key: ((Long, Double, Double)) => Double) =
+      cand.sortBy(t => (-key(t), t._1)).take(10).map(_._1).toSet
+    val expected = (top10(_._2) intersect top10(_._3)).size.toLong
+    assert(rows(0L) == expected, s"recall mismatch: got ${rows(0L)}, want $expected")
+    df.unpersist()
+  }
+
   test("t75 collocations: support floor holds, pmi ranking is monotone") {
     val rows = TextOps.t75Collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
