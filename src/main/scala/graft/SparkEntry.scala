@@ -93,6 +93,8 @@ object SparkEntry {
     "v74_scalar_quant" -> (VectorOps.v74ScalarQuant _),
     "t75_collocations" -> (TextOps.t75Collocations _),
     "v76_matryoshka_recall" -> (VectorOps.v76MatryoshkaRecall _),
+    "q77_salted_join" -> (Relational.q77SaltedJoin _),
+    "q78_sketch_merge" -> (Relational.q78SketchMerge _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -732,5 +734,14 @@ object SparkEntry {
                GROUP BY 1)
          SELECT q.query_id, CAST(COALESCE(o.recall10, 0) AS BIGINT) AS recall10
          FROM q LEFT JOIN o USING (query_id) ORDER BY query_id""",
+    "q77_salted_join" ->
+      """SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q78_sketch_merge" ->
+      """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok
+         FROM events""",
   )
 }

@@ -633,6 +633,51 @@ object Relational {
     * with no Window/Sort over the fact table (asserted in
     * TrainingPipelineOpsSpec).
     */
+  /** The salted fact-fact join under the correctness gate: lineitem⋈orders
+    * through [[Skew.saltedJoin]] (hot order keys spread over 8 salt values,
+    * right side replicated per salt), aggregated to order-priority revenue.
+    * The oracle is the PLAIN join — salting must be result-invisible, and
+    * hash-checking it here proves the replication/drop bookkeeping exact
+    * rather than "close".
+    */
+  def q77SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    // shuffle_hash on both sides: salting only matters for shuffle joins
+    // (a broadcast join has no reducer to overload), and the hint keeps the
+    // demonstrated plan the one a fact-fact join gets at 100 TB — a
+    // ShuffledHashJoin on (salt, key), never a sort-merge
+    val l = lineitem(s, d).select(col("l_orderkey").as("okey"),
+      col("l_extendedprice"), col("l_discount")).hint("shuffle_hash")
+    val r = orders(s, d).select(col("o_orderkey").as("okey"),
+      col("o_orderpriority")).hint("shuffle_hash")
+    Skew.saltedJoin(l, r, "okey", salt = 8)
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Mergeable sketch states — the property that makes sketches THE 100 TB
+    * distinct-count path: per-shard HLL sketches (hll_sketch_agg) union into
+    * one (hll_union_agg) whose estimate must land within 5% of the exact
+    * count, asserted in-row like q37/q42 so the engine-specific sketch bytes
+    * never reach the oracle compare. At scale the shards are partitions or
+    * daily increments; the union replaces any re-scan of history.
+    */
+  def q78SketchMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("shard", pmod(col("event_id"), lit(2L)))
+    val shards = ev.groupBy("shard")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = shards
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      .crossJoin(broadcast(merged))
+      .select(col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("sketch_ok"))
+  }
+
   def q73TopKAgg(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new TopKByValue(3),
       org.apache.spark.sql.Encoders.tuple(

@@ -129,6 +129,25 @@ class TrainingPipelineOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q77 salted join is result-identical to the plain join") {
+    val salted = Relational.q77SaltedJoin(spark, sf)
+    val plain = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("q78 merged shard sketches estimate within the asserted bound") {
+    val r = Relational.q78SketchMerge(spark, sf).head()
+    assert(r.getLong(0) > 0)
+    assert(r.getBoolean(1), "merged HLL estimate drifted beyond 5%")
+  }
+
   test("v76 matryoshka recall: bounded by k, matches a window recomputation") {
     val df = VectorOps.v76MatryoshkaRecall(spark, sf).cache()
     val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
