@@ -90,4 +90,20 @@ class ScaleFeaturesSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("deterministic ORDER BY is eliminated under aggregating consumers") {
+    // every query ends in ORDER BY for the oracle contract; the scale claim
+    // (README/PLANS) is that Catalyst's EliminateSorts removes it when the
+    // consumer aggregates — i.e. Bench's count() never pays the global sort
+    val df = Relational.q01FilterProject(spark, "/root/testdata/sf0.001")
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"sort survived under count():\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"range exchange survived under count():\n$plan")
+    // and the direct consumer DOES keep it (the contract the oracle needs)
+    val direct = df.queryExecution.executedPlan.toString
+    assert(direct.contains("Sort ") || direct.contains("rangepartitioning"),
+      s"oracle-facing plan lost its deterministic sort:\n$direct")
+  }
 }
