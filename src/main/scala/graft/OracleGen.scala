@@ -236,9 +236,12 @@ object OracleGen {
          SELECT vec_id, v, cid FROM (
            SELECT e.vec_id, e.v, c.cid,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               list_dot_product(e.v, c.cvec)
-                 / (sqrt(list_dot_product(e.v, e.v))
-                    * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+               CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec)) = 0
+                    THEN 0.0
+                    ELSE list_dot_product(e.v, c.cvec)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) END DESC,
                c.cid) AS arn
            FROM e, $c c) t WHERE arn = 1)"""
     def recompute(cg: String, c: String, a: String): String =

@@ -216,7 +216,8 @@ object Multimodal {
       : Option[(Int, Int, Int, Long)] =
     try {
       val bb = java.nio.ByteBuffer.wrap(payload)
-      var timescale, duration, w, h, frames = -1
+      var timescale, w, h, frames = -1
+      var duration = -1L
       def walk(start: Int, end: Int): Unit = {
         var pos = start
         while (pos + 8 <= end) {
@@ -227,11 +228,21 @@ object Multimodal {
             case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
               walk(pos + 8, pos + size)
             case "mvhd" =>
-              timescale = bb.getInt(pos + 8 + 12)
-              duration = bb.getInt(pos + 8 + 16)
+              // version-1 boxes carry 64-bit create/modify times, shifting
+              // every later field by 8 bytes; reading v1 at v0 offsets
+              // yields plausible-but-wrong numbers, not a parse failure
+              if (bb.get(pos + 8) == 0) {
+                timescale = bb.getInt(pos + 8 + 12)
+                duration = bb.getInt(pos + 8 + 16).toLong
+              } else {
+                timescale = bb.getInt(pos + 8 + 20)
+                duration = bb.getLong(pos + 8 + 24)
+              }
             case "tkhd" =>
-              w = bb.getInt(pos + 8 + 76) >>> 16
-              h = bb.getInt(pos + 8 + 80) >>> 16
+              // v1: +8 for the wide times, +4 for the 64-bit duration
+              val off = if (bb.get(pos + 8) == 0) 0 else 12
+              w = bb.getInt(pos + 8 + 76 + off) >>> 16
+              h = bb.getInt(pos + 8 + 80 + off) >>> 16
             case "stsz" =>
               frames = bb.getInt(pos + 8 + 8)
             case _ => ()
@@ -242,7 +253,7 @@ object Multimodal {
       walk(0, payload.length)
       if (timescale <= 0 || duration < 0 || w <= 0 || h <= 0 || frames < 0)
         None
-      else Some((w, h, frames, duration.toLong * 1000L / timescale))
+      else Some((w, h, frames, duration * 1000L / timescale))
     } catch { case _: Exception => None }
 
   /** Header-only image dimensions via an ImageIO reader — reads the codec
@@ -250,8 +261,13 @@ object Multimodal {
     * payload.
     */
   private def readImageDims(payload: Array[Byte]): Option[(Int, Int)] = {
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    // stream creation itself can throw (useCache writes to java.io.tmpdir)
+    // or return null (crippled IIORegistry) — both must hit the null-
+    // metadata contract, not kill the task, so everything sits in the try
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
+      iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      if (iis == null) return None
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
       else {
@@ -263,7 +279,7 @@ object Multimodal {
       }
     } catch {
       case _: Exception => None
-    } finally iis.close()
+    } finally if (iis != null) iis.close()
   }
 
   /** Decode metadata for every payload — batch-iterating mapPartitions (one
@@ -354,7 +370,9 @@ object Multimodal {
         while (k < dim) {
           md.reset()
           md.update(digest)
-          md.update(block.toByte)
+          // full 4-byte counter: a single byte would cycle after 256 blocks,
+          // making dims beyond 1024 a periodic copy of the first 1024
+          md.update(java.nio.ByteBuffer.allocate(4).putInt(block).array())
           val bb = java.nio.ByteBuffer.wrap(md.digest())
           var i = 0
           while (i < 4 && k < dim) {

@@ -414,23 +414,37 @@ object TextOps {
     },
     acc => acc.getField("best"))
 
-  def t59GopherFilter(s: SparkSession, d: String): DataFrame = {
+  /** The four Gopher quality metrics over the `text` column — the single
+    * source of truth shared by t59 (per-rule flags) and t65 (conjunction),
+    * so a threshold or stopword tweak cannot drift between them. (The SQL
+    * oracles carry their own copies by construction; the
+    * t65-agrees-with-t59 invariant in Round5OpsSpec pins the Scala side.)
+    */
+  private def gopherMetrics: (Column, Column, Column, Column) = {
     val ws = words(col("text"))
-    val nWords = size(ws).cast("long")
-    val compactLen = length(regexp_replace(col("text"), "\\s", "")).cast("long")
-    val nStop = size(regexp_extract_all(lower(col("text")),
-      lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long")
-    val topCnt = maxRun(array_sort(ws))
+    (size(ws).cast("long"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long"),
+      maxRun(array_sort(ws)))
+  }
+  private def gopherRuleWc(nWords: Column): Column =
+    nWords >= 15 && nWords <= 100000
+  private def gopherRuleMwl(nWords: Column, nAlpha: Column): Column =
+    nAlpha >= nWords * 3 && nAlpha <= nWords * 10
+  private def gopherRuleStop(nStop: Column): Column = nStop >= 1
+  private def gopherRuleRep(nWords: Column, topCnt: Column): Column =
+    topCnt * 5 <= nWords
+
+  def t59GopherFilter(s: SparkSession, d: String): DataFrame = {
+    val (nWords, nAlpha, nStop, topCnt) = gopherMetrics
     documents(s, d)
-      .select(col("doc_id"), nWords.as("n_words"), compactLen.as("n_alpha"),
+      .select(col("doc_id"), nWords.as("n_words"), nAlpha.as("n_alpha"),
         nStop.as("n_stop"), topCnt.as("top_cnt"))
-      .withColumn("rule_wc",
-        col("n_words") >= 15 && col("n_words") <= 100000)
-      .withColumn("rule_mwl",
-        col("n_alpha") >= col("n_words") * 3 &&
-          col("n_alpha") <= col("n_words") * 10)
-      .withColumn("rule_stop", col("n_stop") >= 1)
-      .withColumn("rule_rep", col("top_cnt") * 5 <= col("n_words"))
+      .withColumn("rule_wc", gopherRuleWc(col("n_words")))
+      .withColumn("rule_mwl", gopherRuleMwl(col("n_words"), col("n_alpha")))
+      .withColumn("rule_stop", gopherRuleStop(col("n_stop")))
+      .withColumn("rule_rep", gopherRuleRep(col("n_words"), col("top_cnt")))
       .withColumn("keep",
         col("rule_wc") && col("rule_mwl") && col("rule_stop") &&
           col("rule_rep"))
@@ -499,15 +513,10 @@ object TextOps {
     * CLUSTERED doc only — no sort, no SMJ).
     */
   def t65CleanPipeline(s: SparkSession, d: String): DataFrame = {
-    val ws = words(col("text"))
-    val nWords = size(ws).cast("long")
-    val nAlpha = length(regexp_replace(col("text"), "\\s", "")).cast("long")
-    val nStop = size(regexp_extract_all(lower(col("text")),
-      lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long")
+    val (nWords, nAlpha, nStop, topCnt) = gopherMetrics
     val keepQuality =
-      nWords >= 15 && nWords <= 100000 &&
-        nAlpha >= nWords * 3 && nAlpha <= nWords * 10 &&
-        nStop >= 1 && maxRun(array_sort(ws)) * 5 <= nWords
+      gopherRuleWc(nWords) && gopherRuleMwl(nWords, nAlpha) &&
+        gopherRuleStop(nStop) && gopherRuleRep(nWords, topCnt)
     val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     val base = documents(s, d)
       .select(col("doc_id"), keepQuality.as("keep_quality"),
@@ -616,9 +625,14 @@ object TextOps {
     var labels = sym.groupBy(col("d1").as("doc_id"))
       .agg(min(least(col("d1"), col("d2"))).as("component"))
       .persist()
-    // the DataFrame whose cached/checkpointed blocks back `labels` — what
-    // unpersist must be called on once the round is over
-    var labelsStorage = labels
+    // frees the blocks backing the previous round's label table. Round 0 is
+    // a normal cache (Dataset.unpersist → CacheManager); later rounds are
+    // localCheckpoints, whose blocks live at the RDD level where
+    // Dataset.unpersist (and spark.catalog.clearCache) CANNOT see them —
+    // they must be released on the LogicalRDD's backing RDD directly, or
+    // O(log n) rounds of label tables pile up in executor storage until GC
+    val initialLabels = labels
+    var freePrevious: () => Unit = () => { initialLabels.unpersist(); () }
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -649,12 +663,15 @@ object TextOps {
       // round's DataFrame is rebuilt from the checkpointed RDD with fresh
       // attributes.
       val ck = raw.localCheckpoint(true)
+      val ckRdd = ck.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
       val next = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labelsStorage.unpersist()
-      labelsStorage = ck
+      freePrevious()
+      freePrevious = () => { ckRdd.foreach(_.unpersist(false)); () }
       labels = next
       rounds += 1
     }

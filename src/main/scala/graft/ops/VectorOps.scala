@@ -261,9 +261,13 @@ object VectorOps {
     // count members.
     var cg: DataFrame = null
     for (_ <- 1 to KmeansIters) {
-      val asim = planeDot(s, col("embedding"), col("cvec")) /
-        (sqrt(planeDot(s, vd, vd)) *
-          sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec"))))
+      // zero-norm guard: 0/0 is NaN, and NaN sorts DIFFERENTLY through
+      // min_by(-asim) (NaN avoided) than through the oracle's ORDER BY sim
+      // DESC (NaN first in DuckDB) — pin both engines to similarity 0.0
+      val denom = sqrt(planeDot(s, vd, vd)) *
+        sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec")))
+      val asim = when(denom === 0d, lit(0d))
+        .otherwise(planeDot(s, col("embedding"), col("cvec")) / denom)
       val assigned = emb.crossJoin(broadcast(cent)).withColumn("asim", asim)
         .groupBy("vec_id")
         .agg(min_by(struct(col("embedding"), col("cid")),

@@ -111,7 +111,12 @@ object StreamOps {
       .groupBy(window(col("ts"), "10 minutes"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .select(col("doc_id"), col("n_shared"))
+      // keep the window: a doc whose hits straddle two windows emits one
+      // row per window, and the consumer must be able to tell the partials
+      // apart (each is tested against minShared separately — quarantine
+      // logic that needs the TOTAL overlap should sum downstream by doc_id)
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_shared"))
   }
 
   /** Watermarked stream-stream interval join: attribute each purchase to the

@@ -70,6 +70,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("version-1 MP4 boxes parse at their shifted offsets") {
+    // v1 mvhd/tkhd carry 64-bit create/modify times (and a 64-bit
+    // duration), shifting every later field — common in real muxer output
+    // for long files. Build one by hand and check the decoded numbers.
+    val s = spark
+    import s.implicits._
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val timescale = 600
+    val durUnits = 1200L // 2 seconds
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000)             // version 1
+      bb.putLong(0L).putLong(0L)        // 64-bit ctime, mtime
+      bb.putInt(timescale)
+      bb.putLong(durUnits)              // 64-bit duration
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.putInt(0x01000000)             // version 1
+      bb.putLong(0L).putLong(0L)        // 64-bit ctime, mtime
+      bb.putInt(1).putInt(0)            // track_ID, reserved
+      bb.putLong(durUnits)              // 64-bit duration
+      bb.position(bb.position() + 16)   // reserved/layer/group/volume/pad
+      Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)
+      bb.putInt(320 << 16).putInt(240 << 16)
+      bb.array()
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0).putInt(1024).putInt(48)
+      bb.array()
+    }
+    val stbl = box("stbl", box("stsz", stsz))
+    val trak = box("trak", box("tkhd", tkhd) ++
+      box("mdia", box("minf", stbl)))
+    val payload = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0)) ++
+      box("moov", box("mvhd", mvhd) ++ trak)
+    val row = Multimodal.decodeMeta(
+      Seq((11L, payload, "video/mp4")).toDF("doc_id", "payload", "mime"))
+      .collect().head
+    assert(row.getAs[Int]("width") == 320)
+    assert(row.getAs[Int]("height") == 240)
+    assert(row.getAs[Int]("n_frames") == 48)
+    assert(row.getAs[Long]("duration_ms") == 2000L)
+  }
+
   test("undecodable video payload yields null metadata, not fake numbers") {
     val s = spark
     import s.implicits._

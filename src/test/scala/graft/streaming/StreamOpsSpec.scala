@@ -73,10 +73,12 @@ class StreamOpsSpec extends SparkSpec {
     // advance the watermark past the window so append emits
     mem.addData((t(30), 99L, "late watermark advancer text"))
     q.processAllAvailable()
-    val out = s.sql("select doc_id, n_shared from decon").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = s.sql("select window_start, doc_id, n_shared from decon")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getTimestamp(0)))
     q.stop()
-    assert(out == Map(1L -> 2L), s"got $out")
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L,
+      s"got ${out.mkString(",")}")
+    assert(out.head._3 != null)
   }
 
   test("stream-stream attribution join bounds clicks to the prior hour") {
