@@ -27,7 +27,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            oracle_df = con.sql(sql).df()
+            rel = con.sql(sql)
+            # catch DuckDB integer widening at the source: a HUGEINT column
+            # (uncast sum/windowed-sum of BIGINT) converts to float64 in
+            # pandas and reds the driver's type-sensitive hash even when
+            # every value matches (round-5 t69). Fail loudly pre-conversion.
+            hug = [c for c, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()]
+            if hug:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {hug} "
+                      f"— wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+            oracle_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -68,12 +80,19 @@ def main(sf_dir: str, out_dir: str) -> int:
                 for i in idx:
                     print(f"    {c}[{i}]: spark={s[c][i]!r} oracle={o[c][i]!r}")
         else:
-            # dtype note (driver may compare schemas)
+            # dtype deltas are a hard FAIL: the driver's hash is
+            # type-sensitive, so equal values with differing dtypes (the
+            # classic: DuckDB widening sum(BIGINT) to HUGEINT -> float64,
+            # as t69 did in round 5) red the row even when every value
+            # matches. An uncast oracle aggregate must be caught HERE.
             dt = [(c, str(s[c].dtype), str(o[c].dtype)) for c in sc
                   if str(s[c].dtype) != str(o[c].dtype)]
-            note = f"  [dtype deltas: {dt}]" if dt else ""
-            print(f"PASS {name} ({len(s)} rows){note}")
-            n_pass += 1
+            if dt:
+                n_fail += 1
+                print(f"FAIL {name}: dtype deltas (values equal): {dt}")
+            else:
+                print(f"PASS {name} ({len(s)} rows)")
+                n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed, "
           f"{len(oracles)} total with oracles")
     return 1 if n_fail else 0

@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Raw /proc/loadavg — stamped at start/end so a contention-polluted run
+    * is identifiable from the artifact alone (this host's known failure
+    * mode: uniform 2x+ inflation across unrelated queries).
+    */
+  private def loadAvg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim finally src.close()
+    } catch { case _: Exception => "unavailable" }
+
+  /** Total JVM GC time (ms) across all collectors since JVM start. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,6 +28,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg()
+    val gcStart = gcMillis()
     // JVM/session warm-up outside the timed region: JIT + codegen + parquet
     // footer/page caches otherwise land entirely on the first timed query
     // (alphabetically d24 — which made it look 8x its steady-state cost).
@@ -29,23 +49,34 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // several operators persist their compact signature/codebook tables
         // inside the query (by design — see PLANS.md); drop them between
-        // queries so 67 queries x 2 iterations don't accumulate storage
+        // queries so 67 queries x 3 iterations don't accumulate storage
         // blocks and leak one query's cache pressure into the next's timing
         spark.catalog.clearCache()
+        // CC-based queries (d26/d46/t65) leave their final localCheckpoint
+        // blocks at the RDD level where clearCache cannot see them
+        ops.TextOps.releaseFinalCheckpoints()
         name -> dt
       }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // two consecutive in-JVM iterations: the first is comparable to earlier
-    // rounds' numbers, the second has JIT/caches fully warm — a structural
-    // regression shows up in BOTH, host variance usually in one
+    // three consecutive in-JVM iterations: cold is comparable to earlier
+    // rounds' numbers; per-query MIN over all three is the contention-robust
+    // signal (host load inflates some iterations, never deflates one)
     val cold = runAll()
     val warm = runAll()
-    val total = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
-    val totalWarm = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
+    val warm2 = runAll()
+    val best = cold.indices.map { i =>
+      cold(i)._1 -> Seq(cold(i)._2, warm(i)._2, warm2(i)._2).min
+    }
+    val total = cold.map(_._2).sum
+    val totalWarm = warm.map(_._2).sum
+    val totalMin = best.map(_._2).sum
+    val loadEnd = loadAvg()
+    val gcEnd = gcMillis()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       json(cold)},"total_warm":$totalWarm,"queries_warm":${
-      json(warm)},"sf":"$sfDir"}""")
+      json(warm)},"queries_warm2":${json(warm2)},"total_min":$totalMin,"queries_min":${
+      json(best)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","gc_ms_start":$gcStart,"gc_ms_end":$gcEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

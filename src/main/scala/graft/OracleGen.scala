@@ -60,6 +60,129 @@ object OracleGen {
      GROUP BY 1, 2 ORDER BY d1, d2"""
   }
 
+  /** n-gram repetition CTE block for n = 2, 3, 4 — shared by gopherFilter,
+    * ngramRepetition, and cleanPipeline so thresholds and tie-breaks stay in
+    * lockstep with [[graft.ops.TextOps]]. Requires a prior CTE
+    * `gw(doc_id, ws)` carrying the word array; emits, per n,
+    * `topN(doc_id, topN_cnt, topN_chars)` (most frequent n-gram; ties break
+    * to the lexicographically smallest, matching the Spark sorted-array
+    * scan) and `dupN(doc_id, dupN_chars)` (chars in n-grams occurring ≥ 2
+    * times). Every aggregate is CAST to BIGINT — DuckDB widens sums (and
+    * windowed sums) of BIGINT to HUGEINT, which poisons the driver's
+    * type-sensitive hash (the t69 lesson).
+    */
+  private val ngramCtes: String = (2 to 4).map { n =>
+    s"""g$n AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(ws) - $n + 2),
+           i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram
+         FROM gw),
+       c$n AS (
+         SELECT doc_id, gram, count(*) AS cnt,
+           length(gram) - ${n - 1} AS glen
+         FROM g$n GROUP BY doc_id, gram),
+       top$n AS (
+         SELECT doc_id, CAST(cnt AS BIGINT) AS top${n}_cnt,
+           CAST(cnt * glen AS BIGINT) AS top${n}_chars
+         FROM c$n
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY cnt DESC, gram) = 1),
+       dup$n AS (
+         SELECT doc_id,
+           CAST(COALESCE(sum(cnt * glen) FILTER (WHERE cnt >= 2), 0)
+             AS BIGINT) AS dup${n}_chars
+         FROM c$n GROUP BY doc_id)"""
+  }.mkString(",\n       ")
+
+  private val gwCte: String =
+    """gw AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+         FROM documents)"""
+
+  /** Gopher composite filter (t59) with the published top-2/3/4-gram
+    * character-fraction caps folded into the conjunction (integer-compare
+    * forms: 0.20 = 1/5, 0.18 = 9/50, 0.16 = 4/25).
+    */
+  val gopherFilter: String = {
+    val conj =
+      """(n_words >= 15 AND n_words <= 100000)
+             AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
+             AND n_stop >= 1 AND top_cnt * 5 <= n_words
+             AND COALESCE(top2_chars, 0) * 5 <= n_alpha
+             AND COALESCE(top3_chars, 0) * 50 <= n_alpha * 9
+             AND COALESCE(top4_chars, 0) * 25 <= n_alpha * 4"""
+    s"""WITH $gwCte,
+       $ngramCtes,
+       m AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS n_alpha,
+             CAST(len(regexp_extract_all(lower(text),
+               '\\b(the|a|of|and|to|in|is)\\b')) AS BIGINT) AS n_stop,
+             (SELECT CAST(max(c) AS BIGINT) FROM (
+                SELECT count(*) AS c
+                FROM unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                  AS t(word)
+                GROUP BY word) q) AS top_cnt
+           FROM documents)
+         SELECT m.doc_id, n_words, n_alpha, n_stop, top_cnt,
+           COALESCE(top2_chars, 0) AS top2g_chars,
+           COALESCE(top3_chars, 0) AS top3g_chars,
+           COALESCE(top4_chars, 0) AS top4g_chars,
+           n_words >= 15 AND n_words <= 100000 AS rule_wc,
+           n_alpha >= n_words * 3 AND n_alpha <= n_words * 10 AS rule_mwl,
+           n_stop >= 1 AS rule_stop,
+           top_cnt * 5 <= n_words AS rule_rep,
+           COALESCE(top2_chars, 0) * 5 <= n_alpha AS rule_2g,
+           COALESCE(top3_chars, 0) * 50 <= n_alpha * 9 AS rule_3g,
+           COALESCE(top4_chars, 0) * 25 <= n_alpha * 4 AS rule_4g,
+           $conj AS keep
+         FROM m
+         LEFT JOIN top2 ON top2.doc_id = m.doc_id
+         LEFT JOIN top3 ON top3.doc_id = m.doc_id
+         LEFT JOIN top4 ON top4.doc_id = m.doc_id
+         ORDER BY m.doc_id"""
+  }
+
+  /** Full n-gram repetition metrics (t79): counts, covered/duplicate char
+    * volumes, fractions of non-whitespace chars (4-dp floor-truncated, same
+    * float-op order as the Spark side), and threshold verdicts.
+    */
+  val ngramRepetition: String = {
+    val cols = (2 to 4).map { n =>
+      s"""COALESCE(top${n}_cnt, 0) AS top${n}_cnt,
+           COALESCE(top${n}_chars, 0) AS top${n}_chars,
+           COALESCE(dup${n}_chars, 0) AS dup${n}_chars,
+           CASE WHEN n_chars = 0 THEN 0.0
+             ELSE floor(COALESCE(top${n}_chars, 0) * 1.0 / n_chars * 10000)
+               / 10000 END AS top${n}_frac,
+           CASE WHEN n_chars = 0 THEN 0.0
+             ELSE floor(COALESCE(dup${n}_chars, 0) * 1.0 / n_chars * 10000)
+               / 10000 END AS dup${n}_frac"""
+    }.mkString(",\n           ")
+    s"""WITH $gwCte,
+       $ngramCtes,
+       d AS (
+         SELECT doc_id,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+             AS n_chars
+         FROM documents)
+       SELECT d.doc_id, d.n_chars,
+           $cols,
+           COALESCE(top2_chars, 0) * 5 <= n_chars AS rule_2g,
+           COALESCE(top3_chars, 0) * 50 <= n_chars * 9 AS rule_3g,
+           COALESCE(top4_chars, 0) * 25 <= n_chars * 4 AS rule_4g
+       FROM d
+       LEFT JOIN top2 ON top2.doc_id = d.doc_id
+       LEFT JOIN dup2 ON dup2.doc_id = d.doc_id
+       LEFT JOIN top3 ON top3.doc_id = d.doc_id
+       LEFT JOIN dup3 ON dup3.doc_id = d.doc_id
+       LEFT JOIN top4 ON top4.doc_id = d.doc_id
+       LEFT JOIN dup4 ON dup4.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   /** Connected-component CTE chain over the minhash candidate pairs (shared
     * by dedupClusters and cleanPipeline): DuckDB's recursive CTE computes
     * full reachability (fine at oracle scale), then labels each doc with the
@@ -93,11 +216,16 @@ object OracleGen {
     */
   val cleanPipeline: String =
     s"""WITH RECURSIVE $ccCtes,
+       $gwCte,
+       $ngramCtes,
        gf AS (
-         SELECT doc_id,
+         SELECT m.doc_id,
            (n_words >= 15 AND n_words <= 100000)
              AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
-             AND n_stop >= 1 AND top_cnt * 5 <= n_words AS keep_quality
+             AND n_stop >= 1 AND top_cnt * 5 <= n_words
+             AND COALESCE(top2_chars, 0) * 5 <= n_alpha
+             AND COALESCE(top3_chars, 0) * 50 <= n_alpha * 9
+             AND COALESCE(top4_chars, 0) * 25 <= n_alpha * 4 AS keep_quality
          FROM (
            SELECT doc_id,
              CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
@@ -111,7 +239,10 @@ object OracleGen {
                 FROM unnest(string_split_regex(trim(lower(text)), '\\s+'))
                   AS t(word)
                 GROUP BY word) q) AS top_cnt
-           FROM documents) m),
+           FROM documents) m
+         LEFT JOIN top2 ON top2.doc_id = m.doc_id
+         LEFT JOIN top3 ON top3.doc_id = m.doc_id
+         LEFT JOIN top4 ON top4.doc_id = m.doc_id),
        fpk AS (
          SELECT doc_id,
            doc_id = min(doc_id) OVER (PARTITION BY
@@ -345,6 +476,52 @@ object OracleGen {
      SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
      ORDER BY query_id, rnk"""
   }
+
+  /** Brute-force exact cosine top-5 (v28) — also the ground truth
+    * [[annRecall]] composes against.
+    */
+  val cosineTopK: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+           q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n
+                 WHERE vec_id < 10),
+           sims AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+                      list_dot_product(qv, v) / (nq * nv) AS sim
+                    FROM n, q WHERE n.vec_id <> q.query_id),
+           r AS (SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+         SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** ANN recall report (v80): recall@3 of LSH/IVF/PQ candidates vs the
+    * exact brute-force top-3, composed from the member queries' own oracle
+    * SQL (each nested as a scoped subquery, so CTE names cannot collide).
+    * PQ is only evaluated on its own query domain (vec_id < 5).
+    */
+  def annRecall: String =
+    s"""WITH exact AS (
+         SELECT query_id, list(neighbor_id) AS exact3
+         FROM ($cosineTopK) x WHERE rnk <= 3 GROUP BY query_id),
+       lsh AS (SELECT query_id, 'lsh' AS method, list(neighbor_id) AS approx3
+               FROM ($annLsh) x GROUP BY query_id),
+       ivf AS (SELECT query_id, 'ivf' AS method, list(neighbor_id) AS approx3
+               FROM ($ivfAnn) x GROUP BY query_id),
+       pq AS (SELECT query_id, 'pq' AS method, list(neighbor_id) AS approx3
+              FROM ($pqAnn) x GROUP BY query_id),
+       m AS (SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+             UNION ALL SELECT * FROM pq),
+       qm AS (SELECT query_id, exact3, method
+              FROM exact, (VALUES ('lsh'), ('ivf'), ('pq')) AS mm(method)
+              WHERE NOT (method = 'pq' AND query_id >= 5))
+     SELECT qm.query_id, qm.method,
+       CAST(COALESCE(len(m.approx3), 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(len(list_intersect(qm.exact3, m.approx3)), 0) AS BIGINT)
+         AS hits3,
+       COALESCE(floor(len(list_intersect(qm.exact3, m.approx3))
+         * 1.0 / 3 * 10000) / 10000, 0.0) AS recall3
+     FROM qm LEFT JOIN m ON m.query_id = qm.query_id AND m.method = qm.method
+     ORDER BY qm.query_id, qm.method"""
 
   val annLsh: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -95,6 +95,8 @@ object SparkEntry {
     "v76_matryoshka_recall" -> (VectorOps.v76MatryoshkaRecall _),
     "q77_salted_join" -> (Relational.q77SaltedJoin _),
     "q78_sketch_merge" -> (Relational.q78SketchMerge _),
+    "t79_ngram_repetition" -> (TextOps.t79NgramRepetition _),
+    "v80_ann_recall" -> (VectorOps.v80AnnRecall _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -440,19 +442,7 @@ object SparkEntry {
     "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
     "d26_minhash_lsh" -> OracleGen.minhashLsh,
     "d27_simhash" -> OracleGen.simhash,
-    "v28_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
-           q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n
-                 WHERE vec_id < 10),
-           sims AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-                      list_dot_product(qv, v) / (nq * nv) AS sim
-                    FROM n, q WHERE n.vec_id <> q.query_id),
-           r AS (SELECT query_id, neighbor_id, sim,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
-         SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
-         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "v28_cosine_topk" -> OracleGen.cosineTopK,
     "v29_lsh_buckets" -> OracleGen.lshBuckets,
     "v30_ann_lsh" -> OracleGen.annLsh,
     "d40_embed_neardup" -> OracleGen.embedNearDup,
@@ -516,30 +506,7 @@ object SparkEntry {
            count(DISTINCT lang) AS n_langs,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
          FROM documents GROUP BY source ORDER BY source""",
-    "t59_gopher_filter" ->
-      """WITH m AS (
-           SELECT doc_id,
-             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
-               AS n_words,
-             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
-               AS n_alpha,
-             CAST(len(regexp_extract_all(lower(text),
-               '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS n_stop,
-             (SELECT CAST(max(c) AS BIGINT) FROM (
-                SELECT count(*) AS c
-                FROM unnest(string_split_regex(trim(lower(text)), '\s+'))
-                  AS t(word)
-                GROUP BY word) q) AS top_cnt
-           FROM documents)
-         SELECT doc_id, n_words, n_alpha, n_stop, top_cnt,
-           n_words >= 15 AND n_words <= 100000 AS rule_wc,
-           n_alpha >= n_words * 3 AND n_alpha <= n_words * 10 AS rule_mwl,
-           n_stop >= 1 AS rule_stop,
-           top_cnt * 5 <= n_words AS rule_rep,
-           (n_words >= 15 AND n_words <= 100000)
-             AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
-             AND n_stop >= 1 AND top_cnt * 5 <= n_words AS keep
-         FROM m ORDER BY doc_id""",
+    "t59_gopher_filter" -> OracleGen.gopherFilter,
     "v60_kmeans" -> OracleGen.kmeans,
     "q62_rank_family" ->
       """SELECT event_id, user_id,
@@ -613,7 +580,7 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, shard, n_tokens,
            CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
-           start_tok % 512 AS pack_offset
+           CAST(start_tok % 512 AS BIGINT) AS pack_offset
          FROM c ORDER BY doc_id""",
     "t70_stratified_sample" ->
       """SELECT doc_id, lang,
@@ -714,12 +681,16 @@ object SparkEntry {
                    FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
          s AS (SELECT query_id, vec_id,
-             list_dot_product(qv, cv)
-               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-               AS cf,
-             list_dot_product(qv[1:16], cv[1:16])
-               / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
-                  * sqrt(list_dot_product(cv[1:16], cv[1:16]))) AS ct
+             CASE WHEN sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv)) = 0 THEN 0.0
+               ELSE list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) END AS cf,
+             CASE WHEN sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                    * sqrt(list_dot_product(cv[1:16], cv[1:16])) = 0 THEN 0.0
+               ELSE list_dot_product(qv[1:16], cv[1:16])
+                 / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                    * sqrt(list_dot_product(cv[1:16], cv[1:16]))) END AS ct
            FROM q, c WHERE vec_id <> query_id),
          rf AS (SELECT query_id, vec_id,
                   row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, vec_id) AS r
@@ -743,5 +714,7 @@ object SparkEntry {
     "q78_sketch_merge" ->
       """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS sketch_ok
          FROM events""",
+    "t79_ngram_repetition" -> OracleGen.ngramRepetition,
+    "v80_ann_recall" -> OracleGen.annRecall,
   )
 }

@@ -218,7 +218,13 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(payload)
       var timescale, w, h, frames = -1
       var duration = -1L
-      def walk(start: Int, end: Int): Unit = {
+      // depth-bounded: a hostile payload nesting thousands of 8-byte
+      // container boxes would otherwise StackOverflowError (an Error, not
+      // an Exception — the catch below would not honor the null-metadata
+      // contract). Real MP4 container nesting is ~6 levels; 16 is generous.
+      val MaxDepth = 16
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > MaxDepth) return
         var pos = start
         while (pos + 8 <= end) {
           val size = bb.getInt(pos)
@@ -226,7 +232,7 @@ object Multimodal {
           val typ = new String(payload, pos + 4, 4, "US-ASCII")
           typ match {
             case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-              walk(pos + 8, pos + size)
+              walk(pos + 8, pos + size, depth + 1)
             case "mvhd" =>
               // version-1 boxes carry 64-bit create/modify times, shifting
               // every later field by 8 bytes; reading v1 at v0 offsets
@@ -250,7 +256,7 @@ object Multimodal {
           pos += size
         }
       }
-      walk(0, payload.length)
+      walk(0, payload.length, 0)
       if (timescale <= 0 || duration < 0 || w <= 0 || h <= 0 || frames < 0)
         None
       else Some((w, h, frames, duration * 1000L / timescale))

@@ -576,15 +576,21 @@ object Relational {
   /** §2.C sketches: heavy hitters (approximate frequent items) — the
     * skew-detection primitive (find the hot keys before they melt a join).
     * Exact side: one partial-aggregated groupBy + a scalar total via a
-    * broadcast single-row aggregate. Sketch side: `stat.freqItems` (a
-    * single-pass Karp/Misra-Gries-family sketch) whose contract — every item
-    * with frequency > support IS returned — is asserted in-row as
-    * `sketch_ok`, same oracle pattern as q37/q42.
+    * broadcast single-row aggregate. Sketch side: an explicit
+    * [[MisraGries]] typed Aggregator (k = 1/support counters) whose
+    * contract — every item with frequency > support IS returned — is
+    * asserted in-row as `sketch_ok`, same oracle pattern as q37/q42.
+    * Unlike `stat.freqItems` (which runs an aggregate action EAGERLY at
+    * DataFrame-construction time, outside any bench's timed region), the
+    * whole query here is lazy: the sketch is an ordinary one-row aggregate
+    * in the same job.
     */
   def q49HeavyHitters(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val support = 0.05
-    val sketch = ev.stat.freqItems(Array("event_type"), support)
+    val mg = udaf(new MisraGries(math.ceil(1.0 / support).toInt),
+      org.apache.spark.sql.Encoders.STRING)
+    val sketch = ev.agg(mg(col("event_type")).as("mg_items"))
     // persist(): totals feeds both the main plan and the single-row total
     // aggregate — without it the events scan + groupBy subtree runs twice
     // (same recompute pattern as the v41 codebook)
@@ -595,7 +601,7 @@ object Relational {
       .filter(col("cnt") * 1.0 / col("total") > support)
       .crossJoin(broadcast(sketch))
       .select(col("event_type"), col("cnt"),
-        array_contains(col("event_type_freqItems"), col("event_type"))
+        array_contains(col("mg_items"), col("event_type"))
           .as("sketch_ok"))
       .orderBy("event_type")
   }

@@ -436,18 +436,147 @@ object TextOps {
   private def gopherRuleRep(nWords: Column, topCnt: Column): Column =
     topCnt * 5 <= nWords
 
+  /** Word-level n-grams joined with single spaces; empty (not a negative
+    * `sequence`!) when the doc has fewer than n words.
+    */
+  private def ngrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-doc n-gram repetition stats over a SORTED n-gram array, in ONE
+    * map-side pass (the t47 max-run trick extended to shingles — still no
+    * per-token shuffle): struct(
+    *   `cnt`  — occurrences of the most frequent n-gram (ties: first in
+    *            sort order, i.e. lexicographically smallest),
+    *   `topc` — characters covered by that n-gram: cnt × its char length
+    *            (separator spaces excluded: length − (n−1)),
+    *   `dupc` — characters in DUPLICATE n-grams: Σ cnt×len over n-grams
+    *            occurring ≥ 2 times).
+    * These are the raw ingredients of Gopher's published top-2/3/4-gram
+    * character-fraction caps (Rae et al. 2021, table A1).
+    */
+  private def ngramStats(sortedGrams: Column, n: Int): Column = {
+    val sep = lit((n - 1).toLong)
+    def glen(g: Column): Column = length(g).cast("long") - sep
+    aggregate(
+      sortedGrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit("").as("bestg"), lit(0L).as("dupc")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        val r = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        // a run just ended: if it was a duplicate run, bank its chars
+        val banked = when(!same && acc.getField("run") >= 2L,
+          acc.getField("dupc") +
+            acc.getField("run") * glen(acc.getField("prev")))
+          .otherwise(acc.getField("dupc"))
+        val better = r > acc.getField("best")
+        struct(x.as("prev"), r.as("run"),
+          when(better, r).otherwise(acc.getField("best")).as("best"),
+          when(better, x).otherwise(acc.getField("bestg")).as("bestg"),
+          banked.as("dupc"))
+      },
+      acc => struct(
+        acc.getField("best").as("cnt"),
+        when(acc.getField("best") > 0L,
+          acc.getField("best") * glen(acc.getField("bestg")))
+          .otherwise(lit(0L)).as("topc"),
+        // flush the final run (the loop only banks on run *changes*)
+        when(acc.getField("run") >= 2L,
+          acc.getField("dupc") +
+            acc.getField("run") * glen(acc.getField("prev")))
+          .otherwise(acc.getField("dupc")).as("dupc")))
+  }
+
+  /** Gopher's top-n-gram character-fraction caps as integer compares (no
+    * float boundaries): ≤ 0.20 / 0.18 / 0.16 of the doc's non-whitespace
+    * chars may sit in the most frequent 2/3/4-gram.
+    */
+  private def gopherRuleTopNgram(n: Int, topChars: Column,
+      nAlpha: Column): Column = n match {
+    case 2 => topChars * 5 <= nAlpha        // 0.20 = 1/5
+    case 3 => topChars * 50 <= nAlpha * 9   // 0.18 = 9/50
+    case 4 => topChars * 25 <= nAlpha * 4   // 0.16 = 4/25
+  }
+
+  /** top-n-gram char counts for n = 2, 3, 4 — shared by t59/t65 (rule
+    * conjunction) and t79 (full metrics) so thresholds and tie-breaks
+    * cannot drift between them.
+    */
+  private def gopherNgramTopChars: Seq[(Int, Column)] = {
+    val ws = words(col("text"))
+    (2 to 4).map(n =>
+      n -> ngramStats(array_sort(ngrams(ws, n)), n).getField("topc"))
+  }
+
   def t59GopherFilter(s: SparkSession, d: String): DataFrame = {
     val (nWords, nAlpha, nStop, topCnt) = gopherMetrics
+    val topChars = gopherNgramTopChars
     documents(s, d)
-      .select(col("doc_id"), nWords.as("n_words"), nAlpha.as("n_alpha"),
-        nStop.as("n_stop"), topCnt.as("top_cnt"))
+      .select(Seq(col("doc_id"), nWords.as("n_words"), nAlpha.as("n_alpha"),
+        nStop.as("n_stop"), topCnt.as("top_cnt")) ++
+        topChars.map { case (n, c) => c.as(s"top${n}g_chars") }: _*)
       .withColumn("rule_wc", gopherRuleWc(col("n_words")))
       .withColumn("rule_mwl", gopherRuleMwl(col("n_words"), col("n_alpha")))
       .withColumn("rule_stop", gopherRuleStop(col("n_stop")))
       .withColumn("rule_rep", gopherRuleRep(col("n_words"), col("top_cnt")))
+      .withColumn("rule_2g",
+        gopherRuleTopNgram(2, col("top2g_chars"), col("n_alpha")))
+      .withColumn("rule_3g",
+        gopherRuleTopNgram(3, col("top3g_chars"), col("n_alpha")))
+      .withColumn("rule_4g",
+        gopherRuleTopNgram(4, col("top4g_chars"), col("n_alpha")))
       .withColumn("keep",
         col("rule_wc") && col("rule_mwl") && col("rule_stop") &&
-          col("rule_rep"))
+          col("rule_rep") && col("rule_2g") && col("rule_3g") &&
+          col("rule_4g"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher n-gram repetition metrics (t79): per document and n ∈ {2,3,4},
+    * the most-frequent-n-gram count, the characters it covers, the
+    * characters in all duplicate n-grams, their fractions of the doc's
+    * non-whitespace chars, and the published threshold verdicts.
+    *
+    * Scale: like t47, entirely map-side — each stat is a sorted-array
+    * max-run/banked-run scan in whole-stage codegen; NO groupBy(doc_id,
+    * ngram), so nothing proportional to token count ever crosses a shuffle.
+    * (Fractions can exceed 1.0 under extreme repetition because overlapping
+    * n-gram occurrences each count their chars — same as the published
+    * recipe; the caps only need monotonicity in repetition.)
+    */
+  def t79NgramRepetition(s: SparkSession, d: String): DataFrame = {
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000
+    def frac(num: Column): Column =
+      when(col("n_chars") > 0L,
+        trunc4(num.cast("double") / col("n_chars"))).otherwise(lit(0.0))
+    val ws = words(col("text"))
+    val nAlpha = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val base = documents(s, d).select(
+      Seq(col("doc_id"), nAlpha.as("n_chars")) ++
+        (2 to 4).map(n =>
+          ngramStats(array_sort(ngrams(ws, n)), n).as(s"s$n")): _*)
+    val withStats = (2 to 4).foldLeft(base) { (df, n) =>
+      df.withColumn(s"top${n}_cnt", col(s"s$n").getField("cnt"))
+        .withColumn(s"top${n}_chars", col(s"s$n").getField("topc"))
+        .withColumn(s"dup${n}_chars", col(s"s$n").getField("dupc"))
+    }
+    withStats
+      .withColumn("top2_frac", frac(col("top2_chars")))
+      .withColumn("dup2_frac", frac(col("dup2_chars")))
+      .withColumn("top3_frac", frac(col("top3_chars")))
+      .withColumn("dup3_frac", frac(col("dup3_chars")))
+      .withColumn("top4_frac", frac(col("top4_chars")))
+      .withColumn("dup4_frac", frac(col("dup4_chars")))
+      .withColumn("rule_2g",
+        gopherRuleTopNgram(2, col("top2_chars"), col("n_chars")))
+      .withColumn("rule_3g",
+        gopherRuleTopNgram(3, col("top3_chars"), col("n_chars")))
+      .withColumn("rule_4g",
+        gopherRuleTopNgram(4, col("top4_chars"), col("n_chars")))
+      .drop("s2", "s3", "s4")
       .orderBy("doc_id")
   }
 
@@ -514,9 +643,12 @@ object TextOps {
     */
   def t65CleanPipeline(s: SparkSession, d: String): DataFrame = {
     val (nWords, nAlpha, nStop, topCnt) = gopherMetrics
-    val keepQuality =
+    val keepQuality = gopherNgramTopChars.foldLeft(
       gopherRuleWc(nWords) && gopherRuleMwl(nWords, nAlpha) &&
-        gopherRuleStop(nStop) && gopherRuleRep(nWords, topCnt)
+        gopherRuleStop(nStop) && gopherRuleRep(nWords, topCnt)) {
+      case (acc, (n, topChars)) =>
+        acc && gopherRuleTopNgram(n, topChars, nAlpha)
+    }
     val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     val base = documents(s, d)
       .select(col("doc_id"), keepQuality.as("keep_quality"),
@@ -610,6 +742,28 @@ object TextOps {
     * trip on a logic bug, never on graph shape — it still fails loudly
     * rather than return a silently split component.
     */
+  /** Final-round localCheckpoint RDDs of completed [[connectedComponents]]
+    * runs. Their blocks live at the RDD level, where `Dataset.unpersist` and
+    * `spark.catalog.clearCache` CANNOT see them — a harness that runs many
+    * CC-based queries in one JVM (Bench: d26/d46/t65 × 3 iterations) must
+    * release them explicitly or they accumulate in executor storage. Note a
+    * released result DataFrame cannot be re-executed (localCheckpoint
+    * truncates lineage), so release only after its consumer's action.
+    */
+  private val finalCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Unpersist every registered final CC checkpoint (see
+    * [[finalCheckpoints]]). Safe to call when none are live.
+    */
+  def releaseFinalCheckpoints(): Unit = {
+    var rdd = finalCheckpoints.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = finalCheckpoints.poll()
+    }
+  }
+
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -636,6 +790,7 @@ object TextOps {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    var finalCkRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     while (!converged && rounds < ccMaxRounds) {
       val viaNeighbor = sym
         .join(labels, sym("d2") === labels("doc_id"))
@@ -672,10 +827,14 @@ object TextOps {
       prevSum = nextSum
       freePrevious()
       freePrevious = () => { ckRdd.foreach(_.unpersist(false)); () }
+      finalCkRdd = ckRdd
       labels = next
       rounds += 1
     }
     sym.unpersist()
+    // the last round's checkpoint backs the RETURNED labels table; register
+    // it so a long-lived harness can release it once its consumer is done
+    finalCkRdd.foreach(finalCheckpoints.add)
     // returning a partial labeling would silently split one true component
     // into several — fail loudly instead
     if (!converged) throw new IllegalStateException(

@@ -469,6 +469,46 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** ANN accuracy report (v80): recall@3 of every approximate method in the
+    * family — LSH (v30), IVF nprobe=2 (v41), PQ/ADC (v64) — against v28's
+    * exact brute-force top-3, per query. This is the measurement that
+    * decides the accuracy/cost trade-off of serving ANN from buckets,
+    * inverted lists, or codes instead of a full scan; v76 proved the recall
+    * harness for truncation, this extends it to the candidate-generation
+    * methods themselves.
+    *
+    * Scale: the expensive parts ARE the member queries (each already
+    * plan-audited — bucketed equi-joins, broadcast codebooks, no all-pairs);
+    * the recall overlay joins four ≤30-row results, so its own cost is
+    * noise. PQ only evaluates its own query domain (vec_id < 5) — a method
+    * row means "measured", never "padded with zeros".
+    */
+  def v80AnnRecall(s: SparkSession, d: String): DataFrame = {
+    def top3Set(df: DataFrame, method: String): DataFrame =
+      df.filter(col("rnk") <= 3)
+        .groupBy("query_id")
+        .agg(collect_set(col("neighbor_id")).as("approx3"))
+        .select(col("query_id"), lit(method).as("method"), col("approx3"))
+    val exact = v28CosineTopK(s, d).filter(col("rnk") <= 3)
+      .groupBy("query_id").agg(collect_set(col("neighbor_id")).as("exact3"))
+    val methods = top3Set(v30AnnLsh(s, d), "lsh")
+      .unionByName(top3Set(v41IvfAnn(s, d), "ivf"))
+      .unionByName(top3Set(v64PqAnn(s, d), "pq"))
+    val hits = size(array_intersect(col("exact3"), col("approx3")))
+      .cast("long")
+    exact
+      .withColumn("method", explode(array(lit("lsh"), lit("ivf"), lit("pq"))))
+      .filter(!(col("method") === "pq" && col("query_id") >= 5))
+      .join(methods, Seq("query_id", "method"), "left")
+      .select(col("query_id"), col("method"),
+        coalesce(size(col("approx3")).cast("long"), lit(0L)).as("n_cand"),
+        coalesce(hits, lit(0L)).as("hits3"),
+        coalesce(
+          floor(hits.cast("double") / 3 * 10000) / 10000, lit(0.0))
+          .as("recall3"))
+      .orderBy("query_id", "method")
+  }
+
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash) — the schema/partitioning shape for
     * image/audio columns; decode itself is stubbed (see

@@ -161,6 +161,55 @@ class MultimodalSpec extends SparkSpec {
     assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte)
   }
 
+  test("image decode also proves the JPEG container path (not just PNG)") {
+    // the production swap-point claim is "ImageIO reads whatever container
+    // arrives" — prove a second real codec: synthesize a JPEG and assert
+    // the decoded dims come from its header
+    val s = spark
+    import s.implicits._
+    val (w, h) = (96, 72)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (x * 31 + y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val payload = out.toByteArray
+    // the bytes really are JFIF: SOI marker 0xFFD8
+    assert((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+    val row = Multimodal.decodeMeta(
+      Seq((21L, payload, "image/jpeg")).toDF("doc_id", "payload", "mime"))
+      .collect().head
+    assert(row.getAs[Int]("width") == w)
+    assert(row.getAs[Int]("height") == h)
+    assert(row.getAs[Int]("n_frames") == 1)
+  }
+
+  test("hostile deeply-nested MP4 boxes yield null metadata, not a crash") {
+    // thousands of nested 8-byte container boxes: an unbounded recursive
+    // walk would StackOverflowError (an Error — uncatchable by the decode
+    // path's Exception handler); the depth bound must route this to the
+    // null-metadata contract instead
+    val s = spark
+    import s.implicits._
+    var payload = Array[Byte]()
+    (1 to 4000).foreach { _ =>
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put("moov".getBytes("US-ASCII"))
+        .put(payload)
+      payload = bb.array()
+    }
+    val row = Multimodal.decodeMeta(
+      Seq((31L, payload, "video/mp4")).toDF("doc_id", "payload", "mime"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("width")))
+    assert(row.isNullAt(row.fieldIndex("n_frames")))
+  }
+
   test("undecodable image payload yields null metadata, not fake numbers") {
     val s = spark
     import s.implicits._
