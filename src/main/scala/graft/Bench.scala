@@ -19,6 +19,13 @@ object Bench {
       .map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Sentinel duration for a FAILED query iteration: large, finite (JSON has
+    * no Infinity/NaN), and impossible to mistake for a measurement — so a
+    * fast-failing iteration can never win the per-query min and masquerade
+    * as a perf improvement. Failures are also listed by name in the record.
+    */
+  private val FailedSentinel = 1e9
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,20 +49,23 @@ object Bench {
     // (raw parquet read throws PARQUET_TYPE_ILLEGAL)
     Tables.events(spark, sfDir).count()
     // sorted: stable execution order across rounds (Map order is hash-based)
-    def runAll(): Seq[(String, Double)] =
+    def runAll(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt =
+          if (ok) (System.nanoTime() - t0) / 1e9 else FailedSentinel
         // several operators persist their compact signature/codebook tables
         // inside the query (by design — see PLANS.md); drop them between
-        // queries so 67 queries x 3 iterations don't accumulate storage
+        // queries so 81 queries x 3 iterations don't accumulate storage
         // blocks and leak one query's cache pressure into the next's timing
         spark.catalog.clearCache()
         // CC-based queries (d26/d46/t65) leave their final localCheckpoint
         // blocks at the RDD level where clearCache cannot see them
         ops.TextOps.releaseFinalCheckpoints()
-        name -> dt
+        (name, dt, ok)
       }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -68,15 +78,30 @@ object Bench {
     val best = cold.indices.map { i =>
       cold(i)._1 -> Seq(cold(i)._2, warm(i)._2, warm2(i)._2).min
     }
+    val failed = (cold ++ warm ++ warm2).collect { case (n, _, false) => n }
+      .distinct.sorted
+    def times(rs: Seq[(String, Double, Boolean)]): Seq[(String, Double)] =
+      rs.map { case (n, t, _) => n -> t }
     val total = cold.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
     val totalMin = best.map(_._2).sum
     val loadEnd = loadAvg()
     val gcEnd = gcMillis()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      json(cold)},"total_warm":$totalWarm,"queries_warm":${
-      json(warm)},"queries_warm2":${json(warm2)},"total_min":$totalMin,"queries_min":${
-      json(best)},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","gc_ms_start":$gcStart,"gc_ms_end":$gcEnd,"sf":"$sfDir"}""")
+      json(times(cold))},"total_warm":$totalWarm,"queries_warm":${
+      json(times(warm))},"queries_warm2":${
+      json(times(warm2))},"total_min":$totalMin,"queries_min":${
+      json(best)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      },"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","gc_ms_start":$gcStart,"gc_ms_end":$gcEnd,"sf":"$sfDir"}""")
+    // Compact summary printed LAST (<1 KB): the driver keeps only the final
+    // ~2000 chars of output, and the full record above (~8 KB at 81 queries)
+    // overflows that window — round 6 recorded "parsed": null and lost
+    // total_min plus 18 of 80 min entries. Whatever truncation window the
+    // driver applies, this tail line always survives complete and parseable.
+    val slowest = best.sortBy(-_._2).take(10)
+    println(s"""{"metric":"summary","total_cold":$total,"total_warm":$totalWarm,"total_min":$totalMin,"n_queries":${
+      best.length},"n_failed":${failed.length},"slowest_min":${
+      json(slowest)},"loadavg_end":"$loadEnd","gc_ms":${gcEnd - gcStart},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,7 +75,8 @@ object OracleGen {
     s"""g$n AS (
          SELECT doc_id, unnest(list_transform(range(1, len(ws) - $n + 2),
            i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS gram
-         FROM gw),
+         FROM gw
+         WHERE len(ws) <= 100000),
        c$n AS (
          SELECT doc_id, gram, count(*) AS cnt,
            length(gram) - ${n - 1} AS glen
@@ -98,20 +99,56 @@ object OracleGen {
          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
          FROM documents)"""
 
+  /** Line-level Gopher metrics over an arbitrary text expression — DuckDB
+    * twin of [[graft.ops.TextOps.lineMetrics]]: newline split, bullet-start
+    * / ellipsis-end line counts, alpha-word count over the shared
+    * whitespace tokenizer, '#' and '...' symbol counts. Kept as a
+    * SELECT-column template so both the raw-text (t59/t65) and payload
+    * (t81) variants stay in lockstep with the Scala source of truth.
+    */
+  private def lineMetricCols(text: String): String =
+    s"""CAST(len(str_split($text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(str_split($text, chr(10)),
+             l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+             AS BIGINT) AS bullet_lines,
+           CAST(len(list_filter(str_split($text, chr(10)),
+             l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+             AS BIGINT) AS ellipsis_lines,
+           CAST(len(list_filter(string_split_regex(trim(lower($text)), '\\s+'),
+             w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+           CAST(length($text) - length(regexp_replace($text, '#', '', 'g'))
+             AS BIGINT) AS n_hash,
+           CAST(len(regexp_extract_all($text, '\\.\\.\\.|…')) AS BIGINT)
+             AS n_ellipsis"""
+
+  /** The line-rule conjunction terms (integer-compare forms of ≤90% bullet
+    * lines, ≤30% ellipsis lines, ≥80% alpha words, ≤0.10 symbol-to-word).
+    */
+  private val lineRuleConj: String =
+    """bullet_lines * 10 <= n_lines * 9
+             AND ellipsis_lines * 10 <= n_lines * 3
+             AND alpha_words * 5 >= n_words * 4
+             AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words"""
+
   /** Gopher composite filter (t59) with the published top-2/3/4-gram
     * character-fraction caps folded into the conjunction (integer-compare
     * forms: 0.20 = 1/5, 0.18 = 9/50, 0.16 = 4/25).
     */
   val gopherFilter: String = {
     val conj =
-      """(n_words >= 15 AND n_words <= 100000)
+      s"""(n_words >= 15 AND n_words <= 100000)
              AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
              AND n_stop >= 1 AND top_cnt * 5 <= n_words
              AND COALESCE(top2_chars, 0) * 5 <= n_alpha
              AND COALESCE(top3_chars, 0) * 50 <= n_alpha * 9
-             AND COALESCE(top4_chars, 0) * 25 <= n_alpha * 4"""
+             AND COALESCE(top4_chars, 0) * 25 <= n_alpha * 4
+             AND $lineRuleConj"""
     s"""WITH $gwCte,
        $ngramCtes,
+       lm AS (
+           SELECT doc_id,
+           ${lineMetricCols("text")}
+           FROM documents),
        m AS (
            SELECT doc_id,
              CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
@@ -130,6 +167,8 @@ object OracleGen {
            COALESCE(top2_chars, 0) AS top2g_chars,
            COALESCE(top3_chars, 0) AS top3g_chars,
            COALESCE(top4_chars, 0) AS top4g_chars,
+           n_lines, bullet_lines, ellipsis_lines, alpha_words, n_hash,
+           n_ellipsis,
            n_words >= 15 AND n_words <= 100000 AS rule_wc,
            n_alpha >= n_words * 3 AND n_alpha <= n_words * 10 AS rule_mwl,
            n_stop >= 1 AS rule_stop,
@@ -137,13 +176,49 @@ object OracleGen {
            COALESCE(top2_chars, 0) * 5 <= n_alpha AS rule_2g,
            COALESCE(top3_chars, 0) * 50 <= n_alpha * 9 AS rule_3g,
            COALESCE(top4_chars, 0) * 25 <= n_alpha * 4 AS rule_4g,
+           bullet_lines * 10 <= n_lines * 9 AS rule_bullet,
+           ellipsis_lines * 10 <= n_lines * 3 AS rule_ellipsis,
+           alpha_words * 5 >= n_words * 4 AS rule_alpha,
+           n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+             AS rule_symbol,
            $conj AS keep
          FROM m
+         JOIN lm ON lm.doc_id = m.doc_id
          LEFT JOIN top2 ON top2.doc_id = m.doc_id
          LEFT JOIN top3 ON top3.doc_id = m.doc_id
          LEFT JOIN top4 ON top4.doc_id = m.doc_id
          ORDER BY m.doc_id"""
   }
+
+  /** Line-level Gopher rules (t81) over the deterministic doc_id-derived
+    * multi-line payload matching [[graft.ops.TextOps.t81LineRules]] (the
+    * corpus itself is single-line prose, so — like t48's PII suffix — the
+    * payload exercises the real path).
+    */
+  val lineRules: String =
+    s"""WITH p AS (
+         SELECT doc_id, text
+           || repeat(' #', CAST(doc_id % 11 AS INTEGER))
+           || repeat(' 42', CAST(doc_id % 40 AS INTEGER))
+           || repeat(chr(10) || '- bullet item', CAST(doc_id % 23 AS INTEGER))
+           || repeat(chr(10) || 'to be continued...',
+                CAST(doc_id % 5 AS INTEGER)) AS lined
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(lined)), '\\s+')) AS BIGINT)
+             AS n_words,
+           ${lineMetricCols("lined")}
+         FROM p)
+       SELECT doc_id, n_words, n_lines, bullet_lines, ellipsis_lines,
+         alpha_words, n_hash, n_ellipsis,
+         bullet_lines * 10 <= n_lines * 9 AS rule_bullet,
+         ellipsis_lines * 10 <= n_lines * 3 AS rule_ellipsis,
+         alpha_words * 5 >= n_words * 4 AS rule_alpha,
+         n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+           AS rule_symbol,
+         $lineRuleConj AS keep_lines
+       FROM m ORDER BY doc_id"""
 
   /** Full n-gram repetition metrics (t79): counts, covered/duplicate char
     * volumes, fractions of non-whitespace chars (4-dp floor-truncated, same
@@ -218,6 +293,10 @@ object OracleGen {
     s"""WITH RECURSIVE $ccCtes,
        $gwCte,
        $ngramCtes,
+       lm AS (
+         SELECT doc_id,
+           ${lineMetricCols("text")}
+         FROM documents),
        gf AS (
          SELECT m.doc_id,
            (n_words >= 15 AND n_words <= 100000)
@@ -225,7 +304,8 @@ object OracleGen {
              AND n_stop >= 1 AND top_cnt * 5 <= n_words
              AND COALESCE(top2_chars, 0) * 5 <= n_alpha
              AND COALESCE(top3_chars, 0) * 50 <= n_alpha * 9
-             AND COALESCE(top4_chars, 0) * 25 <= n_alpha * 4 AS keep_quality
+             AND COALESCE(top4_chars, 0) * 25 <= n_alpha * 4
+             AND $lineRuleConj AS keep_quality
          FROM (
            SELECT doc_id,
              CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
@@ -240,6 +320,7 @@ object OracleGen {
                   AS t(word)
                 GROUP BY word) q) AS top_cnt
            FROM documents) m
+         JOIN lm ON lm.doc_id = m.doc_id
          LEFT JOIN top2 ON top2.doc_id = m.doc_id
          LEFT JOIN top3 ON top3.doc_id = m.doc_id
          LEFT JOIN top4 ON top4.doc_id = m.doc_id),

@@ -97,6 +97,7 @@ object SparkEntry {
     "q78_sketch_merge" -> (Relational.q78SketchMerge _),
     "t79_ngram_repetition" -> (TextOps.t79NgramRepetition _),
     "v80_ann_recall" -> (VectorOps.v80AnnRecall _),
+    "t81_line_rules" -> (TextOps.t81LineRules _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -716,5 +717,6 @@ object SparkEntry {
          FROM events""",
     "t79_ngram_repetition" -> OracleGen.ngramRepetition,
     "v80_ann_recall" -> OracleGen.annRecall,
+    "t81_line_rules" -> OracleGen.lineRules,
   )
 }

@@ -20,7 +20,33 @@ import graft.Tables._
   */
 object TextOps {
 
-  private def words(c: Column): Column = split(trim(lower(c)), "\\s+")
+  /** The shared whitespace tokenizer — `split(trim(lower(text)), '\s+')` —
+    * used by t20/t21/t47/t59/t65/t69/t71/t75/t79/t81 and mirrored in every
+    * oracle as DuckDB `string_split_regex(trim(lower(text)), '\s+')`.
+    *
+    * Cross-engine CONTRACT (pinned by TokenizerContractSpec; DuckDB side
+    * probed empirically against v1.x RE2 semantics): the engines agree
+    * exactly — including leading/trailing empty tokens — for text whose
+    * leading/trailing characters are not exotic Unicode space separators
+    * and which contains no U+000B. Within that class the separator set is
+    * precisely {U+0009 tab, U+000A LF, U+000C FF, U+000D CR, U+0020 space};
+    * all other Unicode whitespace (U+00A0 NBSP, U+1680 OGHAM, U+2000-200A,
+    * U+2028 LS, U+2029 PS, U+202F NNBSP, U+3000 IDEOGRAPHIC SPACE, U+0085
+    * NEL) is an ordinary token character in BOTH engines (Java `\s` and
+    * RE2 `\s` are both ASCII-only).
+    *
+    * Known divergence classes OUTSIDE the contract (kept out of the corpus,
+    * asserted in the spec so a drift is caught at the tokenizer, not as six
+    * reddened oracle rows):
+    *  1. U+000B vertical tab: Java `\s` includes it (Spark splits), RE2
+    *     does not (DuckDB keeps one token).
+    *  2. Leading/trailing Unicode Zs (NBSP, OGHAM, EN QUAD…, IDEOGRAPHIC
+    *     SPACE): DuckDB `trim` strips the whole Zs category, Spark `trim`
+    *     strips only U+0020.
+    *  3. U+0130 İ: Java lowercases to "i"+U+0307 (two chars), DuckDB to
+    *     plain "i".
+    */
+  private[ops] def words(c: Column): Column = split(trim(lower(c)), "\\s+")
 
   /** 48-bit hash from an md5 prefix — deterministic and reproducible in any
     * engine with md5 (the oracle uses the same construction).
@@ -420,27 +446,85 @@ object TextOps {
     * oracles carry their own copies by construction; the
     * t65-agrees-with-t59 invariant in Round5OpsSpec pins the Scala side.)
     */
-  private def gopherMetrics: (Column, Column, Column, Column) = {
-    val ws = words(col("text"))
+  private def gopherMetrics(text: Column = col("text"))
+      : (Column, Column, Column, Column) = {
+    val ws = words(text)
     (size(ws).cast("long"),
-      length(regexp_replace(col("text"), "\\s", "")).cast("long"),
-      size(regexp_extract_all(lower(col("text")),
+      length(regexp_replace(text, "\\s", "")).cast("long"),
+      size(regexp_extract_all(lower(text),
         lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long"),
       maxRun(array_sort(ws)))
   }
   private def gopherRuleWc(nWords: Column): Column =
-    nWords >= 15 && nWords <= 100000
+    nWords >= 15 && nWords <= GopherMaxWords
   private def gopherRuleMwl(nWords: Column, nAlpha: Column): Column =
     nAlpha >= nWords * 3 && nAlpha <= nWords * 10
   private def gopherRuleStop(nStop: Column): Column = nStop >= 1
   private def gopherRuleRep(nWords: Column, topCnt: Column): Column =
     topCnt * 5 <= nWords
 
+  /** Line-level Gopher metrics over an arbitrary text column (Rae et al.
+    * 2021, table A1's line-shape signals) — boilerplate web markup is
+    * exactly what these catch (nav lists are ≥90%-bullet docs). Returns
+    * (n_lines, bullet_lines, ellipsis_lines, alpha_words, n_hash,
+    * n_ellipsis), all map-side `split` + higher-order-function scans in
+    * whole-stage codegen, same shape as the word-level rules.
+    *
+    * Cross-engine notes: lines split on the literal newline (DuckDB
+    * `str_split(text, chr(10))`); `ltrim`/`rtrim` trim only ' ' in both
+    * engines; the bullet set is {-, *, U+2022}; ellipsis is a trailing
+    * "..." or U+2026; alpha words are tokens of the shared [[words]]
+    * tokenizer containing [a-z] after its lower().
+    */
+  private def lineMetrics(text: Column): (Column, Column, Column, Column,
+      Column, Column) = {
+    val lines = split(text, "\n")
+    val ws = words(text)
+    val bullet = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+    val ell = size(filter(lines,
+      l => endswith(rtrim(l), lit("...")) ||
+        endswith(rtrim(l), lit("…"))))
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll = size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0)))
+    (size(lines).cast("long"), bullet.cast("long"), ell.cast("long"),
+      alphaWords.cast("long"), nHash.cast("long"), nEll.cast("long"))
+  }
+
+  /** Published line-level caps as integer compares (no float boundaries):
+    * ≤90% of lines may start with a bullet, ≤30% may end with an ellipsis,
+    * ≥80% of words must contain an alphabetic character, and the
+    * symbol-to-word ratio must stay ≤0.10 for both '#' and ellipsis.
+    */
+  private def gopherRuleBullet(bulletLines: Column, nLines: Column): Column =
+    bulletLines * 10 <= nLines * 9
+  private def gopherRuleEllipsis(ellLines: Column, nLines: Column): Column =
+    ellLines * 10 <= nLines * 3
+  private def gopherRuleAlpha(alphaWords: Column, nWords: Column): Column =
+    alphaWords * 5 >= nWords * 4
+  private def gopherRuleSymbol(nHash: Column, nEll: Column,
+      nWords: Column): Column =
+    nHash * 10 <= nWords && nEll * 10 <= nWords
+
+  /** Upper word-count bound shared by the Gopher rule_wc rule and the
+    * n-gram-stat guard below: a doc beyond it is already rejected by
+    * rule_wc, so skipping its n-gram materialization changes no verdict.
+    */
+  private val GopherMaxWords = 100000
+
   /** Word-level n-grams joined with single spaces; empty (not a negative
-    * `sequence`!) when the doc has fewer than n words.
+    * `sequence`!) when the doc has fewer than n words — and ALSO empty
+    * beyond [[GopherMaxWords]]: each n materializes ~n_words strings of ~n
+    * words each before sorting (3 n's ≈ 9× the doc's own size in transient
+    * per-row memory), and a doc over the cap is already rejected by
+    * rule_wc, so the guard bounds worst-case executor pressure without
+    * changing any verdict. The oracle applies the same bound
+    * (`WHERE len(ws) <= 100000` in the g-n CTEs → COALESCE 0), so stats
+    * stay hash-identical: both engines emit zeros for over-cap docs.
     */
   private def ngrams(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
+    when(size(ws) >= n && size(ws) <= GopherMaxWords,
       transform(sequence(lit(0), size(ws) - n),
         i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
@@ -505,19 +589,51 @@ object TextOps {
     * conjunction) and t79 (full metrics) so thresholds and tie-breaks
     * cannot drift between them.
     */
-  private def gopherNgramTopChars: Seq[(Int, Column)] = {
-    val ws = words(col("text"))
+  private def gopherNgramTopChars(text: Column = col("text"))
+      : Seq[(Int, Column)] = {
+    val ws = words(text)
     (2 to 4).map(n =>
       n -> ngramStats(array_sort(ngrams(ws, n)), n).getField("topc"))
   }
 
+  /** The complete Gopher keep verdict — word-count, mean-word-length,
+    * stopword, repetition, top-2/3/4-gram character caps, and the
+    * line-level rules — as ONE Column over an arbitrary text column. This
+    * is the same single source of truth t59 (per-rule flags), t65
+    * (pipeline conjunction), and the STREAMING quality gate
+    * ([[graft.streaming.StreamOps.qualityGateStream]]) evaluate, so a
+    * threshold tweak cannot drift between batch and streaming. Entirely
+    * stateless map-side expression work — no shuffle, no state store —
+    * which is exactly why the same Column drops into a streaming plan
+    * unchanged.
+    */
+  def gopherKeep(text: Column): Column = {
+    val (nWords, nAlpha, nStop, topCnt) = gopherMetrics(text)
+    val (nLines, bulletLines, ellLines, alphaWords, nHash, nEll) =
+      lineMetrics(text)
+    gopherNgramTopChars(text).foldLeft(
+      gopherRuleWc(nWords) && gopherRuleMwl(nWords, nAlpha) &&
+        gopherRuleStop(nStop) && gopherRuleRep(nWords, topCnt)) {
+      case (acc, (n, topChars)) =>
+        acc && gopherRuleTopNgram(n, topChars, nAlpha)
+    } && gopherRuleBullet(bulletLines, nLines) &&
+      gopherRuleEllipsis(ellLines, nLines) &&
+      gopherRuleAlpha(alphaWords, nWords) &&
+      gopherRuleSymbol(nHash, nEll, nWords)
+  }
+
   def t59GopherFilter(s: SparkSession, d: String): DataFrame = {
-    val (nWords, nAlpha, nStop, topCnt) = gopherMetrics
-    val topChars = gopherNgramTopChars
+    val (nWords, nAlpha, nStop, topCnt) = gopherMetrics()
+    val topChars = gopherNgramTopChars()
+    val (nLines, bulletLines, ellLines, alphaWords, nHash, nEll) =
+      lineMetrics(col("text"))
     documents(s, d)
       .select(Seq(col("doc_id"), nWords.as("n_words"), nAlpha.as("n_alpha"),
         nStop.as("n_stop"), topCnt.as("top_cnt")) ++
-        topChars.map { case (n, c) => c.as(s"top${n}g_chars") }: _*)
+        topChars.map { case (n, c) => c.as(s"top${n}g_chars") } ++
+        Seq(nLines.as("n_lines"), bulletLines.as("bullet_lines"),
+          ellLines.as("ellipsis_lines"), alphaWords.as("alpha_words"),
+          nHash.as("n_hash"), nEll.as("n_ellipsis")): _*)
       .withColumn("rule_wc", gopherRuleWc(col("n_words")))
       .withColumn("rule_mwl", gopherRuleMwl(col("n_words"), col("n_alpha")))
       .withColumn("rule_stop", gopherRuleStop(col("n_stop")))
@@ -528,10 +644,65 @@ object TextOps {
         gopherRuleTopNgram(3, col("top3g_chars"), col("n_alpha")))
       .withColumn("rule_4g",
         gopherRuleTopNgram(4, col("top4g_chars"), col("n_alpha")))
+      .withColumn("rule_bullet",
+        gopherRuleBullet(col("bullet_lines"), col("n_lines")))
+      .withColumn("rule_ellipsis",
+        gopherRuleEllipsis(col("ellipsis_lines"), col("n_lines")))
+      .withColumn("rule_alpha",
+        gopherRuleAlpha(col("alpha_words"), col("n_words")))
+      .withColumn("rule_symbol",
+        gopherRuleSymbol(col("n_hash"), col("n_ellipsis"), col("n_words")))
       .withColumn("keep",
         col("rule_wc") && col("rule_mwl") && col("rule_stop") &&
           col("rule_rep") && col("rule_2g") && col("rule_3g") &&
-          col("rule_4g"))
+          col("rule_4g") && col("rule_bullet") && col("rule_ellipsis") &&
+          col("rule_alpha") && col("rule_symbol"))
+      .orderBy("doc_id")
+  }
+
+  /** Line-level Gopher quality rules (t81) over a deterministic multi-line
+    * payload: the synthetic corpus is single-line prose (no newlines,
+    * bullets, '#', or ellipses — verified), so, exactly like t48's PII
+    * suffix and t68's NFC suffix, each doc gets a doc_id-derived payload of
+    * bullet lines, ellipsis lines, hash symbols, and numeric tokens; the
+    * oracle constructs the identical payload. The rule implementations are
+    * the SAME [[lineMetrics]]/rule functions t59 and t65 apply to raw text,
+    * so thresholds cannot drift between the exercised path and the
+    * conjunction path.
+    *
+    * Scale: entirely map-side — `split(text, '\n')` + higher-order filters
+    * in whole-stage codegen; nothing line- or token-proportional crosses a
+    * shuffle.
+    */
+  def t81LineRules(s: SparkSession, d: String): DataFrame = {
+    // symbol/numeric suffixes attach to the FIRST (prose) line so every
+    // appended bullet/ellipsis line keeps its exact shape; doc_id % 23
+    // bullet lines lets the ≤90% cap actually trip (needs ≥10 bullet lines
+    // against one prose line when no ellipsis lines dilute them)
+    val lined = concat(col("text"),
+      repeat(lit(" #"), (col("doc_id") % 11).cast("int")),
+      repeat(lit(" 42"), (col("doc_id") % 40).cast("int")),
+      repeat(lit("\n- bullet item"), (col("doc_id") % 23).cast("int")),
+      repeat(lit("\nto be continued..."), (col("doc_id") % 5).cast("int")))
+    val (nLines, bulletLines, ellLines, alphaWords, nHash, nEll) =
+      lineMetrics(lined)
+    documents(s, d)
+      .select(col("doc_id"),
+        size(words(lined)).cast("long").as("n_words"),
+        nLines.as("n_lines"), bulletLines.as("bullet_lines"),
+        ellLines.as("ellipsis_lines"), alphaWords.as("alpha_words"),
+        nHash.as("n_hash"), nEll.as("n_ellipsis"))
+      .withColumn("rule_bullet",
+        gopherRuleBullet(col("bullet_lines"), col("n_lines")))
+      .withColumn("rule_ellipsis",
+        gopherRuleEllipsis(col("ellipsis_lines"), col("n_lines")))
+      .withColumn("rule_alpha",
+        gopherRuleAlpha(col("alpha_words"), col("n_words")))
+      .withColumn("rule_symbol",
+        gopherRuleSymbol(col("n_hash"), col("n_ellipsis"), col("n_words")))
+      .withColumn("keep_lines",
+        col("rule_bullet") && col("rule_ellipsis") && col("rule_alpha") &&
+          col("rule_symbol"))
       .orderBy("doc_id")
   }
 
@@ -642,13 +813,7 @@ object TextOps {
     * CLUSTERED doc only — no sort, no SMJ).
     */
   def t65CleanPipeline(s: SparkSession, d: String): DataFrame = {
-    val (nWords, nAlpha, nStop, topCnt) = gopherMetrics
-    val keepQuality = gopherNgramTopChars.foldLeft(
-      gopherRuleWc(nWords) && gopherRuleMwl(nWords, nAlpha) &&
-        gopherRuleStop(nStop) && gopherRuleRep(nWords, topCnt)) {
-      case (acc, (n, topChars)) =>
-        acc && gopherRuleTopNgram(n, topChars, nAlpha)
-    }
+    val keepQuality = gopherKeep(col("text"))
     val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     val base = documents(s, d)
       .select(col("doc_id"), keepQuality.as("keep_quality"),

@@ -69,6 +69,25 @@ object StreamOps {
       }
   }
 
+  /** Streaming Gopher quality gate — the streaming twin of t59/t65's
+    * quality stage, closing the batch/streaming parity gap for the
+    * cleaning pipeline (dedup and sessionization already have streaming
+    * twins). The verdict column IS [[graft.ops.TextOps.gopherKeep]] — the
+    * same single source of truth the batch queries evaluate — so batch and
+    * stream can never disagree on a document.
+    *
+    * The whole rule set (word-count/mean-word-length/stopword/repetition/
+    * n-gram caps/line rules) is stateless map-side expression work: no
+    * watermark, no state store, no shuffle — a quality gate adds ZERO
+    * state to an unbounded feed, which is what makes it safe to run first,
+    * before any stateful dedup stage, on a 100 TB/day ingest.
+    * Input needs a `text` column; emits the input plus `keep_quality`
+    * (use `.filter(col("keep_quality"))` to gate).
+    */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    docs.withColumn("keep_quality",
+      graft.ops.TextOps.gopherKeep(col("text")))
+
   /** Streaming exact dedup for document pipelines: normalize → fingerprint →
     * `dropDuplicatesWithinWatermark`. The watermark bounds the dedup state
     * (fingerprints older than the delay are evicted), which is what makes

@@ -68,7 +68,8 @@ class Round5OpsSpec extends SparkSpec {
     val bad = df.filter(col("keep") =!=
       (col("rule_wc") && col("rule_mwl") && col("rule_stop") &&
         col("rule_rep") && col("rule_2g") && col("rule_3g") &&
-        col("rule_4g")))
+        col("rule_4g") && col("rule_bullet") && col("rule_ellipsis") &&
+        col("rule_alpha") && col("rule_symbol")))
     assert(bad.count() == 0)
     // top_cnt agrees with t47's groupBy-free repetition scan
     val t47 = TextOps.t47Repetition(spark, sf)

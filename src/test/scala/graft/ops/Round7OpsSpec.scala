@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.betfair.SparkSpec
+
+/** Invariant specs for the round-7 operators. Exact-value correctness is
+  * covered by the DuckDB oracle gate (scripts/check.py); these assert the
+  * semantic contracts a hash compare alone would not explain if broken.
+  */
+class Round7OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t81 line rules: keep_lines is the conjunction, verdicts vary") {
+    val df = TextOps.t81LineRules(spark, sf).cache()
+    assert(df.count() == graft.Tables.documents(spark, sf).count())
+    assert(df.filter(col("keep_lines") =!=
+      (col("rule_bullet") && col("rule_ellipsis") && col("rule_alpha") &&
+        col("rule_symbol"))).count() == 0)
+    // the doc_id-derived payload must actually exercise each rule: every
+    // rule column takes both values somewhere in the corpus
+    Seq("rule_bullet", "rule_ellipsis", "rule_alpha", "rule_symbol")
+      .foreach { r =>
+        assert(df.filter(col(r)).count() > 0, s"$r never true")
+        assert(df.filter(!col(r)).count() > 0, s"$r never false")
+      }
+    df.unpersist()
+  }
+
+  test("t81 payload counts are exact on a constructed doc") {
+    // doc_id 13: 13%23=13 bullet lines, 13%5=3 ellipsis lines, 13%11=2
+    // hashes, 13%40=13 numeric words on top of the raw prose line
+    val row = TextOps.t81LineRules(spark, sf)
+      .filter(col("doc_id") === 13).collect()(0)
+    assert(row.getAs[Long]("n_lines") == 1L + 13L + 3L)
+    assert(row.getAs[Long]("bullet_lines") == 13L)
+    assert(row.getAs[Long]("ellipsis_lines") == 3L)
+    assert(row.getAs[Long]("n_hash") == 2L)
+    // the 3 "to be continued..." lines each contribute one '...' match
+    assert(row.getAs[Long]("n_ellipsis") == 3L)
+  }
+
+  test("t59 line rules pass on the raw single-line corpus") {
+    // raw docs have no newlines/bullets/symbols, so folding the line rules
+    // into t59's conjunction must not change any keep verdict there
+    val df = TextOps.t59GopherFilter(spark, sf).cache()
+    assert(df.filter(col("n_lines") =!= 1).count() == 0)
+    assert(df.filter(!col("rule_bullet") || !col("rule_ellipsis") ||
+      !col("rule_symbol")).count() == 0)
+    df.unpersist()
+  }
+}

@@ -53,6 +53,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Set(1L, 4L))
   }
 
+  test("streaming gopher quality gate matches the batch verdict") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // long enough that no single 3/4-gram's characters breach the 18%/16%
+    // caps (a 15-word doc fails those arithmetically, by design)
+    val good = "the quick brown fox jumps over a lazy dog near the old " +
+      "stone bridge today while seven curious children watch small " +
+      "boats drift slowly down the quiet river under bright morning skies"
+    val tooShort = "way too short"
+    val bulletSpam = "the quick brown fox jumps over a lazy dog today\n" +
+      (1 to 28).map(_ => "- item alpha").mkString("\n")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.qualityGateStream(docs)
+      .writeStream.format("memory").queryName("qg")
+      .outputMode("append").start()
+    mem.addData((1L, good), (2L, tooShort), (3L, bulletSpam))
+    q.processAllAvailable()
+    val out = s.sql("select doc_id, keep_quality from qg").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+    // batch/streaming parity: the SAME texts through the batch-side Column
+    // produce the SAME verdicts (shared single source of truth)
+    val batch = Seq((1L, good), (2L, tooShort), (3L, bulletSpam))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.TextOps.gopherKeep(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch == out)
+  }
+
   test("stream-static decontamination flags docs overlapping the eval set") {
     val s = spark
     import s.implicits._
