@@ -402,7 +402,10 @@ object OracleGen {
        >= ${VectorOps.NearDupThreshold}
      ORDER BY d1, d2"""
 
-  val ivfAnn: String =
+  /** IVF scored candidate set (standalone SELECT) — shared by [[ivfAnn]]
+    * (ranked top-3) and [[annFrontier]] (candidate counts + top-10).
+    */
+  val ivfCands: String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                  FROM embeddings),
        c0 AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
@@ -423,14 +426,16 @@ object OracleGen {
        probes AS (SELECT r.vec_id AS query_id, e.v AS qv,
            sqrt(list_dot_product(e.v, e.v)) AS nq, r.clabel
          FROM ranked r JOIN e ON e.vec_id = r.vec_id
-         WHERE r.vec_id < 10 AND r.arn <= 2),
-       sims AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-           list_dot_product(p.qv, a.v) / (p.nq * a.nv) AS sim
-         FROM assigned a JOIN probes p ON a.clabel = p.clabel
-           AND a.vec_id <> p.query_id),
-       rk AS (SELECT query_id, neighbor_id, sim,
+         WHERE r.vec_id < 10 AND r.arn <= 2)
+     SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.qv, a.v) / (p.nq * a.nv) AS sim
+     FROM assigned a JOIN probes p ON a.clabel = p.clabel
+       AND a.vec_id <> p.query_id"""
+
+  val ivfAnn: String =
+    s"""WITH rk AS (SELECT query_id, neighbor_id, sim,
            row_number() OVER (PARTITION BY query_id
-             ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM ($ivfCands) sims)
      SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
      FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
@@ -498,13 +503,16 @@ object OracleGen {
      HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) >= 1
      ORDER BY doc_id"""
 
-  /** Product-quantization ADC matching [[VectorOps.v64PqAnn]]: M subspaces,
-    * K codewords each, init = first K subvectors (4dp), one squared-L2
-    * Lloyd refinement (4dp), encode, then per-query lookup-table scoring.
-    * pd is rounded to 4dp before the sum so identical code tuples rank
-    * identically in any engine (see the Spark-side comment).
+  /** Product-quantization ADC candidate scores matching
+    * [[VectorOps.v64PqAnn]]'s candidate stage: M subspaces, K codewords
+    * each, init = first K subvectors (4dp), one squared-L2 Lloyd
+    * refinement (4dp), encode, then per-query lookup-table scoring. pd is
+    * rounded to 4dp before the sum so identical code tuples rank
+    * identically in any engine (see the Spark-side comment). Standalone
+    * SELECT of (query_id, neighbor_id, sim) — shared by [[pqAnn]] (ranked
+    * top-3) and [[annFrontier]].
     */
-  val pqAnn: String = {
+  val pqCands: String = {
     val m = VectorOps.PqM
     val k = VectorOps.PqK
     val sub = VectorOps.Dim / m
@@ -549,29 +557,36 @@ object OracleGen {
          SELECT l.query_id, co.vec_id, round(sum(l.pd), 4) AS approx_r
          FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
          WHERE co.vec_id <> l.query_id
-         GROUP BY l.query_id, co.vec_id),
-       rk AS (
-         SELECT query_id, vec_id AS neighbor_id, approx_r,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY approx_r DESC, vec_id) AS rnk FROM sc)
-     SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
-     ORDER BY query_id, rnk"""
+         GROUP BY l.query_id, co.vec_id)
+     SELECT query_id, vec_id AS neighbor_id, approx_r AS sim FROM sc"""
   }
 
-  /** Brute-force exact cosine top-5 (v28) — also the ground truth
-    * [[annRecall]] composes against.
+  val pqAnn: String =
+    s"""WITH rk AS (
+         SELECT query_id, neighbor_id, sim AS approx_r,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM ($pqCands) sc)
+     SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
+     ORDER BY query_id, rnk"""
+
+  /** Brute-force exact cosine candidate set (standalone SELECT) — ground
+    * truth for [[annRecall]]/[[annFrontier]], ranked top-5 in
+    * [[cosineTopK]].
     */
-  val cosineTopK: String =
+  val bruteCands: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
            q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM n
-                 WHERE vec_id < 10),
-           sims AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-                      list_dot_product(qv, v) / (nq * nv) AS sim
-                    FROM n, q WHERE n.vec_id <> q.query_id),
-           r AS (SELECT query_id, neighbor_id, sim,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+                 WHERE vec_id < 10)
+         SELECT q.query_id, n.vec_id AS neighbor_id,
+             list_dot_product(qv, v) / (nq * nv) AS sim
+         FROM n, q WHERE n.vec_id <> q.query_id"""
+
+  /** Brute-force exact cosine top-5 (v28). */
+  val cosineTopK: String =
+    s"""WITH r AS (SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM ($bruteCands) sims)
          SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
          FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
@@ -604,19 +619,67 @@ object OracleGen {
      FROM qm LEFT JOIN m ON m.query_id = qm.query_id AND m.method = qm.method
      ORDER BY qm.query_id, qm.method"""
 
-  val annLsh: String =
+  /** LSH same-bucket candidate set (standalone SELECT) — shared by
+    * [[annLsh]] (ranked top-3) and [[annFrontier]].
+    */
+  val lshCands: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        nb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv,
                 $bucketExpr AS bucket FROM e),
        qb AS (SELECT vec_id AS query_id, v AS qv, nv AS nq, bucket AS qbucket
-              FROM nb WHERE vec_id < 10),
-       sims AS (SELECT q.query_id, n.vec_id AS neighbor_id,
-                  list_dot_product(qv, n.v) / (nq * n.nv) AS sim
-                FROM nb n JOIN qb q ON n.bucket = q.qbucket
-                  AND n.vec_id <> q.query_id),
-       r AS (SELECT query_id, neighbor_id, sim,
+              FROM nb WHERE vec_id < 10)
+     SELECT q.query_id, n.vec_id AS neighbor_id,
+         list_dot_product(qv, n.v) / (nq * n.nv) AS sim
+     FROM nb n JOIN qb q ON n.bucket = q.qbucket
+       AND n.vec_id <> q.query_id"""
+
+  val annLsh: String =
+    s"""WITH r AS (SELECT query_id, neighbor_id, sim,
                row_number() OVER (PARTITION BY query_id
-                 ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+                 ORDER BY sim DESC, neighbor_id) AS rnk FROM ($lshCands) sims)
      SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
      FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  /** ANN recall/cost frontier (v82): per method and k ∈ {1,3,10}, recall@k
+    * vs exact search plus the candidate count the method scored — every
+    * operating point derived from ONE ranked top-10 per (query, method),
+    * built from the same candidate subqueries the member oracles rank.
+    */
+  def annFrontier: String = {
+    def m(c: String, name: String) =
+      s"""SELECT query_id, '$name' AS method,
+           list(neighbor_id ORDER BY rnk) FILTER (WHERE rnk <= 10) AS ids10,
+           count(*) AS n_cand
+         FROM (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM ($c) cc) r
+         GROUP BY query_id"""
+    s"""WITH exact AS (
+         SELECT query_id,
+           list(neighbor_id ORDER BY rnk) FILTER (WHERE rnk <= 10) AS exact10
+         FROM (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM ($bruteCands) bc) r
+         GROUP BY query_id),
+       mlsh AS (${m(lshCands, "lsh")}),
+       mivf AS (${m(ivfCands, "ivf")}),
+       mpq AS (${m(pqCands, "pq")}),
+       mm AS (SELECT * FROM mlsh UNION ALL SELECT * FROM mivf
+              UNION ALL SELECT * FROM mpq),
+       qm AS (SELECT query_id, exact10, method
+              FROM exact, (VALUES ('lsh'), ('ivf'), ('pq')) AS vm(method)
+              WHERE NOT (method = 'pq' AND query_id >= 5)),
+       kk AS (SELECT CAST(unnest([1, 3, 10]) AS BIGINT) AS k)
+     SELECT qm.query_id, qm.method, kk.k,
+       CAST(COALESCE(mm.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(len(list_intersect(qm.exact10[1:kk.k],
+         mm.ids10[1:kk.k])), 0) AS BIGINT) AS hits,
+       COALESCE(floor(len(list_intersect(qm.exact10[1:kk.k],
+         mm.ids10[1:kk.k])) * 1.0 / kk.k * 10000) / 10000, 0.0) AS recall
+     FROM qm CROSS JOIN kk
+     LEFT JOIN mm ON mm.query_id = qm.query_id AND mm.method = qm.method
+     ORDER BY qm.query_id, qm.method, kk.k"""
+  }
 }

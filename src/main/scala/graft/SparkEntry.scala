@@ -98,6 +98,7 @@ object SparkEntry {
     "t79_ngram_repetition" -> (TextOps.t79NgramRepetition _),
     "v80_ann_recall" -> (VectorOps.v80AnnRecall _),
     "t81_line_rules" -> (TextOps.t81LineRules _),
+    "v82_ann_frontier" -> (VectorOps.v82AnnFrontier _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -718,5 +719,6 @@ object SparkEntry {
     "t79_ngram_repetition" -> OracleGen.ngramRepetition,
     "v80_ann_recall" -> OracleGen.annRecall,
     "t81_line_rules" -> OracleGen.lineRules,
+    "v82_ann_frontier" -> OracleGen.annFrontier,
   )
 }

@@ -234,26 +234,35 @@ object TextOps {
     * → candidate near-dup pairs with shared band counts. The band equi-join
     * is the scale path: cost is bounded by bucket sizes, never O(n^2).
     */
-  def d26MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).withColumn("h", h48(col("sh")))
+  /** The k-min signature aggregation over a (doc_id, h) shingle-hash table. */
+  private def sigTable(sh: DataFrame): DataFrame = {
     val sigCols = (0 until MinhashK).map { i =>
       min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % MinhashP)
         .as(s"s$i")
     }
-    // persist(): the compact signature table (one row of k longs per doc)
-    // feeds BOTH band self-join sides — without it the shingle scan + k-min
-    // aggregation executes twice (ReusedExchange does not bridge self-join
-    // branches; same finding as d25/d27)
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .persist()
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band keys of a signature table: (doc_id, band, bkey). */
+  private def bandTable(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until MinhashBands).map { b =>
       val key = md5(concat_ws(",",
         (0 until MinhashK / MinhashBands).map(r => col(s"s${b * 4 + r}")): _*))
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val bands = sigs.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+  }
+
+  def d26MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // persist(): the compact signature table (one row of k longs per doc)
+    // feeds BOTH band self-join sides — without it the shingle scan + k-min
+    // aggregation executes twice (ReusedExchange does not bridge self-join
+    // branches; same finding as d25/d27)
+    val sigs = sigTable(shingles(s, d).withColumn("h", h48(col("sh"))))
+      .persist()
+    val bands = bandTable(sigs)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -261,6 +270,67 @@ object TextOps {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("d1", "d2")
+  }
+
+  /** Per-batch MinHash signature table over an arbitrary (doc_id, text)
+    * DataFrame — the MERGEABLE STATE of incremental near-dup detection
+    * (docs with fewer than 3 words carry no shingles and no signature,
+    * matching [[shingles]]). One row of k longs per document: the compact
+    * artifact a 100 TB pipeline persists per ingest batch instead of
+    * re-shingling history.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val sh = w.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => array_join(slice(col("ws"), i, lit(3)), " ")))).as("sh"))
+      .withColumn("h", h48(col("sh")))
+    sigTable(sh)
+  }
+
+  /** Incremental near-dup detection — the q78 mergeable-state story applied
+    * to dedup: deduplicating batch N+1 against the accumulated corpus costs
+    * O(batch), not O(corpus).
+    *
+    *  - `accumSigs` is the persisted union of previous batches' signature
+    *    tables ([[minhashSignatures]] snapshots) — old TEXT is never
+    *    re-read, re-shingled, or re-hashed (the spec proves this by
+    *    tampering with a stored signature and watching it propagate).
+    *  - Only the NEW batch is shingled; its band keys (4 rows per doc) form
+    *    the probe side of the candidate join, so per-batch join input is
+    *    4×|batch| probe rows against the band-keyed accumulated table — at
+    *    scale the accumulated side is stored bucketed by (band, bkey) and
+    *    does not move.
+    *  - Emitted pairs are exactly the full-recompute pairs that involve at
+    *    least one new document (old-old pairs were emitted by earlier
+    *    batches): new-vs-accum via the probe join plus new-vs-new via the
+    *    batch's own self-join, identical `n_bands` semantics to
+    *    [[d26MinhashLsh]].
+    *
+    * Returns (updatedSigs, newPairs); callers persist `updatedSigs` as the
+    * next batch's `accumSigs`. Batches must carry disjoint doc_ids.
+    */
+  def incrementalMinhashDedup(accumSigs: DataFrame, batch: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val newSigs = minhashSignatures(batch).persist()
+    val newBands = bandTable(newSigs)
+    val accumBands = bandTable(accumSigs)
+    val crossPairs = newBands.as("a")
+      .join(accumBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+    val selfPairs = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val pairs = crossPairs.unionByName(selfPairs)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
+      .orderBy("d1", "d2")
+    (accumSigs.unionByName(newSigs), pairs)
   }
 
   /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix
@@ -920,6 +990,17 @@ object TextOps {
 
   /** Unpersist every registered final CC checkpoint (see
     * [[finalCheckpoints]]). Safe to call when none are live.
+    *
+    * CONTRACT (sequential-harness scope): the registry is global, so a
+    * release invalidates the lineage-truncated labels DataFrame of EVERY
+    * completed [[connectedComponents]] run — any later action on such a
+    * result fails unrecoverably. Call only at a point where no CC-derived
+    * result will be re-executed (Bench: between queries). A harness that
+    * runs CC queries concurrently, or holds a result across the release
+    * point, must NOT use this global hook — it should instead key releases
+    * to its own query lifecycle (the registry would need to return
+    * per-run handles; deliberately not built until a concurrent consumer
+    * exists).
     */
   def releaseFinalCheckpoints(): Unit = {
     var rdd = finalCheckpoints.poll()

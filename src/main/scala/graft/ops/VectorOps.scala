@@ -46,20 +46,27 @@ object VectorOps {
     call_function("dot_product", a.cast("array<double>"), b)
   }
 
+  /** Brute-force scored candidate set: every (query, corpus vector) cosine —
+    * queries broadcast, one corpus pass. Shared by v28 (ranked top-5) and
+    * the v82 frontier (exact ground truth + cost baseline).
+    */
+  private def bruteCandidates(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .filter(col("query_id") < 10)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(s, col("qv"), col("embedding")).as("sim"))
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < 10) broadcast against the
     * corpus; per-query top-5 via TakeOrdered-style window on rounded sim.
     */
   def v28CosineTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .filter(col("query_id") < 10)
-    val joined = emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(s, col("qv"), col("embedding")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    joined.withColumn("rnk", row_number().over(w).cast("long"))
+    bruteCandidates(s, d).withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim_r"),
         col("rnk"))
@@ -82,28 +89,31 @@ object VectorOps {
     occupancy.orderBy("bucket")
   }
 
-  /** ANN via LSH: per query (vec_id < 10), cosine top-3 among same-bucket
-    * candidates only — join on bucket id instead of a cross join.
+  /** LSH scored candidate set: same-bucket (query, vector) cosines only —
+    * the bucket equi-join replaces the cross join. Shared by v30 (ranked
+    * top-3) and the v82 frontier (per-query candidate counts = the cost).
     */
-  def v30AnnLsh(s: SparkSession, d: String): DataFrame = {
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
-    val bucket = (0 until NumPlanes).map { p =>
-      val plane = array(planes(p).map(v => lit(v)): _*)
-      when(planeDot(s, col("embedding"), plane) > 0, lit(1L << p))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withBucket = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      bucketCol(s).as("bucket"))
     val q = withBucket
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("bucket").as("qbucket"))
       .filter(col("query_id") < 10)
-    val joined = withBucket.join(broadcast(q),
+    withBucket.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(s, col("qv"), col("embedding")).as("sim"))
+  }
+
+  /** ANN via LSH: per query (vec_id < 10), cosine top-3 among same-bucket
+    * candidates only — join on bucket id instead of a cross join.
+    */
+  def v30AnnLsh(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    joined.withColumn("rnk", row_number().over(w).cast("long"))
+    lshCandidates(s, d).withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim_r"),
         col("rnk"))
@@ -163,6 +173,21 @@ object VectorOps {
     * codebook/query side; the corpus is touched by scans and one equi-join.
     */
   def v41IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    ivfCandidates(s, d).withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim_r"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF scored candidate set (see [[v41IvfAnn]] for the full design notes):
+    * per query, the exact cosines against the vectors of its nprobe=2
+    * nearest inverted lists. Shared by v41 (ranked top-3) and the v81
+    * frontier (candidate counts = probed-list sizes, the IVF cost knob).
+    */
+  private def ivfCandidates(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     // persist(): the codebook (one row per label) feeds BOTH the assignment
     // and the probe branch — without it the whole posexplode+double-agg
@@ -205,18 +230,11 @@ object VectorOps {
       .filter(col("arn") <= 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("clabel"))
-    val cand = assigned.join(broadcast(probes),
+    assigned.join(broadcast(probes),
         assigned("clabel") === probes("clabel") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(s, col("qv"), col("embedding")).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim_r"), col("rnk"))
-      .orderBy("query_id", "rnk")
   }
 
   /** v60 k-means cluster count. */
@@ -314,6 +332,23 @@ object VectorOps {
     * rounding each stage for engine-exact parity).
     */
   def v64PqAnn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    pqCandidates(s, d).withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        col("sim").as("approx_r"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** PQ/ADC scored candidate set (see [[v64PqAnn]] for the full design
+    * notes): every corpus vector scored from its codes via the broadcast
+    * lookup table. `sim` is the 4dp-rounded ADC score. Shared by v64
+    * (ranked top-3) and the v82 frontier — PQ's candidate count is the
+    * whole corpus, which is exactly the honest cost the frontier reports
+    * (cheap per candidate, linear in candidates).
+    */
+  private def pqCandidates(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val vd = col("embedding").cast("array<double>")
     // (vec_id, m, sub): each vector's M subvectors, built map-side
@@ -358,18 +393,12 @@ object VectorOps {
       .join(broadcast(cb), "m")
       .select(col("query_id"), col("m"), col("cid"),
         round(planeDot(s, col("sub"), col("cvec")), 4).as("pd"))
-    val scored = codes
+    codes
       .join(broadcast(lut), Seq("m", "cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
-      .agg(round(sum("pd"), 4).as("approx_r"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx_r").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("approx_r"), col("rnk"))
-      .orderBy("query_id", "rnk")
+      .agg(round(sum("pd"), 4).as("sim"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
   }
 
   /** Higher-order array-function scalar library over the embedding column:
@@ -507,6 +536,56 @@ object VectorOps {
           floor(hits.cast("double") / 3 * 10000) / 10000, lit(0.0))
           .as("recall3"))
       .orderBy("query_id", "method")
+  }
+
+  /** ANN recall/cost frontier (v82): v80 measured each approximate method at
+    * one operating point (recall@3); a 100 TB ANN deployment tunes against
+    * the CURVE — per method and k ∈ {1, 3, 10}, recall@k against exact
+    * search AND the number of candidates the method actually scored per
+    * query (LSH: same-bucket size; IVF: probed-list sizes; PQ: the whole
+    * corpus, cheap per candidate — reported honestly, not hidden).
+    *
+    * Scale: each method's candidate set is computed ONCE (the same bucketed
+    * equi-join / broadcast-codebook plans as the member queries); both the
+    * top-10 list and the candidate count come from a single groupBy pass
+    * per method via the k-bounded [[TopKByValue]] aggregator — no window
+    * over candidates, no per-k recomputation (slice(top10, 1, k) derives
+    * every operating point from one bounded list).
+    */
+  def v82AnnFrontier(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new TopKByValue(10),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    def top10(cands: DataFrame, method: String): DataFrame =
+      cands.groupBy("query_id")
+        .agg(topk(col("neighbor_id"), col("sim")).as("t10"),
+          count(lit(1)).as("cands"))
+        .select(col("query_id"), lit(method).as("method"),
+          transform(col("t10"), x => x.getField("_2")).as("ids10"),
+          col("cands"))
+    val exact = bruteCandidates(s, d).groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("sim")).as("t10"))
+      .select(col("query_id"),
+        transform(col("t10"), x => x.getField("_2")).as("exact10"))
+    val methods = top10(lshCandidates(s, d), "lsh")
+      .unionByName(top10(ivfCandidates(s, d), "ivf"))
+      .unionByName(top10(pqCandidates(s, d), "pq"))
+    val hits = size(array_intersect(
+      slice(col("exact10"), lit(1), col("k")),
+      slice(col("ids10"), lit(1), col("k")))).cast("long")
+    exact
+      .withColumn("method", explode(array(lit("lsh"), lit("ivf"), lit("pq"))))
+      .filter(!(col("method") === "pq" && col("query_id") >= 5))
+      .join(methods, Seq("query_id", "method"), "left")
+      .withColumn("k", explode(array(lit(1L), lit(3L), lit(10L))))
+      .select(col("query_id"), col("method"), col("k"),
+        coalesce(col("cands"), lit(0L)).as("n_cand"),
+        coalesce(hits, lit(0L)).as("hits"),
+        coalesce(
+          floor(hits.cast("double") / col("k") * 10000) / 10000, lit(0.0))
+          .as("recall"))
+      .orderBy("query_id", "method", "k")
   }
 
   /** Multimodal plumbing: opaque binary payload column + typed metadata

@@ -40,6 +40,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_ellipsis") == 3L)
   }
 
+  test("v82 frontier: hits monotone in k, n_cand constant per method") {
+    val df = VectorOps.v82AnnFrontier(spark, sf).cache()
+    // 10 queries x 3 k's for lsh/ivf + 5 x 3 for pq
+    assert(df.count() == 75)
+    assert(df.filter(col("hits") > col("k")).count() == 0)
+    // n_cand is a property of (query, method), not of k
+    assert(df.groupBy("query_id", "method")
+      .agg(countDistinct("n_cand").as("nc")).filter(col("nc") =!= 1)
+      .count() == 0)
+    // hits at larger k dominate hits at smaller k (same query, method)
+    val pairs = df.select("query_id", "method", "k", "hits").collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+    pairs.values.foreach { rs =>
+      val byK = rs.sortBy(_.getLong(2)).map(_.getLong(3))
+      assert(byK.sliding(2).forall(p => p.head <= p.last),
+        s"hits not monotone: ${rs.mkString(",")}")
+    }
+    // PQ scores the whole corpus: n_cand = corpus size - 1, every query
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(df.filter(col("method") === "pq")
+      .filter(col("n_cand") =!= (n - 1)).count() == 0)
+    df.unpersist()
+  }
+
   test("t59 line rules pass on the raw single-line corpus") {
     // raw docs have no newlines/bullets/symbols, so folding the line rules
     // into t59's conjunction must not change any keep verdict there
