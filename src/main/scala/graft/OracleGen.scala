@@ -445,7 +445,11 @@ object OracleGen {
     * The 4dp rounding at every round makes the centroid trajectory
     * bit-identical across engines.
     */
-  val kmeans: String = {
+  /** The unrolled Lloyd's CTE chain (shared by [[kmeans]] and
+    * [[semanticDedup]]): emits e, c0, and per-round a-i/cg-i/c-i up to
+    * `a{KmeansIters}` — the final (vec_id, v, cid) assignment table.
+    */
+  private val kmeansCtes: String = {
     val k = VectorOps.KmeansK
     val iters = VectorOps.KmeansIters
     def assign(a: String, c: String): String =
@@ -474,15 +478,45 @@ object OracleGen {
       s"""${assign(s"a$i", s"c${i - 1}")},
        ${recompute(s"cg$i", s"c$i", s"a$i")}"""
     }.mkString(",\n       ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
                 list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS cvec
               FROM embeddings WHERE vec_id < $k),
-       $rounds,
+       $rounds"""
+  }
+
+  val kmeans: String = {
+    val iters = VectorOps.KmeansIters
+    s"""WITH $kmeansCtes,
        sizes AS (SELECT cid, count(*) AS n_vecs FROM a$iters GROUP BY cid)
      SELECT g.cid, g.dim, g.cv AS centroid, s.n_vecs
      FROM cg$iters g JOIN sizes s USING (cid)
      ORDER BY cid, dim"""
+  }
+
+  /** Cluster-scoped semantic dedup (v83) matching
+    * [[graft.ops.VectorOps.v83SemanticDedup]]: within each final k-means
+    * cluster, a vector is a duplicate if a smaller-vec_id cluster-mate
+    * sits at or above the cosine floor (min-id-wins keeper).
+    */
+  val semanticDedup: String = {
+    val iters = VectorOps.KmeansIters
+    val tau = VectorOps.SemDedupThreshold
+    s"""WITH $kmeansCtes,
+       norms AS (SELECT vec_id, v, cid,
+                   sqrt(list_dot_product(v, v)) AS nv
+                 FROM a$iters),
+       dups AS (
+         SELECT a.vec_id, count(*) AS n_smaller_dups
+         FROM norms a JOIN norms b ON a.cid = b.cid
+           AND b.vec_id < a.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= $tau
+         GROUP BY a.vec_id)
+     SELECT n.vec_id, n.cid,
+       CAST(COALESCE(d.n_smaller_dups, 0) AS BIGINT) AS n_smaller_dups,
+       COALESCE(d.n_smaller_dups, 0) = 0 AS keeper
+     FROM norms n LEFT JOIN dups d ON d.vec_id = n.vec_id
+     ORDER BY n.vec_id"""
   }
 
   /** Shingle-overlap decontamination matching

@@ -99,6 +99,7 @@ object SparkEntry {
     "v80_ann_recall" -> (VectorOps.v80AnnRecall _),
     "t81_line_rules" -> (TextOps.t81LineRules _),
     "v82_ann_frontier" -> (VectorOps.v82AnnFrontier _),
+    "v83_semantic_dedup" -> (VectorOps.v83SemanticDedup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -720,5 +721,6 @@ object SparkEntry {
     "v80_ann_recall" -> OracleGen.annRecall,
     "t81_line_rules" -> OracleGen.lineRules,
     "v82_ann_frontier" -> OracleGen.annFrontier,
+    "v83_semantic_dedup" -> OracleGen.semanticDedup,
   )
 }

@@ -264,6 +264,19 @@ object VectorOps {
     * fixed constant — at 100 TB this is KmeansIters linear passes.
     */
   def v60Kmeans(s: SparkSession, d: String): DataFrame = {
+    val (_, cg) = kmeansLoop(s, d)
+    cg.select(col("cid"), col("dim").cast("int").as("dim"),
+        col("cv").as("centroid"), col("n_vecs"))
+      .orderBy("cid", "dim")
+  }
+
+  /** The Lloyd's loop shared by v60 (final centroids + occupancy) and v83
+    * (final cluster assignments): returns (assignedFinal, cg) where
+    * `assignedFinal` is the last round's (vec_id, embedding, cid)
+    * assignment — the table the last recompute aggregated — and `cg` the
+    * persisted per-(cid, dim) centroid/occupancy cells.
+    */
+  private def kmeansLoop(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = embeddings(s, d)
     val vd = col("embedding").cast("array<double>")
     var cent = emb.filter(col("vec_id") < KmeansK)
@@ -278,6 +291,7 @@ object VectorOps {
     // last round's corpus-wide assignment would run a second time just to
     // count members.
     var cg: DataFrame = null
+    var lastAssigned: DataFrame = null
     for (_ <- 1 to KmeansIters) {
       // zero-norm guard: 0/0 is NaN, and NaN sorts DIFFERENTLY through
       // min_by(-asim) (NaN avoided) than through the oracle's ORDER BY sim
@@ -302,10 +316,49 @@ object VectorOps {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
           x => x.getField("cv")).as("cvec"))
+      lastAssigned = assigned
     }
-    cg.select(col("cid"), col("dim").cast("int").as("dim"),
-        col("cv").as("centroid"), col("n_vecs"))
-      .orderBy("cid", "dim")
+    (lastAssigned, cg)
+  }
+
+  /** v83 within-cluster similarity floor (calibrated below; see the probe
+    * note in the v83 scaladoc).
+    */
+  val SemDedupThreshold = 0.35
+
+  /** Cluster-scoped semantic deduplication (v83) — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): embeddings are k-means
+    * clustered (the SAME Lloyd's loop v60 trains, shared via
+    * [[kmeansLoop]]), pair search runs only WITHIN each cluster, and a
+    * vector is a semantic duplicate if some same-cluster vector with a
+    * smaller vec_id sits above the cosine floor (min-id-wins keeper rule,
+    * the d24/t65 convention). Completes the dedup family's candidate-
+    * generation spectrum: exact fingerprint (d24), shingle LSH (d26),
+    * simhash prefix (d27), random-hyperplane bucket (d40), and now
+    * learned-cluster scoping.
+    *
+    * Scale: the within-cluster self-join is quadratic in CLUSTER size,
+    * never corpus size — the published method's contract is that k grows
+    * with the corpus so clusters stay bounded (k = corpus/expected-cluster
+    * size); the cluster id is a shuffle key, so each cluster's pair search
+    * is one partition-local task. Assignment cost is the v60 loop itself.
+    */
+  def v83SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    // persist(): the assignment table feeds both self-join sides AND the
+    // final projection (same ReusedExchange finding as d25/d26/d27)
+    val assigned = kmeansLoop(s, d)._1.persist()
+    val smallerDups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosine(s, col("a.embedding"), col("b.embedding"))
+        >= SemDedupThreshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_smaller_dups"))
+    assigned.join(smallerDups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"))
+      .withColumn("keeper", col("n_smaller_dups") === 0L)
+      .orderBy("vec_id")
   }
 
   /** v64 product quantization: number of subspaces (64 dims → 4×16). */

@@ -138,6 +138,49 @@ object StreamOps {
         col("n_shared"))
   }
 
+  /** Continuous incremental near-dup detection — the streaming twin of
+    * [[graft.ops.TextOps.incrementalMinhashDedup]], and the piece that
+    * makes the "100 TB pipelines are incremental" story END-TO-END: each
+    * micro-batch of documents is shingled ONCE, probed against the
+    * accumulated signature snapshot (old text never re-read), its near-dup
+    * pairs written to a per-batch output partition, and the snapshot
+    * atomically advanced via the crash-safe retire-then-publish swap
+    * ([[graft.betfair.SnapshotSwap]], same machinery as
+    * [[continuousIndex]]).
+    *
+    * Effectively-once: a crash mid-batch replays the batch against the
+    * intact snapshot (foreachBatch replay + idempotent swap), and the
+    * pairs output is keyed by batch id (`overwrite` per partition), so a
+    * replay overwrites rather than duplicates. Input batches must carry
+    * disjoint doc_ids (the batch contract of the batch-side API).
+    *
+    * Layout: `statePath` = live signature snapshot (parquet),
+    * `statePath.pairs/batch=N/` = pairs emitted by micro-batch N.
+    * Returns the started query (caller stops it).
+    */
+  def incrementalDedupStream(spark: SparkSession, docs: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val retired = new org.apache.hadoop.fs.Path(s"${statePath}_old")
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.betfair.SnapshotSwap.recover(fs, live, retired)
+        val accum =
+          if (fs.exists(live)) spark.read.parquet(statePath)
+          else graft.ops.TextOps.minhashSignatures(batch.filter(lit(false)))
+        val (updated, pairs) =
+          graft.ops.TextOps.incrementalMinhashDedup(accum, batch.toDF())
+        pairs.write.mode("overwrite")
+          .parquet(s"$statePath.pairs/batch=$id")
+        val tmp = new org.apache.hadoop.fs.Path(s"$statePath.tmp")
+        updated.write.mode("overwrite").parquet(tmp.toString)
+        graft.betfair.SnapshotSwap.publish(fs, tmp, live, retired)
+      }
+      .start()
+
   /** Watermarked stream-stream interval join: attribute each purchase to the
     * same user's clicks in the preceding `intervalSql` (event-time range
     * condition). Both sides carry watermarks AND the join condition bounds

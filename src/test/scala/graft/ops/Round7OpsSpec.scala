@@ -64,6 +64,25 @@ class Round7OpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("v83 semantic dedup: keeper rule consistent, min of cluster keeps") {
+    val df = VectorOps.v83SemanticDedup(spark, sf).cache()
+    assert(df.count() == graft.Tables.embeddings(spark, sf).count())
+    assert(df.filter(col("keeper") =!= (col("n_smaller_dups") === 0))
+      .count() == 0)
+    // min-id-wins: the smallest vec_id of every cluster has no smaller
+    // cluster-mate, so it MUST be a keeper
+    val minPerCluster = df.groupBy("cid").agg(min("vec_id").as("vec_id"))
+    assert(df.join(minPerCluster, Seq("cid", "vec_id"))
+      .filter(!col("keeper")).count() == 0)
+    // the threshold actually bites at this SF: both verdicts occur
+    assert(df.filter(col("keeper")).count() > 0)
+    assert(df.filter(!col("keeper")).count() > 0)
+    // cluster ids come from the k-means init domain
+    assert(df.filter(col("cid") < 0 || col("cid") >= VectorOps.KmeansK)
+      .count() == 0)
+    df.unpersist()
+  }
+
   test("t59 line rules pass on the raw single-line corpus") {
     // raw docs have no newlines/bullets/symbols, so folding the line rules
     // into t59's conjunction must not change any keep verdict there

@@ -86,6 +86,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == out)
   }
 
+  test("incremental dedup stream accumulates state and reproduces batch pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("incdedup").toString
+    val state = s"$dir/sigs"
+    // real corpus texts (they carry actual near-dup structure), streamed in
+    // two disjoint batches
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = corpus.partition(_._1 < 250)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.incrementalDedupStream(s, docs, state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // accumulated pairs across micro-batches == one-shot full recompute
+    val streamed = s.read.parquet(s"$state.pairs")
+      .select("d1", "d2", "n_bands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val allDocs = corpus.toSeq.toDF("doc_id", "text")
+    val empty = graft.ops.TextOps.minhashSignatures(allDocs.filter(lit(false)))
+    val (fullSigs, fullPairs) =
+      graft.ops.TextOps.incrementalMinhashDedup(empty, allDocs)
+    val expected = fullPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+    // the published snapshot carries every document's signature
+    assert(s.read.parquet(state).count() == fullSigs.count())
+  }
+
   test("stream-static decontamination flags docs overlapping the eval set") {
     val s = spark
     import s.implicits._
