@@ -541,10 +541,14 @@ object TextOps {
     * whole-stage codegen, same shape as the word-level rules.
     *
     * Cross-engine notes: lines split on the literal newline (DuckDB
-    * `str_split(text, chr(10))`); `ltrim`/`rtrim` trim only ' ' in both
+    * `str_split(text, chr(10))`); `ltrim`/`rtrim` trim U+0020 in both
     * engines; the bullet set is {-, *, U+2022}; ellipsis is a trailing
     * "..." or U+2026; alpha words are tokens of the shared [[words]]
-    * tokenizer containing [a-z] after its lower().
+    * tokenizer containing [a-z] after its lower(). The [[words]] contract
+    * divergence classes apply here too: a line PADDED with exotic Zs
+    * whitespace (NBSP etc.) is rtrimmed by DuckDB but not Spark, so the
+    * safe input class excludes Zs-padded line ends (the corpus has none;
+    * TokenizerContractSpec pins the class).
     */
   private def lineMetrics(text: Column): (Column, Column, Column, Column,
       Column, Column) = {

@@ -178,6 +178,14 @@ object StreamOps {
         val tmp = new org.apache.hadoop.fs.Path(s"$statePath.tmp")
         updated.write.mode("overwrite").parquet(tmp.toString)
         graft.betfair.SnapshotSwap.publish(fs, tmp, live, retired)
+        // the batch's signature table was persisted inside
+        // incrementalMinhashDedup (it feeds three join sides + the
+        // snapshot); both outputs are on disk now, so drop the blocks —
+        // an unbounded stream otherwise accumulates one cache per
+        // micro-batch (the d46 storage-leak class). Session-wide by
+        // design: this sink assumes a dedicated ingestion job; a shared
+        // session would need cache scoping.
+        spark.catalog.clearCache()
       }
       .start()
 
