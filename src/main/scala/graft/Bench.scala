@@ -65,6 +65,10 @@ object Bench {
         // CC-based queries (d26/d46/t65) leave their final localCheckpoint
         // blocks at the RDD level where clearCache cannot see them
         ops.TextOps.releaseFinalCheckpoints()
+        // d84's per-batch signature caches live at the DataFrame level and
+        // are covered by clearCache(), but release them explicitly so the
+        // registry can't grow across iterations
+        ops.TextOps.releaseIncrementalCaches()
         (name, dt, ok)
       }
     def json(rs: Seq[(String, Double)]): String =
@@ -75,15 +79,25 @@ object Bench {
     val cold = runAll()
     val warm = runAll()
     val warm2 = runAll()
-    val best = cold.indices.map { i =>
-      cold(i)._1 -> Seq(cold(i)._2, warm(i)._2, warm2(i)._2).min
+    // per-query best over iterations that SUCCEEDED; a query with zero
+    // successful iterations has no measurement and is excluded from best —
+    // it is reported by name in `failed` instead. Keeping the sentinel out
+    // of best means totals and slowest_min stay sums/rankings of real
+    // measurements (one transient failure must not turn total_cold into
+    // ~1e9 or crowd the slowest-10 list with sentinels).
+    val best = cold.indices.flatMap { i =>
+      val ok = Seq(cold(i), warm(i), warm2(i)).collect { case (_, t, true) => t }
+      if (ok.isEmpty) None else Some(cold(i)._1 -> ok.min)
     }
     val failed = (cold ++ warm ++ warm2).collect { case (n, _, false) => n }
       .distinct.sorted
     def times(rs: Seq[(String, Double, Boolean)]): Seq[(String, Double)] =
       rs.map { case (n, t, _) => n -> t }
-    val total = cold.map(_._2).sum
-    val totalWarm = warm.map(_._2).sum
+    // iteration totals over that iteration's successful queries only (the
+    // per-query maps still carry the sentinel so a failed iteration is
+    // visible in the full record)
+    val total = cold.collect { case (_, t, true) => t }.sum
+    val totalWarm = warm.collect { case (_, t, true) => t }.sum
     val totalMin = best.map(_._2).sum
     val loadEnd = loadAvg()
     val gcEnd = gcMillis()

@@ -43,6 +43,7 @@ object SparkEntry {
     "d24_exact_dedup" -> (TextOps.d24ExactDedup _),
     "d25_ngram_jaccard" -> (TextOps.d25NgramJaccard _),
     "d26_minhash_lsh" -> (TextOps.d26MinhashLsh _),
+    "d84_incremental_dedup" -> (TextOps.d84IncrementalDedup _),
     "d27_simhash" -> (TextOps.d27Simhash _),
     "q32_percentile" -> (Relational.q32Percentile _),
     "q33_grouping_sets" -> (Relational.q33GroupingSets _),
@@ -444,6 +445,9 @@ object SparkEntry {
     "d46_dedup_clusters" -> OracleGen.dedupClusters,
     "d25_ngram_jaccard" -> OracleGen.ngramJaccard,
     "d26_minhash_lsh" -> OracleGen.minhashLsh,
+    // the incremental path must reproduce the FULL recompute's pair set:
+    // same oracle SQL as d26 by construction
+    "d84_incremental_dedup" -> OracleGen.minhashLsh,
     "d27_simhash" -> OracleGen.simhash,
     "v28_cosine_topk" -> OracleGen.cosineTopK,
     "v29_lsh_buckets" -> OracleGen.lshBuckets,

@@ -154,9 +154,17 @@ object TextOps {
     * explode would shuffle every token in the corpus; this shuffles
     * nothing.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val w = documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("ws"))
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleTable(documents(s, d))
+
+  /** The same distinct-3-shingle construction over an arbitrary
+    * (doc_id, text) DataFrame — single source of truth for the shingle
+    * definition (the ≥3-word filter and map-side distinctness), shared by
+    * the batch near-dup ops and [[minhashSignatures]]' incremental path so
+    * the two can never drift apart.
+    */
+  private def shingleTable(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
     w.select(col("doc_id"),
       explode(array_distinct(transform(
@@ -243,17 +251,30 @@ object TextOps {
     sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH band keys of a signature table: (doc_id, band, bkey). */
-  private def bandTable(sigs: DataFrame): DataFrame = {
-    val bandStructs = (0 until MinhashBands).map { b =>
-      val key = md5(concat_ws(",",
-        (0 until MinhashK / MinhashBands).map(r => col(s"s${b * 4 + r}")): _*))
-      struct(lit(b).as("band"), key.as("bkey"))
+  /** Adds the [[MinhashBands]] LSH band-key columns (`bk0..bk3`) to a
+    * signature table — the one place the band-key hash is defined. Stored
+    * alongside the signatures in the incremental state so later batches
+    * read the keys instead of re-hashing the whole accumulated corpus.
+    */
+  private def withBandKeys(sigs: DataFrame): DataFrame =
+    (0 until MinhashBands).foldLeft(sigs) { (df, b) =>
+      df.withColumn(s"bk$b", md5(concat_ws(",",
+        (0 until MinhashK / MinhashBands).map(r => col(s"s${b * 4 + r}")): _*)))
     }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+
+  /** (doc_id, band, bkey) from a table already carrying `bk0..bk3` — a
+    * pure explode, no hashing.
+    */
+  private def bandsFromKeys(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(array(
+      (0 until MinhashBands).map(b =>
+        struct(lit(b).as("band"), col(s"bk$b").as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-  }
+
+  /** LSH band keys of a signature table: (doc_id, band, bkey). */
+  private def bandTable(sigs: DataFrame): DataFrame =
+    bandsFromKeys(withBandKeys(sigs))
 
   def d26MinhashLsh(s: SparkSession, d: String): DataFrame = {
     // persist(): the compact signature table (one row of k longs per doc)
@@ -279,16 +300,50 @@ object TextOps {
     * artifact a 100 TB pipeline persists per ingest batch instead of
     * re-shingling history.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-    val sh = w.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), size(col("ws")) - 2),
-        i => array_join(slice(col("ws"), i, lit(3)), " ")))).as("sh"))
-      .withColumn("h", h48(col("sh")))
-    sigTable(sh)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    sigTable(shingleTable(docs).withColumn("h", h48(col("sh"))))
+
+  /** [[minhashSignatures]] plus the precomputed LSH band-key columns
+    * (`bk0..bk3`) — the schema the streaming incremental state stores, so
+    * that probing batch N+1 reads old keys instead of re-hashing every
+    * accumulated signature (keeps per-batch CPU proportional to the batch).
+    */
+  def minhashSignaturesWithKeys(docs: DataFrame): DataFrame =
+    withBandKeys(minhashSignatures(docs))
+
+  /** Near-dup pairs of one incremental step, from band tables: new-vs-prior
+    * via the probe join plus new-vs-new via the batch's own self-join —
+    * identical `n_bands` semantics to [[d26MinhashLsh]]. `priorBands` must
+    * not contain the batch's own documents; the `=!=` guard makes an
+    * accidental overlap (a violated disjointness contract) degrade to
+    * missing cross pairs rather than corrupt self-pairs.
+    */
+  private def pairsFromBands(priorBands: DataFrame, newBands: DataFrame)
+      : DataFrame = {
+    val crossPairs = newBands.as("a")
+      .join(priorBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+    val selfPairs = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    crossPairs.unionByName(selfPairs)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
+      .orderBy("d1", "d2")
   }
+
+  /** [[pairsFromBands]] over key-carrying tables ([[minhashSignaturesWithKeys]]
+    * schema) — the streaming sink's entry point: band rows come from the
+    * STORED `bk0..bk3` columns, so the accumulated side is exploded but
+    * never re-hashed.
+    */
+  def incrementalPairsFromKeyed(priorSigs: DataFrame, newSigs: DataFrame)
+      : DataFrame =
+    pairsFromBands(bandsFromKeys(priorSigs), bandsFromKeys(newSigs))
 
   /** Incremental near-dup detection — the q78 mergeable-state story applied
     * to dedup: deduplicating batch N+1 against the accumulated corpus costs
@@ -310,27 +365,65 @@ object TextOps {
     *    [[d26MinhashLsh]].
     *
     * Returns (updatedSigs, newPairs); callers persist `updatedSigs` as the
-    * next batch's `accumSigs`. Batches must carry disjoint doc_ids.
+    * next batch's `accumSigs`.
+    *
+    * REPLAY-SAFE: the accumulated side is anti-joined on the batch's own
+    * doc_ids before pairing and union, so re-running a batch whose
+    * signatures already reached `accumSigs` (a crash between the state
+    * write and the caller's commit) produces the same `updatedSigs` and the
+    * same pairs as the first run — the state update is idempotent, never
+    * additive. The anti-join's right side is the batch's own id list
+    * (broadcast-size), so it rides the accumulated scan map-side.
+    *
+    * The batch's signature table is persisted (it feeds the anti-join probe,
+    * two band-join sides, and the union); the handle is registered for
+    * [[releaseIncrementalCaches]] so loop-style callers don't accumulate one
+    * cache per ingest batch.
     */
   def incrementalMinhashDedup(accumSigs: DataFrame, batch: DataFrame)
       : (DataFrame, DataFrame) = {
     val newSigs = minhashSignatures(batch).persist()
-    val newBands = bandTable(newSigs)
-    val accumBands = bandTable(accumSigs)
-    val crossPairs = newBands.as("a")
-      .join(accumBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
-    val selfPairs = newBands.as("a")
-      .join(newBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val pairs = crossPairs.unionByName(selfPairs)
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
-      .orderBy("d1", "d2")
-    (accumSigs.unionByName(newSigs), pairs)
+    incrementalCaches.add(newSigs)
+    val priorSigs = accumSigs
+      .join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val pairs = pairsFromBands(bandTable(priorSigs), bandTable(newSigs))
+    (priorSigs.unionByName(newSigs), pairs)
+  }
+
+  /** Two-batch incremental dedup over the whole corpus, oracle-checked
+    * against the FULL-recompute SQL (the d26 oracle): the corpus is split
+    * into disjoint even/odd-doc_id batches, batch 2 probes batch 1's
+    * accumulated signatures, and the union of the two batches' pair sets
+    * must equal the one-shot [[d26MinhashLsh]] result exactly — batch 1
+    * emits the even-even pairs, batch 2 everything touching an odd doc,
+    * and no pair twice. This runs the production incremental path through
+    * the driver's correctness gate rather than only a spec.
+    */
+  def d84IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val empty = minhashSignatures(docs.filter(lit(false)))
+    val (sigs1, pairs1) =
+      incrementalMinhashDedup(empty, docs.filter(col("doc_id") % 2 === 0))
+    val (_, pairs2) =
+      incrementalMinhashDedup(sigs1, docs.filter(col("doc_id") % 2 === 1))
+    pairs1.unionByName(pairs2).orderBy("d1", "d2")
+  }
+
+  private val incrementalCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every batch signature table cached by
+    * [[incrementalMinhashDedup]] since the last release. Callers invoke
+    * this once the step's outputs are materialized — NOT between a call and
+    * its outputs' actions (the cache is what makes the four readers of the
+    * batch signatures share one shingle scan).
+    */
+  def releaseIncrementalCaches(): Unit = {
+    var df = incrementalCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = incrementalCaches.poll()
+    }
   }
 
   /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix

@@ -141,22 +141,28 @@ object StreamOps {
   /** Continuous incremental near-dup detection — the streaming twin of
     * [[graft.ops.TextOps.incrementalMinhashDedup]], and the piece that
     * makes the "100 TB pipelines are incremental" story END-TO-END: each
-    * micro-batch of documents is shingled ONCE, probed against the
-    * accumulated signature snapshot (old text never re-read), its near-dup
-    * pairs written to a per-batch output partition, and the snapshot
-    * atomically advanced via the crash-safe retire-then-publish swap
-    * ([[graft.betfair.SnapshotSwap]], same machinery as
-    * [[continuousIndex]]).
+    * micro-batch of documents is shingled ONCE, its signature table (with
+    * precomputed LSH band keys) APPENDED to the state as its own partition,
+    * and only then probed — band keys from stored columns — against the
+    * prior batches' partitions. Old text is never re-read, old signatures
+    * never re-hashed, and the per-batch state WRITE is O(batch): the
+    * accumulated corpus is read for the probe join but never rewritten
+    * (the round-6 design rewrote the whole snapshot every batch —
+    * quadratic cumulative I/O on an unbounded stream).
     *
-    * Effectively-once: a crash mid-batch replays the batch against the
-    * intact snapshot (foreachBatch replay + idempotent swap), and the
-    * pairs output is keyed by batch id (`overwrite` per partition), so a
-    * replay overwrites rather than duplicates. Input batches must carry
-    * disjoint doc_ids (the batch contract of the batch-side API).
+    * Effectively-once: both writes land at deterministic per-batch-id
+    * paths with `overwrite`, so a foreachBatch replay (crash anywhere
+    * between the two writes and the checkpoint commit) overwrites its own
+    * partitions byte-for-byte; the probe side partition-prunes `batch=id`
+    * away, so a replay also reproduces identical pairs. No snapshot swap
+    * and no cache: the batch signatures are written once and read back for
+    * the three join uses, so nothing persists across batches.
     *
-    * Layout: `statePath` = live signature snapshot (parquet),
-    * `statePath.pairs/batch=N/` = pairs emitted by micro-batch N.
-    * Returns the started query (caller stops it).
+    * Layout: `statePath/batch=N/` = signature+band-key partition of
+    * micro-batch N ([[graft.ops.TextOps.minhashSignaturesWithKeys]] schema);
+    * `statePath.pairs/batch=N/` = near-dup pairs emitted by micro-batch N.
+    * Readers of the full accumulated state read `statePath` as one
+    * partitioned parquet table. Returns the started query (caller stops it).
     */
   def incrementalDedupStream(spark: SparkSession, docs: DataFrame,
       statePath: String)
@@ -164,28 +170,13 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", s"$statePath.checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val live = new org.apache.hadoop.fs.Path(statePath)
-        val retired = new org.apache.hadoop.fs.Path(s"${statePath}_old")
-        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        graft.betfair.SnapshotSwap.recover(fs, live, retired)
-        val accum =
-          if (fs.exists(live)) spark.read.parquet(statePath)
-          else graft.ops.TextOps.minhashSignatures(batch.filter(lit(false)))
-        val (updated, pairs) =
-          graft.ops.TextOps.incrementalMinhashDedup(accum, batch.toDF())
-        pairs.write.mode("overwrite")
-          .parquet(s"$statePath.pairs/batch=$id")
-        val tmp = new org.apache.hadoop.fs.Path(s"$statePath.tmp")
-        updated.write.mode("overwrite").parquet(tmp.toString)
-        graft.betfair.SnapshotSwap.publish(fs, tmp, live, retired)
-        // the batch's signature table was persisted inside
-        // incrementalMinhashDedup (it feeds three join sides + the
-        // snapshot); both outputs are on disk now, so drop the blocks —
-        // an unbounded stream otherwise accumulates one cache per
-        // micro-batch (the d46 storage-leak class). Session-wide by
-        // design: this sink assumes a dedicated ingestion job; a shared
-        // session would need cache scoping.
-        spark.catalog.clearCache()
+        graft.ops.TextOps.minhashSignaturesWithKeys(batch.toDF())
+          .write.mode("overwrite").parquet(s"$statePath/batch=$id")
+        val all = spark.read.parquet(statePath)
+        val mine = all.filter(col("batch") === id).drop("batch")
+        val prior = all.filter(col("batch") =!= id).drop("batch")
+        graft.ops.TextOps.incrementalPairsFromKeyed(prior, mine)
+          .write.mode("overwrite").parquet(s"$statePath.pairs/batch=$id")
       }
       .start()
 

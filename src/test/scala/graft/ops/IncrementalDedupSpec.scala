@@ -41,6 +41,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(direct.exceptAll(sigs3).count() == 0)
   }
 
+  test("replaying a batch against already-updated state is idempotent") {
+    // the crash window: state write completed, caller's commit did not —
+    // the replay sees its OWN signatures already in accumSigs. The update
+    // must not duplicate them and the pairs must match the first run
+    // (no self-pairs, no doubled n_bands).
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val empty = TextOps.minhashSignatures(docs.filter(lit(false)))
+    val (sigs1, _) = TextOps.incrementalMinhashDedup(empty, b1)
+    val (sigs2, pairs2) = TextOps.incrementalMinhashDedup(sigs1, b2)
+    val (replayed, replayPairs) = TextOps.incrementalMinhashDedup(sigs2, b2)
+    assert(pairSet(replayPairs) == pairSet(pairs2))
+    assert(replayed.count() == sigs2.count())
+    assert(replayed.exceptAll(sigs2).count() == 0)
+    assert(replayPairs.filter(col("d1") === col("d2")).count() == 0)
+    TextOps.releaseIncrementalCaches()
+  }
+
   test("accumulated signatures pass through untouched (no corpus re-scan)") {
     val b1 = docs.filter(col("doc_id") < 250)
     val b2 = docs.filter(col("doc_id") >= 250)
