@@ -190,6 +190,75 @@ object OracleGen {
          ORDER BY m.doc_id"""
   }
 
+  /** Lined payload CTE — DuckDB twin of [[graft.ops.TextOps.linedLines]]
+    * (d85/t86): 10-word chunks of the doc's own words plus doc_id-keyed
+    * boilerplate lines. Term-by-term lockstep with the Scala source.
+    */
+  private val linedCte: String =
+    """lined AS (
+         SELECT doc_id, list_concat(
+           list_transform(
+             generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+             c -> array_to_string(
+               list_slice(ws, (c-1)*10 + 1, (c-1)*10 + 10), ' ')
+               || CASE WHEN (doc_id + c) % 2 = 0 THEN '.' ELSE '' END),
+           list_filter([
+             CASE WHEN doc_id % 3 = 0
+               THEN 'subscribe to our newsletter today.' END,
+             CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved' END,
+             CASE WHEN doc_id % 5 = 0
+               THEN 'click here to read more articles.' END,
+             CASE WHEN doc_id % 7 = 0
+               THEN 'function() { return javascript; }' END,
+             CASE WHEN doc_id % 13 = 0
+               THEN 'lorem ipsum dolor sit amet.' END],
+             x -> x IS NOT NULL)) AS lns
+         FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS ws
+               FROM documents))"""
+
+  /** C4 corpus-wide line dedup + reassembly (d85): first occurrence by
+    * (doc_id, pos) wins per distinct line; surviving lines re-join in
+    * original order.
+    */
+  val lineDedup: String =
+    s"""WITH $linedCte,
+       l AS (
+         SELECT doc_id, unnest(list_transform(generate_series(1, len(lns)),
+           i -> {'pos': i, 'line': lns[i]})) AS pl
+         FROM lined),
+       k AS (
+         SELECT doc_id, pl.pos AS pos, pl.line AS line,
+           row_number() OVER (PARTITION BY pl.line
+             ORDER BY doc_id, pl.pos) AS rk
+         FROM l),
+       r AS (
+         SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text_kept
+         FROM k WHERE rk = 1 GROUP BY doc_id)
+       SELECT lined.doc_id, CAST(len(lns) AS BIGINT) AS n_lines,
+         CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         COALESCE(text_kept, '') AS text_kept
+       FROM lined LEFT JOIN r ON r.doc_id = lined.doc_id
+       ORDER BY lined.doc_id"""
+
+  /** C4 line/page heuristics (t86) over the lined payload. */
+  val c4Rules: String =
+    s"""WITH $linedCte,
+       m AS (
+         SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lns, l ->
+             substr(l, -1, 1) IN ('.', '!', '?', '"')
+             AND len(string_split(l, ' ')) >= 5
+             AND NOT contains(l, 'javascript'))) AS BIGINT) AS n_kept,
+           len(list_filter(lns, l -> contains(l, 'lorem ipsum'))) > 0
+             AS has_lorem,
+           len(list_filter(lns, l -> contains(l, '{'))) > 0 AS has_brace
+         FROM lined)
+       SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+         n_kept >= 3 AND NOT has_lorem AND NOT has_brace AS keep
+       FROM m ORDER BY doc_id"""
+
   /** Line-level Gopher rules (t81) over the deterministic doc_id-derived
     * multi-line payload matching [[graft.ops.TextOps.t81LineRules]] (the
     * corpus itself is single-line prose, so — like t48's PII suffix — the

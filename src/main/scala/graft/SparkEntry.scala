@@ -99,6 +99,8 @@ object SparkEntry {
     "t79_ngram_repetition" -> (TextOps.t79NgramRepetition _),
     "v80_ann_recall" -> (VectorOps.v80AnnRecall _),
     "t81_line_rules" -> (TextOps.t81LineRules _),
+    "d85_line_dedup" -> (TextOps.d85LineDedup _),
+    "t86_c4_rules" -> (TextOps.t86C4Rules _),
     "v82_ann_frontier" -> (VectorOps.v82AnnFrontier _),
     "v83_semantic_dedup" -> (VectorOps.v83SemanticDedup _),
   )
@@ -724,6 +726,8 @@ object SparkEntry {
     "t79_ngram_repetition" -> OracleGen.ngramRepetition,
     "v80_ann_recall" -> OracleGen.annRecall,
     "t81_line_rules" -> OracleGen.lineRules,
+    "d85_line_dedup" -> OracleGen.lineDedup,
+    "t86_c4_rules" -> OracleGen.c4Rules,
     "v82_ann_frontier" -> OracleGen.annFrontier,
     "v83_semantic_dedup" -> OracleGen.semanticDedup,
   )

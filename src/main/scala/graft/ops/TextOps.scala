@@ -409,6 +409,99 @@ object TextOps {
     pairs1.unionByName(pairs2).orderBy("d1", "d2")
   }
 
+  /** Deterministic multi-line payload for the line-level corpus ops (d85 /
+    * t86): the corpus text is single-line prose, so — like t81's payload —
+    * lines are synthesized from the doc's own content plus boilerplate.
+    * The doc's words chunk into 10-word lines (exact-dup docs therefore
+    * share EVERY content line — real cross-document collisions), and
+    * doc_id-keyed boilerplate lines are appended verbatim to a large
+    * fraction of docs (the C4 paper's motivating case: the same nav/footer
+    * line on millions of pages). OracleGen.linedCte is the DuckDB twin —
+    * kept in lockstep term by term.
+    */
+  private def linedLines(docId: Column, text: Column): Column = {
+    val ws = words(text)
+    val nChunks = ceil(size(ws) / lit(10.0)).cast("int")
+    // alternating chunks end with '.' (keyed on doc_id + chunk index): the
+    // corpus prose carries no punctuation, so without this no content line
+    // could ever satisfy t86's terminal-punctuation rule
+    val chunks = transform(sequence(lit(1), nChunks),
+      c => concat(array_join(slice(ws, (c - lit(1)) * 10 + 1, lit(10)), " "),
+        when((docId + c) % 2 === 0, lit(".")).otherwise(lit(""))))
+    val extras = array(
+      when(docId % 3 === 0, lit("subscribe to our newsletter today.")),
+      when(docId % 4 === 0, lit("all rights reserved")),
+      when(docId % 5 === 0, lit("click here to read more articles.")),
+      when(docId % 7 === 0, lit("function() { return javascript; }")),
+      when(docId % 13 === 0, lit("lorem ipsum dolor sit amet.")))
+    concat(chunks, filter(extras, e => e.isNotNull))
+  }
+
+  /** C4-style corpus-wide exact line deduplication with document
+    * reassembly: every line that occurs more than once ACROSS THE WHOLE
+    * CORPUS is kept only at its first occurrence (smallest (doc_id, pos) —
+    * the C4 recipe's "remove all but one of any three-sentence span
+    * occurring more than once", at line granularity), and each document's
+    * surviving lines are reassembled in their original order. Docs whose
+    * every line was seen earlier come back empty — exactly how C4 shrinks
+    * boilerplate-only pages to nothing.
+    *
+    * Scale: one shuffle partitioned by the line value (first-occurrence
+    * choice via row_number over (doc_id, pos) — at 100 TB the same plan
+    * holds with md5(line) as the shuffle key to bound key width; the
+    * grouping is identical), then one shuffle back on doc_id for the
+    * ordered rebuild. Line volume crosses each exchange once; nothing is
+    * quadratic in corpus size, and hot lines (the boilerplate case) are
+    * bounded per-key by their occurrence count, which AQE skew-split
+    * handles like any other hot aggregation key.
+    */
+  def d85LineDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val lined = docs.select(col("doc_id"),
+      linedLines(col("doc_id"), col("text")).as("lns"))
+    val lines = lined.select(col("doc_id"), size(col("lns")).as("n_lines"),
+      posexplode(col("lns")).as(Seq("pos", "line")))
+    val firstOcc = Window.partitionBy(col("line"))
+      .orderBy(col("doc_id"), col("pos"))
+    val kept = lines.withColumn("rk", row_number().over(firstOcc))
+      .filter(col("rk") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text_kept"))
+    lined.select(col("doc_id"), size(col("lns")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** C4 line/page heuristic rules (Raffel et al. 2020 §2.2) over the same
+    * lined payload as [[d85LineDedup]]: a line is RETAINED when it ends in
+    * terminal punctuation, has ≥5 words, and doesn't mention "javascript";
+    * a page is kept when ≥3 lines survive and it contains neither "lorem
+    * ipsum" nor a curly brace. Entirely map-side higher-order-function
+    * scans over the per-doc line array — no explode, no shuffle, same
+    * 100 TB shape as t59/t81.
+    */
+  def t86C4Rules(s: SparkSession, d: String): DataFrame = {
+    val lns = linedLines(col("doc_id"), col("text"))
+    val lineKept = (l: Column) =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(l, " ")) >= 5 && !l.contains("javascript")
+    documents(s, d)
+      .select(col("doc_id"),
+        size(lns).cast("long").as("n_lines"),
+        size(filter(lns, lineKept)).cast("long").as("n_kept"),
+        exists(lns, l => l.contains("lorem ipsum")).as("has_lorem"),
+        exists(lns, l => l.contains("{")).as("has_brace"))
+      .withColumn("keep",
+        col("n_kept") >= 3 && !col("has_lorem") && !col("has_brace"))
+      .orderBy("doc_id")
+  }
+
   private val incrementalCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 

@@ -83,6 +83,40 @@ class Round7OpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("d85 line dedup removes boilerplate at all but its first occurrence") {
+    val df = TextOps.d85LineDedup(spark, sf).cache()
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(df.count() == docs)
+    // dedup never invents lines, and SOME cross-document removal happened
+    // (the doc_id%3 boilerplate alone appears in ~1/3 of docs)
+    assert(df.filter(col("n_kept") > col("n_lines")).count() == 0)
+    assert(df.filter(col("n_kept") < col("n_lines")).count() > docs / 4)
+    // each shared boilerplate line survives in EXACTLY one document
+    val survivors = df.filter(
+      col("text_kept").contains("subscribe to our newsletter today."))
+    assert(survivors.count() == 1)
+    // ... and that document is the smallest doc_id carrying it
+    val firstCarrier = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0).agg(min("doc_id")).head().getLong(0)
+    assert(survivors.head().getAs[Long]("doc_id") == firstCarrier)
+    df.unpersist()
+  }
+
+  test("t86 C4 rules: keep is the conjunction and verdicts vary") {
+    val df = TextOps.t86C4Rules(spark, sf).cache()
+    assert(df.count() == graft.Tables.documents(spark, sf).count())
+    assert(df.filter(col("keep") =!=
+      (col("n_kept") >= 3 && !col("has_lorem") && !col("has_brace")))
+      .count() == 0)
+    // lorem/brace pages exist (doc_id%13 / %7) and are rejected
+    assert(df.filter(col("has_lorem")).count() > 0)
+    assert(df.filter(col("has_brace")).count() > 0)
+    assert(df.filter(col("has_lorem") && col("keep")).count() == 0)
+    assert(df.filter(col("keep")).count() > 0)
+    assert(df.filter(!col("keep")).count() > 0)
+    df.unpersist()
+  }
+
   test("t59 line rules pass on the raw single-line corpus") {
     // raw docs have no newlines/bullets/symbols, so folding the line rules
     // into t59's conjunction must not change any keep verdict there
