@@ -320,20 +320,27 @@ object TextOps {
     */
   private def pairsFromBands(priorBands: DataFrame, newBands: DataFrame)
       : DataFrame = {
+    // the band index rides along and n_bands counts DISTINCT shared bands:
+    // on clean input (d1, d2, band) is already unique (one bkey per band
+    // per doc), so this is a no-op there, but if the prior side ever
+    // carries a doc_id twice (a re-ingested doc — a violated streaming
+    // contract), the duplicate collapses instead of inflating n_bands
     val crossPairs = newBands.as("a")
       .join(priorBands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"), col("a.band"))
     val selfPairs = newBands.as("a")
       .join(newBands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    crossPairs.unionByName(selfPairs)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.band"))
+    // no orderBy here: the streaming sink writes these to parquet where row
+    // order is meaningless — ordered consumers (d84) sort at the end
+    crossPairs.unionByName(selfPairs).distinct()
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_bands"))
-      .orderBy("d1", "d2")
   }
 
   /** [[pairsFromBands]] over key-carrying tables ([[minhashSignaturesWithKeys]]
@@ -457,9 +464,16 @@ object TextOps {
     */
   def d85LineDedup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // persist(): the lined table feeds BOTH the dedup branch and the
+    // n_lines side of the final join — without it the documents scan and
+    // the words/chunk transform execute twice (ReusedExchange does not
+    // bridge join branches; same finding as d25/d26/d27). Registered for
+    // release like the incremental signature caches.
     val lined = docs.select(col("doc_id"),
       linedLines(col("doc_id"), col("text")).as("lns"))
-    val lines = lined.select(col("doc_id"), size(col("lns")).as("n_lines"),
+      .persist()
+    incrementalCaches.add(lined)
+    val lines = lined.select(col("doc_id"),
       posexplode(col("lns")).as(Seq("pos", "line")))
     val firstOcc = Window.partitionBy(col("line"))
       .orderBy(col("doc_id"), col("pos"))

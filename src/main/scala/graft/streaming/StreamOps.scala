@@ -150,13 +150,25 @@ object StreamOps {
     * (the round-6 design rewrote the whole snapshot every batch —
     * quadratic cumulative I/O on an unbounded stream).
     *
-    * Effectively-once: both writes land at deterministic per-batch-id
-    * paths with `overwrite`, so a foreachBatch replay (crash anywhere
-    * between the two writes and the checkpoint commit) overwrites its own
-    * partitions byte-for-byte; the probe side partition-prunes `batch=id`
-    * away, so a replay also reproduces identical pairs. No snapshot swap
-    * and no cache: the batch signatures are written once and read back for
-    * the three join uses, so nothing persists across batches.
+    * Effectively-once: each output partition is written to a sibling
+    * `.tmp` staging dir and moved into the table root with one FileSystem
+    * rename ([[publishPartition]]), so an external reader of `statePath`
+    * or `statePath.pairs` never observes a torn partition — a crash
+    * mid-write leaves the table WITHOUT the batch (a consistent older
+    * view) until foreachBatch replays it; a replay re-stages and
+    * re-publishes its own deterministic `batch=id` partitions, and the
+    * probe side partition-prunes `batch=id` away, so the replay also
+    * reproduces identical pairs. No cache: the batch signatures are
+    * written once and read back for the three join uses, so nothing
+    * persists across batches.
+    *
+    * Input batches must carry disjoint doc_ids (the contract of the
+    * batch-side API): a re-ingested doc_id is stored once per carrying
+    * batch — [[graft.ops.TextOps.incrementalPairsFromKeyed]]'s
+    * distinct-band counting keeps `n_bands` correct for pairs probing
+    * such duplicates, but the state grows with every copy and pairs
+    * involving the doc are re-emitted by each duplicating batch, so
+    * dedup the id space upstream (or key re-crawls by a fresh doc_id).
     *
     * Layout: `statePath/batch=N/` = signature+band-key partition of
     * micro-batch N ([[graft.ops.TextOps.minhashSignaturesWithKeys]] schema);
@@ -171,14 +183,38 @@ object StreamOps {
       .option("checkpointLocation", s"$statePath.checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.ops.TextOps.minhashSignaturesWithKeys(batch.toDF())
-          .write.mode("overwrite").parquet(s"$statePath/batch=$id")
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
         val all = spark.read.parquet(statePath)
         val mine = all.filter(col("batch") === id).drop("batch")
         val prior = all.filter(col("batch") =!= id).drop("batch")
         graft.ops.TextOps.incrementalPairsFromKeyed(prior, mine)
-          .write.mode("overwrite").parquet(s"$statePath.pairs/batch=$id")
+          .write.mode("overwrite").parquet(s"$statePath.pairs.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.pairs.tmp/batch=$id",
+          s"$statePath.pairs/batch=$id")
       }
       .start()
+
+  /** Atomically publish a completed batch-partition directory staged at
+    * `tmp` to its final location `dst` inside a partitioned table root:
+    * delete a stale `dst` (a replayed batch), then one FileSystem rename.
+    * The staging dir is a SIBLING of the table root (`<root>.tmp/...`), so
+    * partition discovery over the root never sees half-written files — a
+    * reader observes either the complete partition or its absence. (A
+    * `batch=N.tmp` dir INSIDE the root would be discovered as a malformed
+    * partition value and corrupt the inferred `batch` column type.)
+    */
+  private def publishPartition(spark: SparkSession, tmp: String, dst: String)
+      : Unit = {
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d)) fs.delete(d, true)
+    fs.mkdirs(d.getParent)
+    if (!fs.rename(src, d))
+      throw new java.io.IOException(s"publishPartition: rename $tmp -> $dst failed")
+  }
 
   /** Watermarked stream-stream interval join: attribute each purchase to the
     * same user's clicks in the preceding `intervalSql` (event-time range
