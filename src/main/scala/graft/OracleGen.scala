@@ -259,6 +259,51 @@ object OracleGen {
          n_kept >= 3 AND NOT has_lorem AND NOT has_brace AS keep
        FROM m ORDER BY doc_id"""
 
+  /** Exact duplicated-substring stats (t87): stride-1 20-token windows,
+    * cross-document iff min(doc_id) <> max(doc_id) over the window text,
+    * runs merged gaps-and-islands. Mirrors
+    * [[graft.ops.TextOps.exactSubstringStats]] term by term: truncated
+    * (not rounded) fraction, integer-exact keep, docs under 20 words kept
+    * with zero windows (generate_series(1, n<=0) is empty in DuckDB while
+    * Spark's sequence would count DOWN — both engines filter >= 20 before
+    * windowing).
+    */
+  val exactSubstring: String =
+    """WITH w AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+         FROM documents),
+       wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 20),
+       win AS (
+         SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS wtext
+         FROM wf, unnest(generate_series(1, len(ws) - 19)) AS t(i)),
+       dup AS (
+         SELECT wtext FROM win GROUP BY wtext
+         HAVING min(doc_id) <> max(doc_id)),
+       dp AS (
+         SELECT doc_id, pos FROM win
+         WHERE wtext IN (SELECT wtext FROM dup)),
+       runs AS (
+         SELECT doc_id,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         FROM dp),
+       rl AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS rl
+         FROM runs GROUP BY doc_id, g),
+       st AS (
+         SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_dup,
+           max(rl) AS max_rl
+         FROM rl GROUP BY doc_id)
+       SELECT w.doc_id,
+         CAST(greatest(len(w.ws) - 19, 0) AS BIGINT) AS n_windows,
+         COALESCE(st.n_dup, 0) AS n_dup_windows,
+         CASE WHEN len(w.ws) <= 19 THEN 0.0
+              ELSE floor(COALESCE(st.n_dup, 0) * 1e4 / (len(w.ws) - 19))
+                / 1e4 END AS dup_window_frac,
+         COALESCE(st.max_rl + 19, 0) AS longest_dup_span,
+         COALESCE(st.n_dup, 0) * 2 <= greatest(len(w.ws) - 19, 0) AS keep
+       FROM w LEFT JOIN st USING (doc_id)
+       ORDER BY doc_id"""
+
   /** Line-level Gopher rules (t81) over the deterministic doc_id-derived
     * multi-line payload matching [[graft.ops.TextOps.t81LineRules]] (the
     * corpus itself is single-line prose, so — like t48's PII suffix — the

@@ -103,6 +103,7 @@ object SparkEntry {
     "t86_c4_rules" -> (TextOps.t86C4Rules _),
     "v82_ann_frontier" -> (VectorOps.v82AnnFrontier _),
     "v83_semantic_dedup" -> (VectorOps.v83SemanticDedup _),
+    "t87_exact_substring" -> (TextOps.t87ExactSubstring _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -730,5 +731,6 @@ object SparkEntry {
     "t86_c4_rules" -> OracleGen.c4Rules,
     "v82_ann_frontier" -> OracleGen.annFrontier,
     "v83_semantic_dedup" -> OracleGen.semanticDedup,
+    "t87_exact_substring" -> OracleGen.exactSubstring,
   )
 }

@@ -502,19 +502,111 @@ object TextOps {
     */
   def t86C4Rules(s: SparkSession, d: String): DataFrame = {
     val lns = linedLines(col("doc_id"), col("text"))
-    val lineKept = (l: Column) =>
-      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
-        size(split(l, " ")) >= 5 && !l.contains("javascript")
     documents(s, d)
       .select(col("doc_id"),
         size(lns).cast("long").as("n_lines"),
-        size(filter(lns, lineKept)).cast("long").as("n_kept"),
+        size(filter(lns, c4LineKept)).cast("long").as("n_kept"),
         exists(lns, l => l.contains("lorem ipsum")).as("has_lorem"),
         exists(lns, l => l.contains("{")).as("has_brace"))
       .withColumn("keep",
         col("n_kept") >= 3 && !col("has_lorem") && !col("has_brace"))
       .orderBy("doc_id")
   }
+
+  /** C4 line-retention rule (Raffel et al. 2020 §2.2): terminal
+    * punctuation, ≥5 words, no "javascript" — the single source of truth
+    * shared by [[t86C4Rules]] and the streaming C4 gate so batch and
+    * stream can never disagree on a line.
+    */
+  private[graft] val c4LineKept: Column => Column = l =>
+    substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+      size(split(l, " ")) >= 5 && !l.contains("javascript")
+
+  /** C4 page verdict over a line array: ≥3 retained lines, no "lorem
+    * ipsum", no curly brace — [[t86C4Rules]]'s `keep` column as one
+    * reusable expression (entirely map-side HOF scans, zero state).
+    */
+  def c4Keep(lns: Column): Column =
+    size(filter(lns, c4LineKept)) >= 3 &&
+      !exists(lns, l => l.contains("lorem ipsum")) &&
+      !exists(lns, l => l.contains("{"))
+
+  /** Window length (tokens) for [[t87ExactSubstring]] — the ExactSubstr
+    * span threshold, scaled to this corpus's 10-99-word documents (the
+    * paper uses 50 tokens over web-scale pages; the recipe is
+    * length-parametric).
+    */
+  val ExactSubstrK = 20
+
+  /** Exact duplicated-substring detection (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — ExactSubstr), the
+    * stride-1 complement of [[d57PassageDedup]]'s stride=width chunks:
+    * EVERY run of [[ExactSubstrK]] consecutive tokens is a candidate
+    * window, and a window whose exact text occurs in more than one
+    * document marks a duplicated span. Per doc: window/duplicate counts,
+    * the duplicated-window fraction (truncated, not rounded — int/int
+    * rationals hit .005 boundaries), and the longest duplicated token run
+    * (consecutive duplicated windows merged gaps-and-islands style:
+    * r consecutive windows = a run of r + k - 1 tokens), plus the keep
+    * verdict at dup fraction ≤ 1/2 (integer-exact as 2·n_dup ≤ n_windows).
+    *
+    * The paper finds spans with a corpus-wide suffix array on one big
+    * machine; the Spark-first equivalent shuffles the window table ONCE on
+    * the window text into a partial-aggregated min/max doc_id per window —
+    * a window is cross-document iff min ≠ max, so no collect_set that a
+    * boilerplate window with 1e8 occurrences would blow up — then probes
+    * the duplicated set with a semi-join over the SAME exchange. At 100 TB
+    * the identical plan runs with xxhash64(window) as the shuffle key
+    * (8 bytes per window instead of ~6·k chars); raw text is kept here for
+    * byte-exact oracle parity, like [[d85LineDedup]]'s md5(line) note.
+    */
+  def exactSubstringStats(docs: DataFrame): DataFrame = {
+    val k = ExactSubstrK
+    val based = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // persist(): the window table feeds the dup-window groupBy AND the
+    // semi-join probe side — without it the tokenize+slice explode runs
+    // twice (the d25/d26/d85 pattern); registered for release with the
+    // other incremental caches. The ≥k filter keeps Spark's `sequence`
+    // off the descending-step path (sequence(1, n) with n ≤ 0 counts
+    // DOWN); the oracle's generate_series(1, n≤0) is empty, so the
+    // filter also keeps the two engines aligned.
+    val win = based.filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => array_join(slice(col("ws"), i, lit(k)), " ")))
+          .as(Seq("pos0", "wtext")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("wtext"))
+      .persist()
+    incrementalCaches.add(win)
+    val dupW = win.groupBy("wtext")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("wtext")
+    val dupPos = win.join(dupW, Seq("wtext"), "left_semi")
+    val runs = dupPos.withColumn("g",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val runLens = runs.groupBy("doc_id", "g").agg(count(lit(1)).as("rl"))
+    val dupStats = runLens.groupBy("doc_id")
+      .agg(sum(col("rl")).as("n_dup"), max(col("rl")).as("max_rl"))
+    based.select(col("doc_id"),
+        greatest(size(col("ws")) - (k - 1), lit(0)).cast("long")
+          .as("n_windows"))
+      .join(dupStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows") === 0, lit(0.0)).otherwise(
+          floor(coalesce(col("n_dup"), lit(0L)) * lit(1e4) /
+            col("n_windows")) / lit(1e4)).as("dup_window_frac"),
+        coalesce(col("max_rl") + lit(k - 1), lit(0L))
+          .as("longest_dup_span"),
+        (coalesce(col("n_dup"), lit(0L)) * 2 <= col("n_windows"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** [[exactSubstringStats]] over the documents table — the t87 query. */
+  def t87ExactSubstring(s: SparkSession, d: String): DataFrame =
+    exactSubstringStats(documents(s, d).select(col("doc_id"), col("text")))
 
   private val incrementalCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -88,6 +88,18 @@ object StreamOps {
     docs.withColumn("keep_quality",
       graft.ops.TextOps.gopherKeep(col("text")))
 
+  /** Streaming C4 page gate — the streaming twin of t86's page verdict,
+    * over the document's REAL lines (`split(text, '\n')`; the batch query
+    * synthesizes lines only because the test corpus is single-line
+    * prose). The verdict expression IS [[graft.ops.TextOps.c4Keep]] — the
+    * same single source of truth — and, like [[qualityGateStream]], it is
+    * stateless map-side HOF work: no watermark, no state store, no
+    * shuffle. Input needs a `text` column; emits the input plus `keep_c4`.
+    */
+  def c4GateStream(docs: DataFrame): DataFrame =
+    docs.withColumn("keep_c4",
+      graft.ops.TextOps.c4Keep(split(col("text"), "\n")))
+
   /** Streaming exact dedup for document pipelines: normalize → fingerprint →
     * `dropDuplicatesWithinWatermark`. The watermark bounds the dedup state
     * (fingerprints older than the delay are evicted), which is what makes

@@ -126,4 +126,60 @@ class Round7OpsSpec extends SparkSpec {
       !col("rule_symbol")).count() == 0)
     df.unpersist()
   }
+
+  test("t87 exact values: shared span, full duplicate, sub-window doc") {
+    val s = spark
+    import s.implicits._
+    def run(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val span = run("s", 20)
+    // the ONLY 20-token window of a 20-token span is the span itself, so a
+    // shared span inside differing context yields exactly one dup window
+    val docA = run("a", 5) + " " + span + " " + run("b", 5) // 30 words
+    val docB = run("c", 8) + " " + span                     // 28 words
+    val docC = run("u", 10)                                 // below k=20
+    val out = TextOps.exactSubstringStats(
+      Seq((1L, docA), (2L, docB), (3L, docC), (4L, docA))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docA and its exact copy: all 11 windows duplicated -> run of 11
+    // consecutive windows = 11 + 19 = 30 tokens (the whole doc), rejected
+    for (id <- Seq(1L, 4L)) {
+      assert(out(id).getAs[Long]("n_windows") == 11L)
+      assert(out(id).getAs[Long]("n_dup_windows") == 11L)
+      assert(out(id).getAs[Double]("dup_window_frac") == 1.0)
+      assert(out(id).getAs[Long]("longest_dup_span") == 30L)
+      assert(!out(id).getAs[Boolean]("keep"))
+    }
+    // docB: 9 windows, only the span window (pos 9) is cross-document
+    assert(out(2L).getAs[Long]("n_windows") == 9L)
+    assert(out(2L).getAs[Long]("n_dup_windows") == 1L)
+    assert(out(2L).getAs[Long]("longest_dup_span") == 20L)
+    assert(out(2L).getAs[Double]("dup_window_frac") ==
+      math.floor(1e4 / 9) / 1e4)
+    assert(out(2L).getAs[Boolean]("keep"))
+    // docC: shorter than the window -> zero windows, kept by definition
+    assert(out(3L).getAs[Long]("n_windows") == 0L)
+    assert(out(3L).getAs[Long]("n_dup_windows") == 0L)
+    assert(out(3L).getAs[Long]("longest_dup_span") == 0L)
+    assert(out(3L).getAs[Boolean]("keep"))
+    TextOps.releaseIncrementalCaches()
+  }
+
+  test("t87 corpus invariants: bounds, span/dup coupling, real hits") {
+    val df = TextOps.t87ExactSubstring(spark, sf).cache()
+    assert(df.count() == graft.Tables.documents(spark, sf).count())
+    assert(df.filter(col("n_dup_windows") > col("n_windows")).count() == 0)
+    // a duplicated span exists iff a duplicated window does, and is never
+    // shorter than the window
+    assert(df.filter((col("n_dup_windows") === 0) =!=
+      (col("longest_dup_span") === 0)).count() == 0)
+    assert(df.filter(col("longest_dup_span") > 0 &&
+      col("longest_dup_span") < TextOps.ExactSubstrK).count() == 0)
+    assert(df.filter(col("longest_dup_span") >
+      col("n_windows") + TextOps.ExactSubstrK - 1).count() == 0)
+    // the corpus's near-dup families contain real cross-doc 20-token spans
+    assert(df.filter(col("n_dup_windows") > 0).count() > 0)
+    df.unpersist()
+    TextOps.releaseIncrementalCaches()
+  }
 }

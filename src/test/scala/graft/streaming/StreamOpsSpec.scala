@@ -86,6 +86,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == out)
   }
 
+  test("streaming C4 gate matches the batch page verdict") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val keepPage = (1 to 4)
+      .map(i => s"this is sentence number $i in full form.").mkString("\n")
+    val fewLines = "one good sentence that terminates properly today."
+    val braced = keepPage + "\nfunction() { code }"
+    val lorem = keepPage + "\nlorem ipsum dolor sit amet."
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.c4GateStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4g")
+      .outputMode("append").start()
+    mem.addData((1L, keepPage), (2L, fewLines), (3L, braced), (4L, lorem))
+    q.processAllAvailable()
+    val out = s.sql("select doc_id, keep_c4 from c4g").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // batch/streaming parity: the SAME texts through the shared c4Keep
+    // Column produce the SAME page verdicts
+    val batch = Seq((1L, keepPage), (2L, fewLines), (3L, braced),
+      (4L, lorem)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.TextOps.c4Keep(split(col("text"), "\n")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch == out)
+  }
+
   test("incremental dedup stream accumulates state and reproduces batch pairs") {
     val s = spark
     import s.implicits._
