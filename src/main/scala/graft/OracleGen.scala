@@ -304,6 +304,26 @@ object OracleGen {
        FROM w LEFT JOIN st USING (doc_id)
        ORDER BY doc_id"""
 
+  /** Deterministic shuffle-shard (t88): h48(seed:doc_id) order keys,
+    * modulo sharding, rank within shard — mirrors
+    * [[graft.ops.TextOps.t88ShuffleShard]] (seed and shard count are the
+    * Spark side's constants; h48 is the shared '0x'||md5-prefix cast).
+    */
+  val shuffleShard: String =
+    """WITH a AS (
+         SELECT doc_id,
+           ('0x' || substr(md5('graft-shuffle-42:'
+             || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS order_key
+         FROM documents),
+       b AS (
+         SELECT doc_id, order_key,
+           CAST(order_key % 8 AS INTEGER) AS shard
+         FROM a)
+       SELECT doc_id, order_key, shard,
+         CAST(row_number() OVER (PARTITION BY shard
+           ORDER BY order_key, doc_id) AS BIGINT) AS ord
+       FROM b ORDER BY shard, ord"""
+
   /** Line-level Gopher rules (t81) over the deterministic doc_id-derived
     * multi-line payload matching [[graft.ops.TextOps.t81LineRules]] (the
     * corpus itself is single-line prose, so — like t48's PII suffix — the

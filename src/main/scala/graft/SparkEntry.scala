@@ -104,6 +104,7 @@ object SparkEntry {
     "v82_ann_frontier" -> (VectorOps.v82AnnFrontier _),
     "v83_semantic_dedup" -> (VectorOps.v83SemanticDedup _),
     "t87_exact_substring" -> (TextOps.t87ExactSubstring _),
+    "t88_shuffle_shard" -> (TextOps.t88ShuffleShard _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -732,5 +733,6 @@ object SparkEntry {
     "v82_ann_frontier" -> OracleGen.annFrontier,
     "v83_semantic_dedup" -> OracleGen.semanticDedup,
     "t87_exact_substring" -> OracleGen.exactSubstring,
+    "t88_shuffle_shard" -> OracleGen.shuffleShard,
   )
 }

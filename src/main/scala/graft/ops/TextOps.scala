@@ -608,6 +608,47 @@ object TextOps {
   def t87ExactSubstring(s: SparkSession, d: String): DataFrame =
     exactSubstringStats(documents(s, d).select(col("doc_id"), col("text")))
 
+  /** Shard count for [[t88ShuffleShard]] — small here so every shard is
+    * populated at test scale; a production run sets it to the target
+    * training-file count (thousands), which only widens the one exchange.
+    */
+  val ShuffleShards = 8
+
+  /** Seed for [[t88ShuffleShard]]'s order keys: changing it produces an
+    * independent deterministic permutation (a new training-data epoch
+    * order) without touching any document.
+    */
+  val ShuffleSeed = "graft-shuffle-42"
+
+  /** Deterministic corpus shuffle + sharding (t88) — the training-order
+    * step of a data pipeline: every document receives a SEEDED
+    * pseudorandom order key (h48 of `seed:doc_id` — reproducible in any
+    * engine with md5, the same construction as the minhash hashes), a
+    * shard by key modulo [[ShuffleShards]], and its rank within the
+    * shard. The result is a stable global permutation: re-running the
+    * query — on any cluster size, any partitioning — yields the
+    * identical order, which is what makes training runs reproducible and
+    * resumable; a new seed is a new epoch's permutation.
+    *
+    * Scale shape: key+shard are map-side expressions; the rank is ONE
+    * exchange on the shard id with an in-partition sort — physically the
+    * `repartition(shard).sortWithinPartitions(order_key)` +
+    * `partitionBy(shard)` parquet write a real pipeline runs, expressed
+    * as a window so the assignment is oracle-checkable. Hash-modulo
+    * sharding balances shards to within sampling noise regardless of
+    * doc_id clustering (asserted in the spec).
+    */
+  def t88ShuffleShard(s: SparkSession, d: String): DataFrame = {
+    val key = h48(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
+    documents(s, d)
+      .select(col("doc_id"), key.as("order_key"),
+        (key % ShuffleShards).cast("int").as("shard"))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("order_key"), col("doc_id"))).cast("long"))
+      .orderBy("shard", "ord")
+  }
+
   private val incrementalCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 

@@ -82,4 +82,29 @@ class DegenerateInputSpec extends SparkSpec {
     val mix = TextOps.t72TempMixing(spark, dirtyDir).collect()
     assert(mix.forall(r => r.getLong(3) <= r.getLong(1)))
   }
+
+  test("substring dedup and shuffle-shard survive the dirty corpus") {
+    val t87 = TextOps.t87ExactSubstring(spark, dirtyDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every doc appears — null/empty/short texts with zero windows, kept
+    assert(t87.size == 7)
+    for (id <- 1L to 5L) {
+      assert(t87(id).getAs[Long]("n_windows") == 0L, s"doc $id")
+      assert(t87(id).getAs[Boolean]("keep"), s"doc $id")
+    }
+    // docs 6 and 7 are the same exact 20-word text: one window each,
+    // cross-document, the whole doc duplicated -> rejected
+    for (id <- Seq(6L, 7L)) {
+      assert(t87(id).getAs[Long]("n_windows") == 1L)
+      assert(t87(id).getAs[Long]("n_dup_windows") == 1L)
+      assert(t87(id).getAs[Long]("longest_dup_span") == 20L)
+      assert(!t87(id).getAs[Boolean]("keep"))
+    }
+    TextOps.releaseIncrementalCaches()
+    // sharding is text-independent: null text shards like any other doc
+    val t88 = TextOps.t88ShuffleShard(spark, dirtyDir)
+    assert(t88.count() == 7L)
+    assert(t88.filter(col("shard").isNull || col("ord").isNull)
+      .count() == 0)
+  }
 }

@@ -182,4 +182,28 @@ class Round7OpsSpec extends SparkSpec {
     df.unpersist()
     TextOps.releaseIncrementalCaches()
   }
+
+  test("t88 shuffle-shard: stable permutation, contiguous ranks, balance") {
+    val a = TextOps.t88ShuffleShard(spark, sf).collect()
+    val b = TextOps.t88ShuffleShard(spark, sf).collect()
+    // determinism: the permutation is a pure function of (seed, doc_id) —
+    // identical across runs regardless of partitioning
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == graft.Tables.documents(spark, sf).count())
+    val byShard = a.groupBy(_.getAs[Int]("shard"))
+    // every shard populated, ranks contiguous 1..n within each shard,
+    // rows ordered by order_key within the shard
+    assert(byShard.keySet == (0 until TextOps.ShuffleShards).toSet)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("ord")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+      val sorted = rows.sortBy(_.getAs[Long]("ord"))
+        .map(r => (r.getAs[Long]("order_key"), r.getAs[Long]("doc_id")))
+      assert(sorted.toSeq == sorted.sortBy(identity).toSeq)
+    }
+    // hash-modulo balance: no shard more than 2x the uniform share (a
+    // loose 3-sigma-plus bound at n=500, k=8)
+    val n = a.length
+    assert(byShard.values.map(_.length).max <= 2 * n / TextOps.ShuffleShards)
+  }
 }
