@@ -62,13 +62,11 @@ object Bench {
         // queries so 81 queries x 3 iterations don't accumulate storage
         // blocks and leak one query's cache pressure into the next's timing
         spark.catalog.clearCache()
-        // CC-based queries (d26/d46/t65) leave their final localCheckpoint
-        // blocks at the RDD level where clearCache cannot see them
-        ops.TextOps.releaseFinalCheckpoints()
-        // d84's per-batch signature caches live at the DataFrame level and
-        // are covered by clearCache(), but release them explicitly so the
-        // registry can't grow across iterations
-        ops.TextOps.releaseIncrementalCaches()
+        // the harness registry holds the query's persisted intermediates
+        // (covered by clearCache) AND the RDD-level localCheckpoint blocks
+        // of CC-based queries (d26/d46/t65 — invisible to clearCache);
+        // drain it per query so nothing accumulates across iterations
+        ops.CacheRegistry.harness.release()
         (name, dt, ok)
       }
     def json(rs: Seq[(String, Double)]): String =
@@ -76,9 +74,13 @@ object Bench {
     // three consecutive in-JVM iterations: cold is comparable to earlier
     // rounds' numbers; per-query MIN over all three is the contention-robust
     // signal (host load inflates some iterations, never deflates one)
-    val cold = runAll()
-    val warm = runAll()
-    val warm2 = runAll()
+    // loadavg stamped after each iteration: contention is then diagnosable
+    // PER ITERATION from the artifact (a single polluted iteration can be
+    // discounted instead of the whole record — per-query min already does
+    // that for timings; these stamps say WHICH iteration was polluted)
+    val cold = runAll(); val loadIter1 = loadAvg()
+    val warm = runAll(); val loadIter2 = loadAvg()
+    val warm2 = runAll(); val loadIter3 = loadAvg()
     // per-query best over iterations that SUCCEEDED; a query with zero
     // successful iterations has no measurement and is excluded from best —
     // it is reported by name in `failed` instead. Keeping the sentinel out
@@ -113,9 +115,11 @@ object Bench {
     // total_min plus 18 of 80 min entries. Whatever truncation window the
     // driver applies, this tail line always survives complete and parseable.
     val slowest = best.sortBy(-_._2).take(10)
+    val loadIters = Seq(loadIter1, loadIter2, loadIter3)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"summary","total_cold":$total,"total_warm":$totalWarm,"total_min":$totalMin,"n_queries":${
       best.length},"n_failed":${failed.length},"slowest_min":${
-      json(slowest)},"loadavg_end":"$loadEnd","gc_ms":${gcEnd - gcStart},"sf":"$sfDir"}""")
+      json(slowest)},"loadavg_end":"$loadEnd","loadavg_iter":$loadIters,"gc_ms":${gcEnd - gcStart},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -304,6 +304,48 @@ object OracleGen {
        FROM w LEFT JOIN st USING (doc_id)
        ORDER BY doc_id"""
 
+  /** Exact duplicated-substring removal + reassembly (d89) matching
+    * [[graft.ops.TextOps.substringRemoval]]: corpus-wide first occurrence
+    * of each cross-document 20-token window (by (doc_id, pos)) keeps its
+    * tokens, every other occurrence removes its 20 covered positions,
+    * surviving tokens re-join in order. The oracle ranks occurrences with
+    * a window (fine at oracle scale); the Spark side's min(struct) picks
+    * the identical first occurrence.
+    */
+  val substringRemoval: String =
+    """WITH w AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+         FROM documents),
+       wf AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 20),
+       win AS (
+         SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS wtext
+         FROM wf, unnest(generate_series(1, len(ws) - 19)) AS t(i)),
+       dup AS (
+         SELECT wtext FROM win GROUP BY wtext
+         HAVING min(doc_id) <> max(doc_id)),
+       dp AS (
+         SELECT doc_id, pos, wtext FROM win
+         WHERE wtext IN (SELECT wtext FROM dup)),
+       rem AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos, row_number() OVER (PARTITION BY wtext
+             ORDER BY doc_id, pos) AS rk
+           FROM dp)
+         WHERE rk > 1),
+       cov AS (
+         SELECT doc_id,
+           list_sort(list_distinct(flatten(
+             list(generate_series(pos, pos + 19))))) AS cv
+         FROM rem GROUP BY doc_id)
+       SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(len(cov.cv), 0) AS BIGINT) AS n_removed,
+         COALESCE(array_to_string(list_transform(
+           list_filter(generate_series(1, len(w.ws)),
+             i -> NOT list_contains(COALESCE(cov.cv, []), i)),
+           i -> w.ws[i]), ' '), '') AS text_kept
+       FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id
+       ORDER BY w.doc_id"""
+
   /** Deterministic shuffle-shard (t88): h48(seed:doc_id) order keys,
     * modulo sharding, rank within shard — mirrors
     * [[graft.ops.TextOps.t88ShuffleShard]] (seed and shard count are the

@@ -105,6 +105,7 @@ object SparkEntry {
     "v83_semantic_dedup" -> (VectorOps.v83SemanticDedup _),
     "t87_exact_substring" -> (TextOps.t87ExactSubstring _),
     "t88_shuffle_shard" -> (TextOps.t88ShuffleShard _),
+    "d89_substring_removal" -> (TextOps.d89SubstringRemoval _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -734,5 +735,6 @@ object SparkEntry {
     "v83_semantic_dedup" -> OracleGen.semanticDedup,
     "t87_exact_substring" -> OracleGen.exactSubstring,
     "t88_shuffle_shard" -> OracleGen.shuffleShard,
+    "d89_substring_removal" -> OracleGen.substringRemoval,
   )
 }

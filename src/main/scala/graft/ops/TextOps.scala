@@ -383,14 +383,16 @@ object TextOps {
     * (broadcast-size), so it rides the accumulated scan map-side.
     *
     * The batch's signature table is persisted (it feeds the anti-join probe,
-    * two band-join sides, and the union); the handle is registered for
-    * [[releaseIncrementalCaches]] so loop-style callers don't accumulate one
-    * cache per ingest batch.
+    * two band-join sides, and the union); the handle is registered in the
+    * caller's `reg` so loop-style callers don't accumulate one cache per
+    * ingest batch — the owner releases once the step's outputs are
+    * materialized.
     */
-  def incrementalMinhashDedup(accumSigs: DataFrame, batch: DataFrame)
+  def incrementalMinhashDedup(accumSigs: DataFrame, batch: DataFrame,
+      reg: CacheRegistry = CacheRegistry.harness)
       : (DataFrame, DataFrame) = {
     val newSigs = minhashSignatures(batch).persist()
-    incrementalCaches.add(newSigs)
+    reg.add(newSigs)
     val priorSigs = accumSigs
       .join(newSigs.select("doc_id"), Seq("doc_id"), "left_anti")
     val pairs = pairsFromBands(bandTable(priorSigs), bandTable(newSigs))
@@ -467,12 +469,13 @@ object TextOps {
     // persist(): the lined table feeds BOTH the dedup branch and the
     // n_lines side of the final join — without it the documents scan and
     // the words/chunk transform execute twice (ReusedExchange does not
-    // bridge join branches; same finding as d25/d26/d27). Registered for
-    // release like the incremental signature caches.
+    // bridge join branches; same finding as d25/d26/d27). Registered in the
+    // harness registry (this is a uniform-signature query entry point —
+    // Bench/Verify drain it after the query's action).
     val lined = docs.select(col("doc_id"),
       linedLines(col("doc_id"), col("text")).as("lns"))
       .persist()
-    incrementalCaches.add(lined)
+    CacheRegistry.harness.add(lined)
     val lines = lined.select(col("doc_id"),
       posexplode(col("lns")).as(Seq("pos", "line")))
     val firstOcc = Window.partitionBy(col("line"))
@@ -560,16 +563,18 @@ object TextOps {
     * (8 bytes per window instead of ~6·k chars); raw text is kept here for
     * byte-exact oracle parity, like [[d85LineDedup]]'s md5(line) note.
     */
-  def exactSubstringStats(docs: DataFrame): DataFrame = {
+  /** The stride-1 [[ExactSubstrK]]-token window table over a tokenized
+    * (doc_id, ws) frame — one row per (doc_id, pos, wtext), persisted and
+    * registered in `reg` (it always feeds at least the dup-window groupBy
+    * AND a probe side — without the persist the tokenize+slice explode
+    * runs once per consumer; the d25/d26/d85 pattern). The ≥k filter keeps
+    * Spark's `sequence` off the descending-step path (sequence(1, n) with
+    * n ≤ 0 counts DOWN); the oracle's generate_series(1, n≤0) is empty,
+    * so the filter also keeps the two engines aligned.
+    */
+  private def substrWindowTable(based: DataFrame, reg: CacheRegistry)
+      : DataFrame = {
     val k = ExactSubstrK
-    val based = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    // persist(): the window table feeds the dup-window groupBy AND the
-    // semi-join probe side — without it the tokenize+slice explode runs
-    // twice (the d25/d26/d85 pattern); registered for release with the
-    // other incremental caches. The ≥k filter keeps Spark's `sequence`
-    // off the descending-step path (sequence(1, n) with n ≤ 0 counts
-    // DOWN); the oracle's generate_series(1, n≤0) is empty, so the
-    // filter also keeps the two engines aligned.
     val win = based.filter(size(col("ws")) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
@@ -577,11 +582,26 @@ object TextOps {
           .as(Seq("pos0", "wtext")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("wtext"))
       .persist()
-    incrementalCaches.add(win)
-    val dupW = win.groupBy("wtext")
+    reg.add(win)
+    win
+  }
+
+  /** Cross-document duplicated windows of a window table: a window text is
+    * duplicated iff it appears in more than one document — min/max doc_id
+    * partial aggregation, deliberately NOT collect_set (a 1e8-occurrence
+    * boilerplate window must stay O(1) agg state).
+    */
+  private def dupWindows(win: DataFrame): DataFrame =
+    win.groupBy("wtext")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select("wtext")
-    val dupPos = win.join(dupW, Seq("wtext"), "left_semi")
+
+  def exactSubstringStats(docs: DataFrame,
+      reg: CacheRegistry = CacheRegistry.harness): DataFrame = {
+    val k = ExactSubstrK
+    val based = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val win = substrWindowTable(based, reg)
+    val dupPos = win.join(dupWindows(win), Seq("wtext"), "left_semi")
     val runs = dupPos.withColumn("g",
       col("pos") - row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")))
@@ -607,6 +627,77 @@ object TextOps {
   /** [[exactSubstringStats]] over the documents table — the t87 query. */
   def t87ExactSubstring(s: SparkSession, d: String): DataFrame =
     exactSubstringStats(documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Exact duplicated-substring REMOVAL with document reassembly — the
+    * ExactSubstr recipe's actual OUTPUT (Lee et al. 2021 §4.2: cut the
+    * duplicated spans out of all but one occurrence), completing
+    * detect ([[exactSubstringStats]]) → clean the way [[d85LineDedup]]
+    * does for lines. Semantics: every [[ExactSubstrK]]-token window whose
+    * exact text occurs in >1 document marks its occurrences; the
+    * corpus-wide FIRST occurrence of each such window (smallest
+    * (doc_id, pos) — the d85 convention) keeps its tokens, every other
+    * occurrence marks its k token positions for removal; a token survives
+    * unless some removed window covers it, and each document's surviving
+    * tokens are reassembled in original order. `text_kept` is the
+    * normalized token join (lowercased, single-spaced — the same token
+    * stream every other substring operator sees), not the raw bytes.
+    *
+    * Scale (one more exchange than t87, each partial-aggregable):
+    *  - the first-occurrence choice is min(struct(doc_id, pos)) per window
+    *    — a map-side-combined aggregation over the same wtext exchange as
+    *    the dup test, deliberately NOT a row_number window (rk>1 cannot be
+    *    WindowGroupLimit-bounded, so a 1e8-occurrence boilerplate window
+    *    would pile into one ranking partition; the min(struct) stays O(1)
+    *    agg state per key);
+    *  - removed occurrences merge gaps-and-islands style per doc (the t87
+    *    run machinery) BEFORE expanding to covered token positions, so the
+    *    per-doc covered volume is bounded by doc length + runs·(k-1),
+    *    never n_removed_windows × k;
+    *  - the rebuild is one groupBy(doc_id) producing a per-doc covered-
+    *    position array, then a map-side HOF filter over the token array —
+    *    the d85 ordered-rebuild shape. At 100 TB the wtext exchanges run
+    *    with xxhash64(window) keys ([[exactSubstringStats]]'s hashed
+    *    variant); raw text kept here for byte-exact oracle parity.
+    */
+  def substringRemoval(docs: DataFrame,
+      reg: CacheRegistry = CacheRegistry.harness): DataFrame = {
+    val k = ExactSubstrK
+    val based = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val win = substrWindowTable(based, reg)
+    val dupPos = win.join(dupWindows(win), Seq("wtext"), "left_semi")
+    val firstOcc = dupPos.groupBy("wtext")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val removed = dupPos.join(firstOcc, Seq("wtext"))
+      .filter(!(col("doc_id") === col("f.doc_id") &&
+        col("pos") === col("f.pos")))
+      .select("doc_id", "pos")
+    // merge consecutive removed window positions into runs (per-doc window,
+    // bounded by doc length), then expand each run to its covered token
+    // interval [s, s + r + k - 2]; intervals of runs separated by a gap
+    // < k can still overlap, so distinct before sorting
+    val runs = removed.withColumn("g",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "g")
+      .agg(min(col("pos")).as("s"), count(lit(1)).cast("int").as("r"))
+    val cov = runs.groupBy("doc_id")
+      .agg(array_sort(array_distinct(flatten(collect_list(
+        sequence(col("s"), col("s") + col("r") + lit(k - 2)))))).as("cv"))
+    based.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(size(col("cv")), lit(0)).cast("long").as("n_removed"),
+        array_join(transform(
+          filter(sequence(lit(1), size(col("ws"))),
+            i => !array_contains(coalesce(col("cv"),
+              array().cast("array<int>")), i)),
+          i => element_at(col("ws"), i)), " ").as("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** [[substringRemoval]] over the documents table — the d89 query. */
+  def d89SubstringRemoval(s: SparkSession, d: String): DataFrame =
+    substringRemoval(documents(s, d).select(col("doc_id"), col("text")))
 
   /** Shard count for [[t88ShuffleShard]] — small here so every shard is
     * populated at test scale; a production run sets it to the target
@@ -647,23 +738,6 @@ object TextOps {
         Window.partitionBy(col("shard"))
           .orderBy(col("order_key"), col("doc_id"))).cast("long"))
       .orderBy("shard", "ord")
-  }
-
-  private val incrementalCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Unpersist every batch signature table cached by
-    * [[incrementalMinhashDedup]] since the last release. Callers invoke
-    * this once the step's outputs are materialized — NOT between a call and
-    * its outputs' actions (the cache is what makes the four readers of the
-    * batch signatures share one shingle scan).
-    */
-  def releaseIncrementalCaches(): Unit = {
-    var df = incrementalCaches.poll()
-    while (df != null) {
-      df.unpersist(blocking = false)
-      df = incrementalCaches.poll()
-    }
   }
 
   /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix
@@ -1314,40 +1388,8 @@ object TextOps {
     * trip on a logic bug, never on graph shape — it still fails loudly
     * rather than return a silently split component.
     */
-  /** Final-round localCheckpoint RDDs of completed [[connectedComponents]]
-    * runs. Their blocks live at the RDD level, where `Dataset.unpersist` and
-    * `spark.catalog.clearCache` CANNOT see them — a harness that runs many
-    * CC-based queries in one JVM (Bench: d26/d46/t65 × 3 iterations) must
-    * release them explicitly or they accumulate in executor storage. Note a
-    * released result DataFrame cannot be re-executed (localCheckpoint
-    * truncates lineage), so release only after its consumer's action.
-    */
-  private val finalCheckpoints =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
-
-  /** Unpersist every registered final CC checkpoint (see
-    * [[finalCheckpoints]]). Safe to call when none are live.
-    *
-    * CONTRACT (sequential-harness scope): the registry is global, so a
-    * release invalidates the lineage-truncated labels DataFrame of EVERY
-    * completed [[connectedComponents]] run — any later action on such a
-    * result fails unrecoverably. Call only at a point where no CC-derived
-    * result will be re-executed (Bench: between queries). A harness that
-    * runs CC queries concurrently, or holds a result across the release
-    * point, must NOT use this global hook — it should instead key releases
-    * to its own query lifecycle (the registry would need to return
-    * per-run handles; deliberately not built until a concurrent consumer
-    * exists).
-    */
-  def releaseFinalCheckpoints(): Unit = {
-    var rdd = finalCheckpoints.poll()
-    while (rdd != null) {
-      rdd.unpersist(blocking = false)
-      rdd = finalCheckpoints.poll()
-    }
-  }
-
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame,
+      reg: CacheRegistry = CacheRegistry.harness): DataFrame = {
     val sym = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       // pre-partition on the per-round join key: each propagation round then
@@ -1415,9 +1457,12 @@ object TextOps {
       rounds += 1
     }
     sym.unpersist()
-    // the last round's checkpoint backs the RETURNED labels table; register
-    // it so a long-lived harness can release it once its consumer is done
-    finalCkRdd.foreach(finalCheckpoints.add)
+    // the last round's checkpoint backs the RETURNED labels table; its
+    // blocks live at the RDD level where Dataset.unpersist / clearCache
+    // cannot see them, so register the backing RDD in the caller's registry
+    // for release once the labels' consumer has run its action (a released
+    // localCheckpoint cannot be re-executed — lineage is truncated)
+    finalCkRdd.foreach(reg.addRdd)
     // returning a partial labeling would silently split one true component
     // into several — fail loudly instead
     if (!converged) throw new IllegalStateException(

@@ -345,8 +345,10 @@ object VectorOps {
     */
   def v83SemanticDedup(s: SparkSession, d: String): DataFrame = {
     // persist(): the assignment table feeds both self-join sides AND the
-    // final projection (same ReusedExchange finding as d25/d26/d27)
-    val assigned = kmeansLoop(s, d)._1.persist()
+    // final projection (same ReusedExchange finding as d25/d26/d27);
+    // registered in the harness registry so repeated programmatic calls
+    // release instead of accumulating cached assignment tables
+    val assigned = CacheRegistry.harness.add(kmeansLoop(s, d)._1.persist())
     val smallerDups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
@@ -624,9 +626,16 @@ object VectorOps {
     val methods = top10(lshCandidates(s, d), "lsh")
       .unionByName(top10(ivfCandidates(s, d), "ivf"))
       .unionByName(top10(pqCandidates(s, d), "pq"))
+    // ids10 is NULL for a (query, method) row with no candidate list (the
+    // left join missed); coalesce to an empty array BEFORE the intersect so
+    // hits is 0 under BOTH ANSI (size(null)=NULL) and legacy
+    // (size(null)=-1) semantics — the trailing coalesce alone would leave
+    // legacy mode at hits=-1 and a negative recall, diverging from the
+    // oracle's COALESCE 0
     val hits = size(array_intersect(
       slice(col("exact10"), lit(1), col("k")),
-      slice(col("ids10"), lit(1), col("k")))).cast("long")
+      slice(coalesce(col("ids10"), array().cast("array<bigint>")),
+        lit(1), col("k")))).cast("long")
     exact
       .withColumn("method", explode(array(lit("lsh"), lit("ivf"), lit("pq"))))
       .filter(!(col("method") === "pq" && col("query_id") >= 5))
@@ -643,8 +652,9 @@ object VectorOps {
 
   /** Multimodal plumbing: opaque binary payload column + typed metadata
     * (byte length, content hash) — the schema/partitioning shape for
-    * image/audio columns; decode itself is stubbed (see
-    * graft.multimodal.Multimodal).
+    * image/audio columns. Real header-level decode (image dimensions, WAV
+    * params, video container frames; corrupt input → null) lives in
+    * [[graft.multimodal.Multimodal]], proven by MultimodalSpec.
     */
   def m31BinaryMeta(s: SparkSession, d: String): DataFrame =
     documents(s, d)

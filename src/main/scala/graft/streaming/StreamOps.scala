@@ -216,12 +216,29 @@ object StreamOps {
     * reader observes either the complete partition or its absence. (A
     * `batch=N.tmp` dir INSIDE the root would be discovered as a malformed
     * partition value and corrupt the inferred `batch` column type.)
+    *
+    * SCOPE: the "never a torn partition" contract is exactly as strong as
+    * the filesystem's directory rename. That holds on the local FS, HDFS,
+    * and viewfs (atomic metadata ops) but NOT on flat-namespace object
+    * stores — S3A/GCS "rename" is a per-file copy+delete, during which a
+    * lister sees a partial partition. Those schemes are rejected here
+    * rather than silently degrading effectively-once to maybe-torn; an
+    * object-store deployment should publish via a table format whose
+    * commit is a metadata swap instead of this path.
     */
+  private val nonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
+
   private def publishPartition(spark: SparkSession, tmp: String, dst: String)
       : Unit = {
     val src = new org.apache.hadoop.fs.Path(tmp)
     val d = new org.apache.hadoop.fs.Path(dst)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (nonAtomicRenameSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"publishPartition: $scheme:// rename is copy+delete, not atomic — " +
+          "the torn-partition guarantee does not hold on this filesystem")
     if (fs.exists(d)) fs.delete(d, true)
     fs.mkdirs(d.getParent)
     if (!fs.rename(src, d))

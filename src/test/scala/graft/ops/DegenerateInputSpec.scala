@@ -100,7 +100,7 @@ class DegenerateInputSpec extends SparkSpec {
       assert(t87(id).getAs[Long]("longest_dup_span") == 20L)
       assert(!t87(id).getAs[Boolean]("keep"))
     }
-    TextOps.releaseIncrementalCaches()
+    CacheRegistry.harness.release()
     // sharding is text-independent: null text shards like any other doc
     val t88 = TextOps.t88ShuffleShard(spark, dirtyDir)
     assert(t88.count() == 7L)

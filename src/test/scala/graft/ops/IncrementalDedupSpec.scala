@@ -56,7 +56,7 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(replayed.count() == sigs2.count())
     assert(replayed.exceptAll(sigs2).count() == 0)
     assert(replayPairs.filter(col("d1") === col("d2")).count() == 0)
-    TextOps.releaseIncrementalCaches()
+    CacheRegistry.harness.release()
   }
 
   test("accumulated signatures pass through untouched (no corpus re-scan)") {

@@ -162,7 +162,7 @@ class Round7OpsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_dup_windows") == 0L)
     assert(out(3L).getAs[Long]("longest_dup_span") == 0L)
     assert(out(3L).getAs[Boolean]("keep"))
-    TextOps.releaseIncrementalCaches()
+    CacheRegistry.harness.release()
   }
 
   test("t87 corpus invariants: bounds, span/dup coupling, real hits") {
@@ -180,7 +180,7 @@ class Round7OpsSpec extends SparkSpec {
     // the corpus's near-dup families contain real cross-doc 20-token spans
     assert(df.filter(col("n_dup_windows") > 0).count() > 0)
     df.unpersist()
-    TextOps.releaseIncrementalCaches()
+    CacheRegistry.harness.release()
   }
 
   test("t88 shuffle-shard: stable permutation, contiguous ranks, balance") {
