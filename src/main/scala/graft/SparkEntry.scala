@@ -106,6 +106,7 @@ object SparkEntry {
     "t87_exact_substring" -> (TextOps.t87ExactSubstring _),
     "t88_shuffle_shard" -> (TextOps.t88ShuffleShard _),
     "d89_substring_removal" -> (TextOps.d89SubstringRemoval _),
+    "d91_incremental_cc" -> (TextOps.d91IncrementalCc _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -736,5 +737,8 @@ object SparkEntry {
     "t87_exact_substring" -> OracleGen.exactSubstring,
     "t88_shuffle_shard" -> OracleGen.shuffleShard,
     "d89_substring_removal" -> OracleGen.substringRemoval,
+    // deliberately the FULL-RECOMPUTE d46 oracle: the incremental labeling
+    // must equal one-shot connected components over all pairs (d84 pattern)
+    "d91_incremental_cc" -> OracleGen.dedupClusters,
   )
 }

@@ -1472,6 +1472,116 @@ object TextOps {
     labels
   }
 
+  /** The condensed edge list of an incremental CC step: each new edge's
+    * endpoints are mapped to their prior component label (themselves when
+    * previously unseen), and edges that land inside one prior component are
+    * dropped — they carry no new connectivity. Contracting a component to
+    * its label node preserves reachability (every member is connected
+    * through the label by definition of the prior fixpoint), so the union
+    * graph's components are exactly the components of this condensed graph.
+    * Crucially, a component NONE of whose members touches a new edge
+    * appears in no condensed edge at all — the fixpoint that follows never
+    * sees it. Factored out of [[incrementalConnectedComponents]] so the
+    * spec can assert that untouched components stay out of the loop
+    * structurally, not just by timing.
+    */
+  private[ops] def condenseEdges(priorLabels: DataFrame, newEdges: DataFrame)
+      : DataFrame = {
+    val l1 = priorLabels.select(col("doc_id").as("d1"),
+      col("component").as("c1"))
+    val l2 = priorLabels.select(col("doc_id").as("d2"),
+      col("component").as("c2"))
+    newEdges.select(col("d1"), col("d2"))
+      .join(l1, Seq("d1"), "left")
+      .join(l2, Seq("d2"), "left")
+      .select(coalesce(col("c1"), col("d1")).as("d1"),
+        coalesce(col("c2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+  }
+
+  /** Incremental connected components — the d84 pattern applied to d46's
+    * cluster labels: merge ONE BATCH of new near-dup edges into an existing
+    * labeling without re-running the fixpoint over the accumulated graph.
+    *
+    * `priorLabels` is a valid min-label fixpoint (doc_id, component) of all
+    * previously-seen edges — [[connectedComponents]]' output, or this
+    * function's own from the previous batch. `newEdges` is the batch's
+    * (d1, d2) pair list (e.g. [[incrementalMinhashDedup]]'s second result).
+    * Returns the labeling of the UNION graph, provably equal to a full
+    * recompute (IncrementalCcSpec), because:
+    *
+    *  - the condensed graph ([[condenseEdges]]) has one node per TOUCHED
+    *    prior component plus the batch's new docs; running the pointer-
+    *    jumping fixpoint over it yields, per merged component, the min over
+    *    {touched components' labels} ∪ {new doc ids} — and a prior label is
+    *    already the min of its members, so that IS the union graph's min;
+    *  - prior rows relabel through one broadcast-size map join
+    *    (old label → merged label; at most one row per touched component);
+    *    rows of untouched components miss the map and pass through
+    *    unchanged, never entering a shuffle keyed on anything but their own
+    *    label.
+    *
+    * Per-batch cost is therefore O(|batch edges| + |touched components|)
+    * for the fixpoint plus one map-side relabel pass over the label table —
+    * the accumulated EDGE set is never revisited (it isn't even an input),
+    * closing the last O(corpus)-per-batch step in the incremental story.
+    */
+  def incrementalConnectedComponents(priorLabels: DataFrame,
+      newEdges: DataFrame, reg: CacheRegistry = CacheRegistry.harness)
+      : DataFrame = {
+    // persist(): prior labels feed the two condense map joins, the relabel
+    // pass, and the new-node anti-join — four consumers of one compact
+    // (doc_id, component) table
+    val prior = priorLabels.select(col("doc_id"), col("component")).persist()
+    reg.add(prior)
+    val condensed = connectedComponents(condenseEdges(prior, newEdges), reg)
+      .persist()
+    reg.add(condensed)
+    // old label → merged label, only where the label actually changed —
+    // at most one row per touched component, broadcast-size by the
+    // short-diameter contract of near-dup graphs
+    val relabel = condensed
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("old_label"), col("component").as("new_label"))
+    val updatedPrior = prior
+      .join(broadcast(relabel), prior("component") === relabel("old_label"),
+        "left")
+      .select(prior("doc_id"),
+        coalesce(col("new_label"), prior("component")).as("component"))
+    // docs first seen in this batch: condensed nodes absent from the prior
+    // labeling (a condensed node is either a prior component label — which
+    // IS a labeled doc — or a brand-new doc)
+    val newNodes = condensed
+      .join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("component"))
+    updatedPrior.unionByName(newNodes)
+  }
+
+  /** Two-batch incremental cluster maintenance over the whole corpus,
+    * oracle-checked against the FULL-recompute SQL (the d46 oracle): the
+    * corpus splits into the same even/odd-doc_id batches as
+    * [[d84IncrementalDedup]], batch 1's pairs are labeled from scratch,
+    * batch 2's pairs merge into those labels via
+    * [[incrementalConnectedComponents]] — and the merged labeling (plus
+    * per-component sizes) must equal [[d46DedupClusters]]' one-shot result
+    * exactly. Runs the incremental-label path through the driver's
+    * correctness gate rather than only a spec.
+    */
+  def d91IncrementalCc(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val empty = minhashSignatures(docs.filter(lit(false)))
+    val (sigs1, pairs1) =
+      incrementalMinhashDedup(empty, docs.filter(col("doc_id") % 2 === 0))
+    val labels1 = connectedComponents(pairs1.select("d1", "d2"))
+    val (_, pairs2) =
+      incrementalMinhashDedup(sigs1, docs.filter(col("doc_id") % 2 === 1))
+    val labels2 =
+      incrementalConnectedComponents(labels1, pairs2.select("d1", "d2"))
+    labels2
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("component")))
+      .orderBy("doc_id")
+  }
+
   /** Unicode NFC normalization via the native `nfc_normalize` expression
     * ([[graft.expressions.NfcNormalize]] — codegen'd, no UDF boundary).
     * Web-crawled corpora carry the same visible text both composed (U+00E9)
