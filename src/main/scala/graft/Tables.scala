@@ -20,18 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and convert to a microsecond
-    * TimestampType column; the generator emits whole-microsecond values, so
-    * the truncation is lossless (verified: epoch_ns % 1000 == 0 for all rows).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so branch on the type
+    * Spark actually observes rather than assuming either:
+    *
+    *  - NANOS: Spark's vectorized reader rejects it; with
+    *    `nanosAsLong` set (below) it surfaces as LongType. Convert with
+    *    integral `div`, NOT `/`: `/` is double division, and epoch nanos
+    *    (~1.7e18) exceed double's 2^53 mantissa — the rounding shifts some
+    *    timestamps by ±1 microsecond, which flips millisecond boundaries.
+    *    The generator emits whole-microsecond values, so `div 1000` is
+    *    lossless.
+    *  - MICROS: surfaces as TIMESTAMP_NTZ; a plain cast to session-local
+    *    TimestampType is wall-clock-exact under the UTC session timezone —
+    *    the same instants DuckDB sees.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral `div`, NOT `/`: Spark's `/` is double division, and epoch
-    // nanos (~1.7e18) exceed double's 2^53 mantissa — the rounding shifts
-    // some timestamps by ±1 microsecond, which flips millisecond boundaries
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.types.LongType
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -50,8 +50,8 @@ class IncrementalCcSpec extends SparkSpec {
       edges(1L -> 2L, 10L -> 11L, 30L -> 31L))
     // the batch touches only component 1 (via doc 2) and adds new docs
     val condensed = TextOps.condenseEdges(prior, edges(2L -> 50L, 50L -> 51L))
-    val nodes = condensed.select(col("d1")).unionByName(
-      condensed.select(col("d2"))).distinct()
+    val nodes = condensed.select(col("d1").as("d")).unionByName(
+      condensed.select(col("d2").as("d"))).distinct()
       .collect().map(_.getLong(0)).toSet
     // components {10,11} and {30,31} are structurally absent — the
     // fixpoint that follows cannot iterate over them
