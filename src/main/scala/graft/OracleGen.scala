@@ -621,11 +621,16 @@ object OracleGen {
     * The 4dp rounding at every round makes the centroid trajectory
     * bit-identical across engines.
     */
-  /** The unrolled Lloyd's CTE chain (shared by [[kmeans]] and
-    * [[semanticDedup]]): emits e, c0, and per-round a-i/cg-i/c-i up to
-    * `a{KmeansIters}` — the final (vec_id, v, cid) assignment table.
+  /** The unrolled Lloyd's CTE chain (shared by [[kmeans]],
+    * [[semanticDedup]] and [[incrementalSemDedup]]): emits e (full corpus),
+    * et (the training set — `trainWhere` filters it; empty = train on
+    * everything, the v60/v83 case), c0, and per-round a-i/cg-i/c-i up to
+    * `a{KmeansIters}` — the final (vec_id, v, cid) training assignment.
+    * Init = the training set's K smallest vec_ids with cid = rank − 1,
+    * which on the full corpus (dense ids from 0) is the historical
+    * `vec_id < K, cid = vec_id` init — v60/v83 trajectories unchanged.
     */
-  private val kmeansCtes: String = {
+  private def kmeansCtes(trainWhere: String): String = {
     val k = VectorOps.KmeansK
     val iters = VectorOps.KmeansIters
     def assign(a: String, c: String): String =
@@ -640,7 +645,7 @@ object OracleGen {
                       / (sqrt(list_dot_product(e.v, e.v))
                          * sqrt(list_dot_product(c.cvec, c.cvec))) END DESC,
                c.cid) AS arn
-           FROM e, $c c) t WHERE arn = 1)"""
+           FROM et e, $c c) t WHERE arn = 1)"""
     def recompute(cg: String, c: String, a: String): String =
       s"""$cg AS (
          SELECT cid, dim, round(avg(x), 4) AS cv FROM (
@@ -655,15 +660,18 @@ object OracleGen {
        ${recompute(s"cg$i", s"c$i", s"a$i")}"""
     }.mkString(",\n       ")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid,
-                list_transform(embedding::DOUBLE[], x -> round(x, 4)) AS cvec
-              FROM embeddings WHERE vec_id < $k),
+       et AS (SELECT vec_id, v FROM e $trainWhere),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                       AS INTEGER) AS cid,
+                list_transform(v, x -> round(x, 4)) AS cvec
+              FROM (SELECT vec_id, v FROM et
+                    ORDER BY vec_id LIMIT $k) init),
        $rounds"""
   }
 
   val kmeans: String = {
     val iters = VectorOps.KmeansIters
-    s"""WITH $kmeansCtes,
+    s"""WITH ${kmeansCtes("")},
        sizes AS (SELECT cid, count(*) AS n_vecs FROM a$iters GROUP BY cid)
      SELECT g.cid, g.dim, g.cv AS centroid, s.n_vecs
      FROM cg$iters g JOIN sizes s USING (cid)
@@ -678,10 +686,48 @@ object OracleGen {
   val semanticDedup: String = {
     val iters = VectorOps.KmeansIters
     val tau = VectorOps.SemDedupThreshold
-    s"""WITH $kmeansCtes,
+    s"""WITH ${kmeansCtes("")},
        norms AS (SELECT vec_id, v, cid,
                    sqrt(list_dot_product(v, v)) AS nv
                  FROM a$iters),
+       dups AS (
+         SELECT a.vec_id, count(*) AS n_smaller_dups
+         FROM norms a JOIN norms b ON a.cid = b.cid
+           AND b.vec_id < a.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= $tau
+         GROUP BY a.vec_id)
+     SELECT n.vec_id, n.cid,
+       CAST(COALESCE(d.n_smaller_dups, 0) AS BIGINT) AS n_smaller_dups,
+       COALESCE(d.n_smaller_dups, 0) = 0 AS keeper
+     FROM norms n LEFT JOIN dups d ON d.vec_id = n.vec_id
+     ORDER BY n.vec_id"""
+  }
+
+  /** Incremental semantic dedup (d92) matching
+    * [[graft.ops.VectorOps.d92IncrementalSemDedup]] — the fixed-centroid
+    * one-shot the incremental path must equal: centroids train on the
+    * even-vec_id half only, then ALL vectors assign to those FROZEN final
+    * centroids and the v83 in-cluster min-id-wins pair search runs once.
+    */
+  val incrementalSemDedup: String = {
+    val iters = VectorOps.KmeansIters
+    val tau = VectorOps.SemDedupThreshold
+    s"""WITH ${kmeansCtes("WHERE vec_id % 2 = 0")},
+       af AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec)) = 0
+                    THEN 0.0
+                    ELSE list_dot_product(e.v, c.cvec)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) END DESC,
+               c.cid) AS arn
+           FROM e, c$iters c) t WHERE arn = 1),
+       norms AS (SELECT vec_id, v, cid,
+                   sqrt(list_dot_product(v, v)) AS nv
+                 FROM af),
        dups AS (
          SELECT a.vec_id, count(*) AS n_smaller_dups
          FROM norms a JOIN norms b ON a.cid = b.cid

@@ -107,6 +107,7 @@ object SparkEntry {
     "t88_shuffle_shard" -> (TextOps.t88ShuffleShard _),
     "d89_substring_removal" -> (TextOps.d89SubstringRemoval _),
     "d91_incremental_cc" -> (TextOps.d91IncrementalCc _),
+    "d92_incremental_semdedup" -> (VectorOps.d92IncrementalSemDedup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -740,5 +741,8 @@ object SparkEntry {
     // deliberately the FULL-RECOMPUTE d46 oracle: the incremental labeling
     // must equal one-shot connected components over all pairs (d84 pattern)
     "d91_incremental_cc" -> OracleGen.dedupClusters,
+    // the FIXED-CENTROID one-shot twin: train on evens, assign everything
+    // to the frozen centroids, one v83-style in-cluster pair search
+    "d92_incremental_semdedup" -> OracleGen.incrementalSemDedup,
   )
 }

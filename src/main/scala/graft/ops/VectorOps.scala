@@ -276,12 +276,24 @@ object VectorOps {
     * assignment — the table the last recompute aggregated — and `cg` the
     * persisted per-(cid, dim) centroid/occupancy cells.
     */
-  private def kmeansLoop(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val emb = embeddings(s, d)
+  private def kmeansLoop(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    kmeansLoopOn(s, embeddings(s, d))
+
+  /** [[kmeansLoop]] over an arbitrary training frame (vec_id, embedding, …)
+    * — the generalization that lets d92 train FROZEN centroids on batch 1
+    * only. Init = the training set's [[KmeansK]] smallest vec_ids, cid =
+    * rank − 1; on the full corpus (dense ids from 0) that is exactly the
+    * historical `vec_id < K, cid = vec_id` init, so v60/v83 trajectories
+    * are unchanged.
+    */
+  private[ops] def kmeansLoopOn(s: SparkSession, emb: DataFrame)
+      : (DataFrame, DataFrame) = {
     val vd = col("embedding").cast("array<double>")
-    var cent = emb.filter(col("vec_id") < KmeansK)
-      .select(col("vec_id").cast("int").as("cid"),
-        transform(vd, x => round(x, 4)).as("cvec"))
+    // limit(K) first: the rank window then orders K rows, not the corpus
+    var cent = emb.orderBy("vec_id").limit(KmeansK)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select(col("cid"), transform(vd, x => round(x, 4)).as("cvec"))
       .persist()
     // cg = the per-(cid, dim) recompute table of the current round, persisted
     // (512 cells — the only thing worth caching; the corpus-sized assignment
@@ -312,10 +324,7 @@ object VectorOps {
         .agg(round(avg(col("x").cast("double")), 4).as("cv"),
           count(lit(1)).as("n_vecs"))
         .persist()
-      cent = cg
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-          x => x.getField("cv")).as("cvec"))
+      cent = codebookOf(cg)
       lastAssigned = assigned
     }
     (lastAssigned, cg)
@@ -357,6 +366,127 @@ object VectorOps {
       .groupBy(col("a.vec_id").as("vec_id"))
       .agg(count(lit(1)).as("n_smaller_dups"))
     assigned.join(smallerDups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"))
+      .withColumn("keeper", col("n_smaller_dups") === 0L)
+      .orderBy("vec_id")
+  }
+
+  /** (cid, cvec) codebook from a per-(cid, dim) centroid cell table — the
+    * same collect_list/array_sort reshape [[kmeansLoopOn]] runs per round,
+    * exposed so a caller can freeze the loop's final cells as state.
+    */
+  def codebookOf(cg: DataFrame): DataFrame =
+    cg.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+
+  /** Assign embeddings to a FROZEN broadcast codebook: argmax cosine with
+    * cid tiebreak, zero-norm similarity pinned to 0.0 — the exact
+    * assignment rule of one [[kmeansLoopOn]] round, without the recompute.
+    * min_by over a (−sim, cid) ordering struct, so the shuffle moves one
+    * compact struct per vector (map-side partial aggregation), never a
+    * corpus×k window. Output: (vec_id, embedding, cid).
+    */
+  def assignToCentroids(s: SparkSession, emb: DataFrame, codebook: DataFrame)
+      : DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    val denom = sqrt(planeDot(s, vd, vd)) *
+      sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec")))
+    val asim = when(denom === 0d, lit(0d))
+      .otherwise(planeDot(s, col("embedding"), col("cvec")) / denom)
+    emb.crossJoin(broadcast(codebook)).withColumn("asim", asim)
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("embedding"), col("cid")),
+        struct(-col("asim"), col("cid"))).as("t"))
+      .select(col("vec_id"), col("t.embedding").as("embedding"),
+        col("t.cid").as("cid"))
+  }
+
+  /** Incremental semantic dedup — the d84 pattern applied to the third
+    * dedup modality (exact ✓ d84 minhash ✓ semantic): deduplicating batch
+    * N+1 against the accumulated corpus at FIXED centroids costs O(batch),
+    * not O(corpus).
+    *
+    * State is the accumulated assignment table (vec_id, embedding, cid) —
+    * the learned-cluster analog of d84's signature table — plus the frozen
+    * `codebook` the clusters were carved with (SemDeDup's contract: the
+    * codebook is trained once on an early sample and held fixed so cluster
+    * ids stay comparable across batches; retraining is a corpus-wide
+    * re-index, not an ingest step).
+    *
+    *  - the batch assigns against the broadcast codebook — O(|batch| × k),
+    *    no shuffle of the accumulated state;
+    *  - pair search probes ONLY the batch's own clusters: the new-vs-prior
+    *    join is keyed on cid, so at scale (state stored bucketed by cid,
+    *    the d84 band-table layout) untouched clusters never move; within
+    *    each touched cluster the probe cost is |batch ∩ cluster| ×
+    *    |cluster| cosines, the same in-cluster bound as the one-shot v83;
+    *  - emitted pairs are exactly the fixed-centroid full-recompute pairs
+    *    involving at least one new vector (earlier batches emitted the
+    *    rest): new-vs-prior plus the batch's own self-pairs, each unordered
+    *    pair once, normalized (d1 = smaller id, d2 = larger).
+    *
+    * REPLAY-SAFE like d84: the accumulated side is anti-joined on the
+    * batch's own vec_ids before pairing and union, so re-running a batch
+    * whose assignments already reached the state produces identical output.
+    *
+    * Returns (updatedAssignments, newPairs); callers persist the former as
+    * the next batch's `priorAssigned`. IncrementalSemDedupSpec proves
+    * multi-batch == one-shot at fixed centroids.
+    */
+  def incrementalSemanticDedup(s: SparkSession, codebook: DataFrame,
+      priorAssigned: DataFrame, batch: DataFrame,
+      reg: CacheRegistry = CacheRegistry.harness)
+      : (DataFrame, DataFrame) = {
+    // persist(): the batch assignment feeds the anti-join probe, two pair-
+    // join sides, and the state union
+    val newAssigned = assignToCentroids(s, batch, codebook).persist()
+    reg.add(newAssigned)
+    val prior = priorAssigned
+      .join(newAssigned.select("vec_id"), Seq("vec_id"), "left_anti")
+    val crossPairs = newAssigned.as("a")
+      .join(prior.as("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .filter(cosine(s, col("a.embedding"), col("b.embedding"))
+        >= SemDedupThreshold)
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("d1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("d2"))
+    val selfPairs = newAssigned.as("a")
+      .join(newAssigned.as("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(s, col("a.embedding"), col("b.embedding"))
+        >= SemDedupThreshold)
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+    (prior.unionByName(newAssigned), crossPairs.unionByName(selfPairs))
+  }
+
+  /** Two-batch incremental semantic dedup over the whole corpus — the d92
+    * query, oracle-checked against a fixed-centroid one-shot SQL twin:
+    * centroids train on the even-vec_id half only (the frozen codebook),
+    * batch 1 = evens, batch 2 = odds probing batch 1's accumulated
+    * assignments, and the union of the two batches' pair sets feeds the
+    * same min-id-wins keeper rule as v83. Equals assigning ALL vectors to
+    * the frozen centroids and running the v83 in-cluster pair search in one
+    * shot — the incremental path through the driver's correctness gate.
+    */
+  def d92IncrementalSemDedup(s: SparkSession, d: String): DataFrame = {
+    // persist(): both batch filters and the k-row init scan read this once
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d).select(col("vec_id"), col("embedding")).persist())
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val codebook = CacheRegistry.harness.add(
+      codebookOf(kmeansLoopOn(s, evens)._2).persist())
+    val empty = assignToCentroids(s, emb.filter(lit(false)), codebook)
+    val (state1, pairs1) = incrementalSemanticDedup(s, codebook, empty, evens)
+    val (state2, pairs2) = incrementalSemanticDedup(s, codebook, state1, odds)
+    // n_smaller_dups(x) = symmetric pairs whose larger end is x — pairs are
+    // normalized (d1 < d2), so one count by d2 is the v83 smaller-dup count
+    val dups = pairs1.unionByName(pairs2)
+      .groupBy(col("d2").as("vec_id"))
+      .agg(count(lit(1)).as("n_smaller_dups"))
+    state2.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"))
       .withColumn("keeper", col("n_smaller_dups") === 0L)
