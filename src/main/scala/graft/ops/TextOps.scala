@@ -455,32 +455,43 @@ object TextOps {
     * every line was seen earlier come back empty — exactly how C4 shrinks
     * boilerplate-only pages to nothing.
     *
-    * Scale: one shuffle partitioned by the line value (first-occurrence
-    * choice via row_number over (doc_id, pos) — at 100 TB the same plan
-    * holds with md5(line) as the shuffle key to bound key width; the
-    * grouping is identical), then one shuffle back on doc_id for the
-    * ordered rebuild. Line volume crosses each exchange once; nothing is
-    * quadratic in corpus size, and hot lines (the boilerplate case) are
-    * bounded per-key by their occurrence count, which AQE skew-split
-    * handles like any other hot aggregation key.
+    * Scale: one shuffle partitioned by the line key (first-occurrence
+    * choice via row_number over (doc_id, pos)), then one shuffle back on
+    * doc_id for the ordered rebuild. Line volume crosses each exchange
+    * once; nothing is quadratic in corpus size, and hot lines (the
+    * boilerplate case) are bounded per-key by their occurrence count,
+    * which AQE skew-split handles like any other hot aggregation key.
+    *
+    * `lineKey` is the shuffle key: None groups by the raw line value (the
+    * oracle-parity default); Some(md5 _) is the 100 TB form — a fixed
+    * 32-char key instead of an unbounded line, with the same grouping up
+    * to md5 collisions (2^-64-scale odds corpus-wide; ScaleKeySpec proves
+    * output identity on the test corpus).
     */
-  def d85LineDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def lineDedup(docs: DataFrame, lineKey: Option[Column => Column] = None,
+      reg: CacheRegistry = CacheRegistry.harness): DataFrame = {
     // persist(): the lined table feeds BOTH the dedup branch and the
     // n_lines side of the final join — without it the documents scan and
     // the words/chunk transform execute twice (ReusedExchange does not
     // bridge join branches; same finding as d25/d26/d27). Registered in the
-    // harness registry (this is a uniform-signature query entry point —
+    // caller's registry (query entry points use the harness registry —
     // Bench/Verify drain it after the query's action).
     val lined = docs.select(col("doc_id"),
       linedLines(col("doc_id"), col("text")).as("lns"))
       .persist()
-    CacheRegistry.harness.add(lined)
+    reg.add(lined)
     val lines = lined.select(col("doc_id"),
       posexplode(col("lns")).as(Seq("pos", "line")))
-    val firstOcc = Window.partitionBy(col("line"))
+    // the raw path partitions on the line VALUE itself (no extra column,
+    // no wider exchange); the keyed path adds the narrow key column and
+    // partitions on that
+    val (keyed, key) = lineKey match {
+      case None    => (lines, "line")
+      case Some(f) => (lines.withColumn("lk", f(col("line"))), "lk")
+    }
+    val firstOcc = Window.partitionBy(col(key))
       .orderBy(col("doc_id"), col("pos"))
-    val kept = lines.withColumn("rk", row_number().over(firstOcc))
+    val kept = keyed.withColumn("rk", row_number().over(firstOcc))
       .filter(col("rk") === 1)
     val rebuilt = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
@@ -494,6 +505,12 @@ object TextOps {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
       .orderBy("doc_id")
   }
+
+  /** [[lineDedup]] over the documents table — the d85 query (raw line key
+    * for byte-exact oracle parity).
+    */
+  def d85LineDedup(s: SparkSession, d: String): DataFrame =
+    lineDedup(documents(s, d).select(col("doc_id"), col("text")))
 
   /** C4 line/page heuristic rules (Raffel et al. 2020 §2.2) over the same
     * lined payload as [[d85LineDedup]]: a line is RETAINED when it ends in
@@ -559,9 +576,10 @@ object TextOps {
     * a window is cross-document iff min ≠ max, so no collect_set that a
     * boilerplate window with 1e8 occurrences would blow up — then probes
     * the duplicated set with a semi-join over the SAME exchange. At 100 TB
-    * the identical plan runs with xxhash64(window) as the shuffle key
-    * (8 bytes per window instead of ~6·k chars); raw text is kept here for
-    * byte-exact oracle parity, like [[d85LineDedup]]'s md5(line) note.
+    * pass `windowKey = Some(xxhash64(_))`: the exchanges then carry an
+    * 8-byte key per window instead of ~6·k chars (ScaleKeySpec proves the
+    * keyed output identical on the test corpus); the query default stays
+    * raw text for byte-exact oracle parity, like [[lineDedup]]'s md5 note.
     */
   /** The stride-1 [[ExactSubstrK]]-token window table over a tokenized
     * (doc_id, ws) frame — one row per (doc_id, pos, wtext), persisted and
@@ -586,22 +604,42 @@ object TextOps {
     win
   }
 
-  /** Cross-document duplicated windows of a window table: a window text is
-    * duplicated iff it appears in more than one document — min/max doc_id
-    * partial aggregation, deliberately NOT collect_set (a 1e8-occurrence
-    * boilerplate window must stay O(1) agg state).
+  /** Cross-document duplicated windows of a window table, grouped by the
+    * column `key`: a window is duplicated iff it appears in more than one
+    * document — min/max doc_id partial aggregation, deliberately NOT
+    * collect_set (a 1e8-occurrence boilerplate window must stay O(1) agg
+    * state).
     */
-  private def dupWindows(win: DataFrame): DataFrame =
-    win.groupBy("wtext")
+  private def dupWindows(win: DataFrame, key: String): DataFrame =
+    win.groupBy(key)
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") =!= col("mx")).select("wtext")
+      .filter(col("mn") =!= col("mx")).select(key)
+
+  /** The window table restricted to its shuffle-relevant columns: the raw
+    * path keys exchanges on the window TEXT itself (oracle-parity default,
+    * no extra column); `Some(f)` — xxhash64 in production — keys them on
+    * f(wtext), an 8-byte key instead of ~6·k chars, with identical
+    * grouping up to hash collisions (ScaleKeySpec proves output identity
+    * on the test corpus). Returns the projected frame and the key column
+    * name; `wtext` is dropped from the keyed frame so the narrow key is
+    * the ONLY wide-ish thing crossing the exchanges.
+    */
+  private def windowKeyed(win: DataFrame,
+      windowKey: Option[Column => Column]): (DataFrame, String) =
+    windowKey match {
+      case None => (win.select(col("doc_id"), col("pos"), col("wtext")),
+        "wtext")
+      case Some(f) => (win.select(col("doc_id"), col("pos"),
+        f(col("wtext")).as("wk")), "wk")
+    }
 
   def exactSubstringStats(docs: DataFrame,
-      reg: CacheRegistry = CacheRegistry.harness): DataFrame = {
+      reg: CacheRegistry = CacheRegistry.harness,
+      windowKey: Option[Column => Column] = None): DataFrame = {
     val k = ExactSubstrK
     val based = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val win = substrWindowTable(based, reg)
-    val dupPos = win.join(dupWindows(win), Seq("wtext"), "left_semi")
+    val (win, key) = windowKeyed(substrWindowTable(based, reg), windowKey)
+    val dupPos = win.join(dupWindows(win, key), Seq(key), "left_semi")
     val runs = dupPos.withColumn("g",
       col("pos") - row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")))
@@ -655,19 +693,21 @@ object TextOps {
     *    never n_removed_windows × k;
     *  - the rebuild is one groupBy(doc_id) producing a per-doc covered-
     *    position array, then a map-side HOF filter over the token array —
-    *    the d85 ordered-rebuild shape. At 100 TB the wtext exchanges run
-    *    with xxhash64(window) keys ([[exactSubstringStats]]'s hashed
-    *    variant); raw text kept here for byte-exact oracle parity.
+    *    the d85 ordered-rebuild shape. At 100 TB pass
+    *    `windowKey = Some(xxhash64(_))` so the window exchanges carry
+    *    8-byte keys (ScaleKeySpec proves output identity); the query
+    *    default stays raw text for byte-exact oracle parity.
     */
   def substringRemoval(docs: DataFrame,
-      reg: CacheRegistry = CacheRegistry.harness): DataFrame = {
+      reg: CacheRegistry = CacheRegistry.harness,
+      windowKey: Option[Column => Column] = None): DataFrame = {
     val k = ExactSubstrK
     val based = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val win = substrWindowTable(based, reg)
-    val dupPos = win.join(dupWindows(win), Seq("wtext"), "left_semi")
-    val firstOcc = dupPos.groupBy("wtext")
+    val (win, key) = windowKeyed(substrWindowTable(based, reg), windowKey)
+    val dupPos = win.join(dupWindows(win, key), Seq(key), "left_semi")
+    val firstOcc = dupPos.groupBy(key)
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val removed = dupPos.join(firstOcc, Seq("wtext"))
+    val removed = dupPos.join(firstOcc, Seq(key))
       .filter(!(col("doc_id") === col("f.doc_id") &&
         col("pos") === col("f.pos")))
       .select("doc_id", "pos")
