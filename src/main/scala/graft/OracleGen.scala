@@ -366,6 +366,47 @@ object OracleGen {
            ORDER BY order_key, doc_id) AS BIGINT) AS ord
        FROM b ORDER BY shard, ord"""
 
+  /** URL canonicalization + first-per-canonical-URL dedup (d93) matching
+    * [[graft.ops.TextOps.d93UrlDedup]] — the same deterministic synthetic
+    * URL build and the same ordered regexp chain. DuckDB's regexp_replace
+    * is first-match-only by default, Spark's replaces all; every pattern
+    * here matches at most once per URL by construction, and the 'g' flag
+    * is passed anyway so the engines agree on arbitrary input.
+    */
+  val urlDedup: String =
+    """WITH u AS (
+         SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+           (CASE WHEN doc_id % 17 = 0 THEN upper(source) ELSE source END) ||
+           '.example.com/a/' || CAST(doc_id % 50 AS VARCHAR) ||
+           (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 13 = 0 THEN '?page=2' ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN
+              (CASE WHEN doc_id % 13 = 0 THEN '&utm_source=feed'
+                    ELSE '?utm_source=feed' END)
+            ELSE '' END) ||
+           (CASE WHEN doc_id % 11 = 0 THEN '#section-3' ELSE '' END) AS url
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(lower(url),
+             '^https?://', '', 'g'),
+             '^www\.', '', 'g'),
+             '#.*$', '', 'g'),
+             '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+             '[?&]+$', '', 'g'),
+             '/\?', '?', 'g'),
+             '/$', '', 'g') AS canon_url
+         FROM u),
+       g AS (SELECT canon_url, min(doc_id) AS keeper_id,
+               count(*) AS n_docs
+             FROM c GROUP BY canon_url)
+     SELECT c.doc_id, c.canon_url, g.n_docs,
+       c.doc_id = g.keeper_id AS keeper
+     FROM c JOIN g USING (canon_url) ORDER BY c.doc_id"""
+
   /** Line-level Gopher rules (t81) over the deterministic doc_id-derived
     * multi-line payload matching [[graft.ops.TextOps.t81LineRules]] (the
     * corpus itself is single-line prose, so — like t48's PII suffix — the

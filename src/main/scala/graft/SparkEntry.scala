@@ -108,6 +108,7 @@ object SparkEntry {
     "d89_substring_removal" -> (TextOps.d89SubstringRemoval _),
     "d91_incremental_cc" -> (TextOps.d91IncrementalCc _),
     "d92_incremental_semdedup" -> (VectorOps.d92IncrementalSemDedup _),
+    "d93_url_dedup" -> (TextOps.d93UrlDedup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -744,5 +745,6 @@ object SparkEntry {
     // the FIXED-CENTROID one-shot twin: train on evens, assign everything
     // to the frozen centroids, one v83-style in-cluster pair search
     "d92_incremental_semdedup" -> OracleGen.incrementalSemDedup,
+    "d93_url_dedup" -> OracleGen.urlDedup,
   )
 }

@@ -782,6 +782,79 @@ object TextOps {
       .orderBy("shard", "ord")
   }
 
+  /** Deterministic synthetic URL per document. The corpus has no URL
+    * column, so one is derived from (source, doc_id) carrying every messy
+    * form [[canonicalizeUrl]] must handle — scheme variants, optional
+    * `www.`, mixed-case host, trailing slash, a MEANINGFUL query param
+    * (`page=2`, which canonicalization must KEEP), a tracking param
+    * (`utm_source`, which it must DROP, in both `?`-first and `&`-chained
+    * positions), and a fragment. Docs sharing (source, doc_id mod 50)
+    * canonicalize to the same URL — the duplicate generator.
+    */
+  private def syntheticUrl(docId: Column, source: Column): Column = concat(
+    when(docId % 2 === 0, lit("https://")).otherwise(lit("http://")),
+    when(docId % 3 === 0, lit("www.")).otherwise(lit("")),
+    when(docId % 17 === 0, upper(source)).otherwise(source),
+    lit(".example.com/a/"), (docId % 50).cast("string"),
+    when(docId % 7 === 0, lit("/")).otherwise(lit("")),
+    when(docId % 13 === 0, lit("?page=2")).otherwise(lit("")),
+    when(docId % 5 === 0,
+      when(docId % 13 === 0, lit("&utm_source=feed"))
+        .otherwise(lit("?utm_source=feed"))).otherwise(lit("")),
+    when(docId % 11 === 0, lit("#section-3")).otherwise(lit("")))
+
+  /** URL canonicalization — the normalization C4/CC-derived corpora apply
+    * BEFORE any content pass (two crawls of the same page differ by
+    * scheme, `www.`, tracking params, fragments and trailing slashes far
+    * more often than by content). Rules, applied in order: lowercase;
+    * strip `http(s)://`; strip leading `www.`; strip the fragment; drop
+    * tracking params (`utm_*`, `fbclid`, `gclid`) but KEEP meaningful
+    * ones; strip dangling `?`/`&`; collapse `/?` to `?`; strip the
+    * trailing slash. Pure codegen'd regexp chain — map-side, no UDF, no
+    * shuffle; the DuckDB oracle runs the same chain.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val steps = Seq(
+      "^https?://" -> "",
+      "^www\\." -> "",
+      "#.*$" -> "",
+      "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?" -> "",
+      "[?&]+$" -> "",
+      "/\\?" -> "?",
+      "/$" -> "")
+    steps.foldLeft(lower(u)) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+  }
+
+  /** URL-level first-per-canonical-URL dedup — the d93 query and the one
+    * dedup granularity above line/passage/document: C4-style corpora drop
+    * repeated fetches of the same canonical URL before any content
+    * comparison runs. Per doc: its canonical URL, how many docs share it,
+    * and the min-doc_id-wins keeper verdict (the d24 convention).
+    *
+    * Scale: URL synthesis + canonicalization are map-side; the group table
+    * is one partial-aggregable groupBy on canon_url, and the verdict join
+    * re-uses the same canon_url exchange — two shuffles total, both keyed
+    * on the canonical URL, nothing quadratic and no window over unbounded
+    * URL groups.
+    */
+  def d93UrlDedup(s: SparkSession, d: String): DataFrame = {
+    // persist(): the canonicalized table feeds the group aggregation and
+    // the verdict join's probe side
+    val base = CacheRegistry.harness.add(
+      documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("url", syntheticUrl(col("doc_id"), col("source")))
+        .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
+        .persist())
+    val groups = base.groupBy("canon_url")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+    base.join(groups, Seq("canon_url"))
+      .select(col("doc_id"), col("canon_url"), col("n_docs"),
+        (col("doc_id") === col("keeper_id")).as("keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix
     * table misses any pair whose differing bits are all in the high half and
     * its occupancy grows ∝ n/65536; four rotations (0/8/16/24 bits) cover
