@@ -435,16 +435,19 @@ object VectorOps {
     * the next batch's `priorAssigned`. IncrementalSemDedupSpec proves
     * multi-batch == one-shot at fixed centroids.
     */
-  def incrementalSemanticDedup(s: SparkSession, codebook: DataFrame,
-      priorAssigned: DataFrame, batch: DataFrame,
-      reg: CacheRegistry = CacheRegistry.harness)
-      : (DataFrame, DataFrame) = {
-    // persist(): the batch assignment feeds the anti-join probe, two pair-
-    // join sides, and the state union
-    val newAssigned = assignToCentroids(s, batch, codebook).persist()
-    reg.add(newAssigned)
-    val prior = priorAssigned
-      .join(newAssigned.select("vec_id"), Seq("vec_id"), "left_anti")
+  /** Above-threshold same-cluster pairs of one incremental step over two
+    * ASSIGNMENT tables (stored (vec_id, embedding, cid) rows — cids come
+    * from storage, never re-derived): new-vs-prior via the cid-keyed probe
+    * join plus new-vs-new via the batch's own self-join, each unordered
+    * pair once, normalized (d1 = smaller id, d2 = larger). `prior` must
+    * not contain the batch's own vec_ids — the `=!=` guard makes a
+    * violated disjointness contract degrade to missing cross pairs rather
+    * than corrupt self-pairs (the [[graft.ops.TextOps]] pairsFromBands
+    * convention). Shared by the batch API and the streaming sink so the
+    * two can never drift apart.
+    */
+  def semanticPairs(s: SparkSession, prior: DataFrame, newAssigned: DataFrame)
+      : DataFrame = {
     val crossPairs = newAssigned.as("a")
       .join(prior.as("b"), col("a.cid") === col("b.cid") &&
         col("a.vec_id") =!= col("b.vec_id"))
@@ -458,7 +461,31 @@ object VectorOps {
       .filter(cosine(s, col("a.embedding"), col("b.embedding"))
         >= SemDedupThreshold)
       .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
-    (prior.unionByName(newAssigned), crossPairs.unionByName(selfPairs))
+    crossPairs.unionByName(selfPairs)
+  }
+
+  /** Train the frozen codebook on a (vec_id, embedding) sample — the
+    * offline step of the incremental/streaming semantic dedup story
+    * ([[incrementalSemanticDedup]], `StreamOps.semanticDedupStream`): run
+    * the shared Lloyd's loop once on an early representative sample,
+    * persist the returned (cid, cvec) table, and every later batch assigns
+    * against it unchanged (retraining is a corpus re-index, not an ingest
+    * step).
+    */
+  def trainCodebook(s: SparkSession, emb: DataFrame): DataFrame =
+    codebookOf(kmeansLoopOn(s, emb)._2)
+
+  def incrementalSemanticDedup(s: SparkSession, codebook: DataFrame,
+      priorAssigned: DataFrame, batch: DataFrame,
+      reg: CacheRegistry = CacheRegistry.harness)
+      : (DataFrame, DataFrame) = {
+    // persist(): the batch assignment feeds the anti-join probe, two pair-
+    // join sides, and the state union
+    val newAssigned = assignToCentroids(s, batch, codebook).persist()
+    reg.add(newAssigned)
+    val prior = priorAssigned
+      .join(newAssigned.select("vec_id"), Seq("vec_id"), "left_anti")
+    (prior.unionByName(newAssigned), semanticPairs(s, prior, newAssigned))
   }
 
   /** Two-batch incremental semantic dedup over the whole corpus — the d92

@@ -208,6 +208,61 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming incremental SEMANTIC dedup — [[incrementalDedupStream]]'s
+    * state layout applied to the third dedup modality, completing
+    * batch+streaming parity for the whole family (exact
+    * [[dedupStream]] ✓, minhash [[incrementalDedupStream]] ✓, semantic
+    * here). The codebook at `codebookPath` is the FROZEN k-means
+    * centroid table ([[graft.ops.VectorOps.trainCodebook]] over an early
+    * representative sample, persisted once, never rewritten by the
+    * stream — the SemDeDup contract that keeps cluster ids comparable
+    * across the stream's lifetime).
+    *
+    * Per micro-batch: assign the batch's (vec_id, embedding) rows against
+    * the broadcast codebook (O(batch × k), no shuffle of accumulated
+    * state), publish them as this batch's own `batch=N` assignment
+    * partition, then probe the PRIOR partitions for same-cluster
+    * above-threshold pairs — stored cids are read back, never re-derived,
+    * and the pair join is keyed on cid so untouched clusters never move.
+    * State write is O(batch); the accumulated corpus is read for the
+    * probe join but never rewritten.
+    *
+    * Effectively-once exactly like the minhash sink: deterministic
+    * `batch=id` partitions staged in sibling `.tmp` dirs and published
+    * with one atomic rename ([[publishPartition]] — non-atomic-rename
+    * schemes rejected), probe side partition-prunes `batch=id` away, so a
+    * foreachBatch replay reproduces identical state and pairs. Input
+    * batches must carry disjoint vec_ids (the batch API's contract; a
+    * re-ingested vec_id degrades to missing cross pairs, not corrupt
+    * self-pairs — see [[graft.ops.VectorOps.semanticPairs]]).
+    *
+    * Layout: `statePath/batch=N/` = (vec_id, embedding, cid) assignment
+    * partition of micro-batch N; `statePath.pairs/batch=N/` = pairs
+    * emitted by micro-batch N. Readers of the full accumulated
+    * assignment state read `statePath` as one partitioned parquet table.
+    * Returns the started query (caller stops it).
+    */
+  def semanticDedupStream(spark: SparkSession, emb: DataFrame,
+      codebookPath: String, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val codebook = spark.read.parquet(codebookPath)
+        graft.ops.VectorOps.assignToCentroids(spark, batch.toDF(), codebook)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+        val all = spark.read.parquet(statePath)
+        val mine = all.filter(col("batch") === id).drop("batch")
+        val prior = all.filter(col("batch") =!= id).drop("batch")
+        graft.ops.VectorOps.semanticPairs(spark, prior, mine)
+          .write.mode("overwrite").parquet(s"$statePath.pairs.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.pairs.tmp/batch=$id",
+          s"$statePath.pairs/batch=$id")
+      }
+      .start()
+
   /** Atomically publish a completed batch-partition directory staged at
     * `tmp` to its final location `dst` inside a partitioned table root:
     * delete a stale `dst` (a replayed batch), then one FileSystem rename.

@@ -151,6 +151,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.read.parquet(state).count() == fullSigs.count())
   }
 
+  test("semantic dedup stream accumulates assignments and reproduces the " +
+      "fixed-centroid one-shot pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("semdedup").toString
+    val state = s"$dir/assign"
+    val codebookPath = s"$dir/codebook"
+    val corpus = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val half = corpus.map(_._1).sorted.apply(corpus.length / 2)
+    // offline step: train the frozen codebook on the early half, persist
+    graft.ops.VectorOps.trainCodebook(s,
+        corpus.filter(_._1 < half).toSeq.toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(codebookPath)
+    val (b1, b2) = corpus.partition(_._1 < half)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val emb = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.semanticDedupStream(s, emb, codebookPath, state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.read.parquet(s"$state.pairs")
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-shot at the SAME frozen codebook: assign everything, one pair
+    // search over the whole assignment table (empty prior side)
+    val codebook = s.read.parquet(codebookPath)
+    val allAssigned = graft.ops.VectorOps.assignToCentroids(s,
+      corpus.toSeq.toDF("vec_id", "embedding"), codebook)
+    val expected = graft.ops.VectorOps.semanticPairs(s,
+        allAssigned.filter(lit(false)), allAssigned)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+    // the published state carries every vector's stored assignment, and
+    // stored cids agree with a fresh assignment against the codebook
+    val stateRows = s.read.parquet(state).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val freshRows = allAssigned.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stateRows == freshRows)
+    graft.ops.CacheRegistry.harness.release()
+  }
+
   test("stream-static decontamination flags docs overlapping the eval set") {
     val s = spark
     import s.implicits._
