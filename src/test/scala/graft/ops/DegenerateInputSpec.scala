@@ -107,4 +107,39 @@ class DegenerateInputSpec extends SparkSpec {
     assert(t88.filter(col("shard").isNull || col("ord").isNull)
       .count() == 0)
   }
+
+  test("substring removal handles a FULLY-covered doc and degenerate texts") {
+    // docs 6 and 7 are the same exact 20-word text: doc 6 is the corpus
+    // first occurrence and keeps every token; doc 7's single window is
+    // removed, covering ALL its positions — the array_except rebuild's
+    // everything-removed path (a long fully-duplicated doc is d89's
+    // designed worst case)
+    val d89 = TextOps.d89SubstringRemoval(spark, dirtyDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(d89.size == 7)
+    assert(d89(6L).getAs[Long]("n_removed") == 0L)
+    assert(d89(6L).getAs[String]("text_kept").nonEmpty)
+    assert(d89(7L).getAs[Long]("n_removed") == 20L)
+    assert(d89(7L).getAs[String]("text_kept") == "")
+    // null/empty/short docs: no windows, nothing removed, pass through
+    for (id <- 1L to 5L)
+      assert(d89(id).getAs[Long]("n_removed") == 0L, s"doc $id")
+    CacheRegistry.harness.release()
+  }
+
+  test("url and semantic dedup survive the dirty corpus") {
+    // d93 reads only (doc_id, source): null texts are irrelevant, every
+    // doc labels with a canonical URL and exactly one keeper per group
+    val d93 = TextOps.d93UrlDedup(spark, dirtyDir)
+    assert(d93.count() == 7L)
+    assert(d93.filter(col("canon_url").isNull).count() == 0)
+    CacheRegistry.harness.release()
+    // d92 on two vectors, one of them all-zero: the zero vector gets the
+    // pinned similarity-0 assignment and can never pair (cosine with a
+    // zero norm is not >= the floor); no throw, both vectors labeled
+    val d92 = VectorOps.d92IncrementalSemDedup(spark, dirtyDir).collect()
+    assert(d92.length == 2)
+    assert(d92.forall(_.getAs[Boolean]("keeper")))
+    CacheRegistry.harness.release()
+  }
 }
