@@ -407,6 +407,36 @@ object OracleGen {
        c.doc_id = g.keeper_id AS keeper
      FROM c JOIN g USING (canon_url) ORDER BY c.doc_id"""
 
+  /** CCNet-style unigram-LM quality bucketing (t94) matching
+    * [[graft.ops.TextOps.t94PerplexityBuckets]]: integer-quantized token
+    * information averaged per doc, tertile cut via quantile_cont (the q32
+    * percentile parity). `//` is DuckDB's floor integer division = Spark's
+    * `div` on positive operands; the 1/3-2/3 literals are the shortest
+    * double representations both engines parse to the identical double.
+    */
+  val perplexityBuckets: String =
+    """WITH base AS (
+         SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\s+') AS ws
+         FROM documents),
+       toks AS (SELECT doc_id, unnest(ws) AS w FROM base),
+       counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+       n AS (SELECT sum(c) AS n_total FROM counts),
+       scored AS (
+         SELECT doc_id, count(*) AS n_tokens,
+           floor(avg((n.n_total * 100) // c) * 1e4) / 1e4 AS lm_score
+         FROM toks JOIN counts USING (w) CROSS JOIN n
+         GROUP BY doc_id),
+       th AS (SELECT
+           quantile_cont(lm_score, 0.3333333333333333) AS t1,
+           quantile_cont(lm_score, 0.6666666666666666) AS t2
+         FROM scored)
+     SELECT s.doc_id, s.n_tokens, s.lm_score,
+       CASE WHEN s.lm_score <= th.t1 THEN 'head'
+            WHEN s.lm_score <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+     FROM scored s CROSS JOIN th ORDER BY s.doc_id"""
+
   /** Line-level Gopher rules (t81) over the deterministic doc_id-derived
     * multi-line payload matching [[graft.ops.TextOps.t81LineRules]] (the
     * corpus itself is single-line prose, so — like t48's PII suffix — the

@@ -109,6 +109,7 @@ object SparkEntry {
     "d91_incremental_cc" -> (TextOps.d91IncrementalCc _),
     "d92_incremental_semdedup" -> (VectorOps.d92IncrementalSemDedup _),
     "d93_url_dedup" -> (TextOps.d93UrlDedup _),
+    "t94_perplexity_buckets" -> (TextOps.t94PerplexityBuckets _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -746,5 +747,6 @@ object SparkEntry {
     // to the frozen centroids, one v83-style in-cluster pair search
     "d92_incremental_semdedup" -> OracleGen.incrementalSemDedup,
     "d93_url_dedup" -> OracleGen.urlDedup,
+    "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
   )
 }

@@ -855,6 +855,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM quality bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    * the head/middle/tail cut): score every document by the average
+    * rarity of its tokens under the corpus's OWN unigram model, then
+    * split the corpus at the score tertiles — `head` (most-fluent third,
+    * what CCNet keeps for LM training), `middle`, `tail`. CCNet scores
+    * with a KenLM 5-gram; the engine-exact stand-in is the unigram
+    * information score info_q(w) = (N·100) div c(w) — the t71 idf_q
+    * convention: monotone in 1/p(w), integer arithmetic only, so no
+    * cross-engine float-log drift — averaged per doc and floor-truncated
+    * to 4 decimals (the repo's int/int-rational convention). Tertile
+    * thresholds via exact `percentile` (the q32 quantile_cont parity),
+    * with 1/3 and 2/3 written as their shortest-repr double literals so
+    * both engines parse the identical double.
+    *
+    * Scale: one vocab-sized partial-aggregable count, one one-row total,
+    * one scoring join keyed on the token (broadcast when the vocab fits —
+    * AQE decides; at web scale this is the standard LM-scoring shuffle),
+    * one partial-aggregable per-doc average, and a one-row threshold
+    * broadcast. Nothing quadratic; the token table crosses each exchange
+    * once.
+    */
+  def t94PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    // persist(): the token table feeds the vocab count AND the scoring
+    // join's probe side from one tokenize+explode pass
+    val toks = CacheRegistry.harness.add(
+      documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .persist())
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val scored = toks.join(counts, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("info_q", expr("(n_total * 100) div c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg(col("info_q")) * lit(1e4)) / lit(1e4)).as("lm_score"))
+    val th = scored.agg(
+      expr("percentile(lm_score, 0.3333333333333333D)").as("t1"),
+      expr("percentile(lm_score, 0.6666666666666666D)").as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_tokens"), col("lm_score"),
+        when(col("lm_score") <= col("t1"), lit("head"))
+          .when(col("lm_score") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix
     * table misses any pair whose differing bits are all in the high half and
     * its occupancy grows ∝ n/65536; four rotations (0/8/16/24 bits) cover
