@@ -366,6 +366,71 @@ object OracleGen {
            ORDER BY order_key, doc_id) AS BIGINT) AS ord
        FROM b ORDER BY shard, ord"""
 
+  /** LSH recall/precision vs exact-Jaccard ground truth (d95) matching
+    * [[graft.ops.TextOps.d95LshRecall]]: truth = capped-shingle pairs with
+    * 2·inter ≥ union (integer-exact Jaccard ≥ 1/2), candidates = the d26
+    * band pairs, counts cumulated per shared-band threshold with
+    * integer-quantized ratios. Composes the d25 and d26 oracle CTEs.
+    */
+  val lshRecall: String = {
+    val P = graft.ops.TextOps.MinhashP
+    val sigExprs = (0 until 16).map { i =>
+      val a = graft.ops.TextOps.minhashA(i)
+      val b = graft.ops.TextOps.minhashB(i)
+      s"min(($a * ('0x' || substr(md5(sh), 1, 12))::BIGINT + $b) % $P) AS s$i"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sigs"
+    }.mkString("\n         UNION ALL ")
+    s"""$shingleCte,
+       rare AS (SELECT sh FROM sh GROUP BY sh
+                HAVING count(*) <= ${graft.ops.TextOps.ShingleDfCap}),
+       shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       truth AS (
+         SELECT d1, d2 FROM inter
+         JOIN sizes sa ON sa.doc_id = d1
+         JOIN sizes sb ON sb.doc_id = d2
+         WHERE 2 * i >= sa.sz + sb.sz - i),
+       tn AS (SELECT count(*) AS n_truth FROM truth),
+       sigs AS (
+         SELECT doc_id,
+         $sigExprs
+         FROM sh GROUP BY doc_id),
+       bands AS (
+         $bandSelects),
+       cand AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+           AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       tagged AS (
+         SELECT c.d1, c.d2, c.n_bands,
+           CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END AS is_true
+         FROM cand c LEFT JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2),
+       cum AS (
+         SELECT th.b AS band_threshold,
+           count(g.d1) AS n_cand,
+           CAST(COALESCE(sum(g.is_true), 0) AS BIGINT) AS n_true
+         FROM (VALUES (1), (2), (3), (4)) th(b)
+         LEFT JOIN tagged g ON g.n_bands >= th.b
+         GROUP BY th.b)
+     SELECT CAST(c.band_threshold AS INTEGER) AS band_threshold,
+       c.n_cand, c.n_true, tn.n_truth,
+       CASE WHEN tn.n_truth = 0 THEN 0
+            ELSE (c.n_true * 10000) // tn.n_truth END AS recall_q,
+       CASE WHEN c.n_cand = 0 THEN 0
+            ELSE (c.n_true * 10000) // c.n_cand END AS prec_q
+     FROM cum c CROSS JOIN tn ORDER BY band_threshold"""
+  }
+
   /** URL canonicalization + first-per-canonical-URL dedup (d93) matching
     * [[graft.ops.TextOps.d93UrlDedup]] — the same deterministic synthetic
     * URL build and the same ordered regexp chain. DuckDB's regexp_replace

@@ -110,6 +110,7 @@ object SparkEntry {
     "d92_incremental_semdedup" -> (VectorOps.d92IncrementalSemDedup _),
     "d93_url_dedup" -> (TextOps.d93UrlDedup _),
     "t94_perplexity_buckets" -> (TextOps.t94PerplexityBuckets _),
+    "d95_lsh_recall" -> (TextOps.d95LshRecall _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -748,5 +749,6 @@ object SparkEntry {
     "d92_incremental_semdedup" -> OracleGen.incrementalSemDedup,
     "d93_url_dedup" -> OracleGen.urlDedup,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
+    "d95_lsh_recall" -> OracleGen.lshRecall,
   )
 }

@@ -197,7 +197,13 @@ object TextOps {
     * rare→hot also lets AQE broadcast the hot list, so stop-shingle rows are
     * dropped map-side and never transit the candidate shuffle.
     */
-  def d25NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** The capped-shingle pair-intersection table — (d1, d2, sz1, sz2,
+    * inter) for every doc pair sharing ≥1 rare shingle. Factored out of
+    * [[d25NgramJaccard]] so [[d95LshRecall]] can derive the exact-Jaccard
+    * GROUND TRUTH from the same machinery (one definition of the capped
+    * shingle universe; the two can never drift).
+    */
+  private def cappedJaccardInter(s: SparkSession, d: String): DataFrame = {
     val all = shingles(s, d).persist()
     // hot = shingles with df > τ: the k² blowup keys. Broadcast-anti-joining
     // the SMALL hot side (instead of equi-joining the corpus-scale rare side)
@@ -212,19 +218,21 @@ object TextOps {
     val sh = all.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .persist()
-    val inter = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
-    inter
+  }
+
+  def d25NgramJaccard(s: SparkSession, d: String): DataFrame =
+    cappedJaccardInter(s, d)
       .select(col("d1"), col("d2"),
         (col("inter") * 1.0 / (col("sz1") + col("sz2") - col("inter")))
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(20)
-  }
 
   private val MinhashK = 16
   private val MinhashBands = 4
@@ -291,6 +299,51 @@ object TextOps {
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("d1", "d2")
+  }
+
+  /** LSH recall/precision vs exact ground truth — the d95 query, the text
+    * side of what v80/v82 measure for ANN: how many of the TRUE near-dup
+    * pairs (exact capped-shingle Jaccard ≥ 1/2, integer-exact as
+    * 2·inter ≥ union — the same [[cappedJaccardInter]] machinery d25
+    * ranks) does the d26 MinHash-LSH candidate generation recover, and at
+    * what precision, for each shared-band threshold b ∈ 1..4? This is the
+    * number a deployment actually tunes: raising the band-match threshold
+    * trades candidate volume (the pair-verification bill) against recall
+    * of true duplicates. Ratios are integer-quantized
+    * ((x·10000) div y — the t71/t75 convention, no float division).
+    *
+    * Scale: truth and candidates are the proven d25/d26 plans; the sweep
+    * itself joins the 4-row threshold table against the candidate-scale
+    * pair set (a broadcast nested loop over 4 rows — an explode, not a
+    * shuffle) and partial-aggregates counts per threshold. Evaluation
+    * runs on a sample at 100 TB (ground truth is quadratic by nature);
+    * the operator's cost is bounded by the d25 exact pass it feeds on.
+    */
+  def d95LshRecall(s: SparkSession, d: String): DataFrame = {
+    val inter = cappedJaccardInter(s, d)
+    val truth = inter
+      .filter(col("inter") * 2 >= col("sz1") + col("sz2") - col("inter"))
+      .select(col("d1"), col("d2"), lit(1L).as("is_true"))
+      .persist()
+    CacheRegistry.harness.add(truth)
+    val cand = CacheRegistry.harness.add(d26MinhashLsh(s, d).persist())
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val thresholds = s.range(1, MinhashBands + 1)
+      .select(col("id").cast("int").as("band_threshold"))
+    val tagged = cand.join(truth, Seq("d1", "d2"), "left")
+    val cum = thresholds
+      .join(tagged, col("n_bands") >= col("band_threshold"), "left")
+      .groupBy("band_threshold")
+      .agg(count(col("d1")).as("n_cand"),
+        coalesce(sum(col("is_true")), lit(0L)).as("n_true"))
+    cum.crossJoin(broadcast(nTruth))
+      .select(col("band_threshold"), col("n_cand"), col("n_true"),
+        col("n_truth"),
+        when(col("n_truth") === 0, lit(0L))
+          .otherwise(expr("(n_true * 10000) div n_truth")).as("recall_q"),
+        when(col("n_cand") === 0, lit(0L))
+          .otherwise(expr("(n_true * 10000) div n_cand")).as("prec_q"))
+      .orderBy("band_threshold")
   }
 
   /** Per-batch MinHash signature table over an arbitrary (doc_id, text)

@@ -100,6 +100,28 @@ object StreamOps {
     docs.withColumn("keep_c4",
       graft.ops.TextOps.c4Keep(split(col("text"), "\n")))
 
+  /** Streaming URL dedup — the streaming twin of the d93 batch query
+    * ([[graft.ops.TextOps.canonicalizeUrl]] is the shared single source of
+    * truth, so batch and stream canonicalize identically): canonicalize
+    * the incoming `url` column, then drop later fetches of the same
+    * canonical URL within the watermark via
+    * `dropDuplicatesWithinWatermark`. The watermark bounds the state
+    * (canonical URLs older than the delay are evicted), which is what
+    * makes URL dedup feasible on an unbounded crawl feed — global
+    * first-per-URL belongs to the batch op (d93); this catches the
+    * duplicates that co-occur in time (re-crawls, redirect storms, the
+    * same page discovered via trailing-slash/utm variants). Input needs
+    * an event-time `ts` column and a `url` column; emits the input plus
+    * `canon_url`, deduplicated on it.
+    */
+  def urlDedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes")
+      : DataFrame =
+    docs
+      .withColumn("canon_url",
+        graft.ops.TextOps.canonicalizeUrl(col("url")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** Streaming exact dedup for document pipelines: normalize → fingerprint →
     * `dropDuplicatesWithinWatermark`. The watermark bounds the dedup state
     * (fingerprints older than the delay are evicted), which is what makes

@@ -369,4 +369,31 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
     assert(out.toSeq == Seq(1L, 3L))
   }
+
+  test("streaming url dedup drops in-watermark canonical-URL duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "url")
+    val q = StreamOps.urlDedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("urldedup")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // 1, 2 and 4 are the same page fetched three messy ways; 3 differs
+    mem.addData(
+      (t(0), 1L, "https://www.Example.com/a/3/?utm_source=feed"),
+      (t(1), 2L, "http://example.com/a/3"),
+      (t(2), 3L, "http://example.com/a/4"))
+    q.processAllAvailable()
+    mem.addData((t(3), 4L, "HTTPS://EXAMPLE.COM/a/3#frag"))
+    q.processAllAvailable()
+    val out = s.sql("select doc_id, canon_url from urldedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    q.stop()
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    // batch/stream parity: the shared canonicalizeUrl produced the
+    // identical canonical form the d93 batch op would
+    assert(out.head._2 == "example.com/a/3")
+  }
 }
