@@ -111,6 +111,7 @@ object SparkEntry {
     "d93_url_dedup" -> (TextOps.d93UrlDedup _),
     "t94_perplexity_buckets" -> (TextOps.t94PerplexityBuckets _),
     "d95_lsh_recall" -> (TextOps.d95LshRecall _),
+    "d96_incremental_pipeline" -> (TextOps.d96IncrementalPipeline _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -750,5 +751,8 @@ object SparkEntry {
     "d93_url_dedup" -> OracleGen.urlDedup,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
     "d95_lsh_recall" -> OracleGen.lshRecall,
+    // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch
+    // pipeline must equal the one-shot composed verdicts (d84/d91 pattern)
+    "d96_incremental_pipeline" -> OracleGen.cleanPipeline,
   )
 }

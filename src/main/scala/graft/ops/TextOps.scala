@@ -1528,6 +1528,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The INCREMENTAL end-to-end cleaning pipeline — the d96 query and the
+    * capstone of the incremental story: every stateful stage of
+    * [[t65CleanPipeline]] re-expressed as mergeable per-batch state, the
+    * two-batch run oracle-checked against the FULL-recompute t65 SQL
+    * (the d84/d91 convention). Per stage:
+    *
+    *  1. `keep_quality` — stateless map expression, nothing to merge;
+    *  2. `keep_exact`   — the exact-dup keeper is a (fp → min doc_id)
+    *                      table, min-mergeable: each batch contributes its
+    *                      own per-fp min and the union re-mins — at scale
+    *                      the state is stored bucketed by fp and a batch
+    *                      touches only its own fps. A later batch CAN
+    *                      demote a prior keeper (a smaller doc_id arrives);
+    *                      the verdict join below reads the CURRENT keeper
+    *                      table, so prior docs' verdicts revise correctly
+    *                      — the revision the one-shot oracle demands;
+    *  3. `keep_neardup` — [[incrementalMinhashDedup]] pairs (O(batch)
+    *                      probe of the accumulated band table) merged into
+    *                      labels by [[incrementalConnectedComponents]]
+    *                      (fixpoint over touched components only).
+    *
+    * Per-doc rows (doc_id, keep_quality, fp) append O(batch) per batch;
+    * the final verdict join keys on fp and doc_id — both exchanges
+    * partial-aggregable/bucketable. Proves the COMPOSED pipeline — not
+    * just each operator — computes identical verdicts batch-by-batch and
+    * one-shot.
+    */
+  def d96IncrementalPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = CacheRegistry.harness.add(
+      documents(s, d).select(col("doc_id"), col("text")).persist())
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    def docState(b: DataFrame): DataFrame =
+      b.select(col("doc_id"), gopherKeep(col("text")).as("keep_quality"),
+        md5(canon).as("fp"))
+    // exact-dup keeper state, min-mergeable across batches
+    val fpState1 = docState(b1).groupBy("fp").agg(min("doc_id").as("keeper"))
+    val fpState2 = fpState1
+      .unionByName(docState(b2).groupBy("fp").agg(min("doc_id").as("keeper")))
+      .groupBy("fp").agg(min("keeper").as("keeper"))
+    // near-dup labels: incremental pairs -> incremental components
+    val empty = minhashSignatures(docs.filter(lit(false)))
+    val (sigs1, pairs1) = incrementalMinhashDedup(empty, b1)
+    val labels1 = connectedComponents(pairs1.select("d1", "d2"))
+    val (_, pairs2) = incrementalMinhashDedup(sigs1, b2)
+    val labels2 =
+      incrementalConnectedComponents(labels1, pairs2.select("d1", "d2"))
+    // accumulated per-doc state (appended O(batch) per batch)
+    val state = docState(b1).unionByName(docState(b2))
+    state.join(fpState2, Seq("fp"))
+      .withColumn("keep_exact", col("doc_id") === col("keeper"))
+      .join(labels2.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_quality"), col("keep_exact"),
+        (col("component").isNull || col("component") === col("doc_id"))
+          .as("keep_neardup"))
+      .withColumn("kept",
+        col("keep_quality") && col("keep_exact") && col("keep_neardup"))
+      .orderBy("doc_id")
+  }
+
   /** PII detection + redaction: email/phone/IPv4 regex counts and the
     * fingerprint of the redacted text. Documents are synthetic, so a
     * deterministic PII suffix derived from doc_id is appended first — the
