@@ -43,8 +43,11 @@ object Bench {
     // Each warm-up is individually guarded: a broken reader must cost only
     // its own queries (they fail with the sentinel below), never the whole
     // artifact — round 8 lost ALL measurements to one unguarded warm-up.
+    // NonFatal only: an OOM/interrupt during warm-up must fail the run
+    // loudly, not let a half-dead JVM publish garbage as a valid artifact.
     def warmUp(action: => Unit): Unit =
-      try action catch { case _: Throwable => () }
+      try action
+      catch { case scala.util.control.NonFatal(_) => () }
     warmUp(spark.range(1000000).selectExpr("sum(id)").collect())
     Seq("nation", "region", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>

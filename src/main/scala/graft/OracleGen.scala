@@ -18,23 +18,27 @@ object OracleGen {
          FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
        sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
 
-  val ngramJaccard: String =
-    s"""$shingleCte,
-       rare AS (SELECT sh FROM sh GROUP BY sh
+  /** The capped-Jaccard CTE chain (rare/shc/sizes/inter — assumes the
+    * `sh` CTE is already in scope): ONE definition of the capped shingle
+    * universe shared by [[ngramJaccard]] and [[lshRecall]], mirroring the
+    * Spark-side `cappedJaccardInter` factoring so the d25 ranking and the
+    * d95 ground truth can never drift apart.
+    */
+  private val cappedJaccardCtes: String =
+    s"""rare AS (SELECT sh FROM sh GROUP BY sh
                 HAVING count(*) <= ${graft.ops.TextOps.ShingleDfCap}),
        shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
        sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
        inter AS (
          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
-     SELECT d1, d2, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
-     FROM inter
-     JOIN sizes sa ON sa.doc_id = d1
-     JOIN sizes sb ON sb.doc_id = d2
-     ORDER BY jaccard DESC, d1, d2 LIMIT 20"""
+         GROUP BY 1, 2)"""
 
-  val minhashLsh: String = {
+  /** The minhash signature + LSH band CTE chain (sigs/bands — assumes
+    * `sh`): one definition of the signature constants and the band-key
+    * format, shared by [[minhashLsh]] and [[lshRecall]].
+    */
+  private val sigBandCtes: String = {
     val P = graft.ops.TextOps.MinhashP
     val sigExprs = (0 until 16).map { i =>
       val a = graft.ops.TextOps.minhashA(i)
@@ -46,19 +50,31 @@ object OracleGen {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sigs"
     }.mkString("\n         UNION ALL ")
-    s"""$shingleCte,
-       sigs AS (
+    s"""sigs AS (
          SELECT doc_id,
          $sigExprs
          FROM sh GROUP BY doc_id),
        bands AS (
-         $bandSelects)
+         $bandSelects)"""
+  }
+
+  val ngramJaccard: String =
+    s"""$shingleCte,
+       $cappedJaccardCtes
+     SELECT d1, d2, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+     FROM inter
+     JOIN sizes sa ON sa.doc_id = d1
+     JOIN sizes sb ON sb.doc_id = d2
+     ORDER BY jaccard DESC, d1, d2 LIMIT 20"""
+
+  val minhashLsh: String =
+    s"""$shingleCte,
+       $sigBandCtes
      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
      FROM bands a
      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
        AND a.doc_id < b.doc_id
      GROUP BY 1, 2 ORDER BY d1, d2"""
-  }
 
   /** n-gram repetition CTE block for n = 2, 3, 4 — shared by gopherFilter,
     * ngramRepetition, and cleanPipeline so thresholds and tie-breaks stay in
@@ -373,38 +389,15 @@ object OracleGen {
     * integer-quantized ratios. Composes the d25 and d26 oracle CTEs.
     */
   val lshRecall: String = {
-    val P = graft.ops.TextOps.MinhashP
-    val sigExprs = (0 until 16).map { i =>
-      val a = graft.ops.TextOps.minhashA(i)
-      val b = graft.ops.TextOps.minhashB(i)
-      s"min(($a * ('0x' || substr(md5(sh), 1, 12))::BIGINT + $b) % $P) AS s$i"
-    }.mkString(",\n         ")
-    val bandSelects = (0 until 4).map { b =>
-      val key = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sigs"
-    }.mkString("\n         UNION ALL ")
     s"""$shingleCte,
-       rare AS (SELECT sh FROM sh GROUP BY sh
-                HAVING count(*) <= ${graft.ops.TextOps.ShingleDfCap}),
-       shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN rare USING (sh)),
-       sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
-       inter AS (
-         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
+       $cappedJaccardCtes,
        truth AS (
          SELECT d1, d2 FROM inter
          JOIN sizes sa ON sa.doc_id = d1
          JOIN sizes sb ON sb.doc_id = d2
          WHERE 2 * i >= sa.sz + sb.sz - i),
        tn AS (SELECT count(*) AS n_truth FROM truth),
-       sigs AS (
-         SELECT doc_id,
-         $sigExprs
-         FROM sh GROUP BY doc_id),
-       bands AS (
-         $bandSelects),
+       $sigBandCtes,
        cand AS (
          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
          FROM bands a
@@ -456,11 +449,14 @@ object OracleGen {
        c AS (
          SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(regexp_replace(regexp_replace(lower(url),
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(lower(url),
              '^https?://', '', 'g'),
              '^www\.', '', 'g'),
              '#.*$', '', 'g'),
-             '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+             '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+             '\?&+', '?', 'g'),
+             '&&+', '&', 'g'),
              '[?&]+$', '', 'g'),
              '/\?', '?', 'g'),
              '/$', '', 'g') AS canon_url

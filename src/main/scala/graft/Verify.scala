@@ -28,6 +28,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // mirror Bench: drain the harness registry (persisted intermediates
+      // + localCheckpoint blocks) and the cache after every query, so a
+      // 95-query single-JVM run accumulates nothing — each round's new
+      // persisting queries would otherwise push the verify gate toward
+      // eviction/OOM
+      spark.catalog.clearCache()
+      ops.CacheRegistry.harness.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -871,7 +871,16 @@ object TextOps {
       "^https?://" -> "",
       "^www\\." -> "",
       "#.*$" -> "",
-      "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?" -> "",
+      // tracking params only where a '?' or '&' introduces them — anchored
+      // so tracking-LOOKING text inside the path is never rewritten (an
+      // unanchored match would merge 'site.com/ref/utm_campaign=x' with
+      // 'site.com/ref'); the delimiter is kept so a following real param
+      // still has its separator, and the collapse steps below clean up the
+      // runs the strip leaves behind ('?&page' → '?page', 'a=1&&b=2' →
+      // 'a=1&b=2')
+      "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*" -> "$1",
+      "\\?&+" -> "?",
+      "&&+" -> "&",
       "[?&]+$" -> "",
       "/\\?" -> "?",
       "/$" -> "")
@@ -939,12 +948,16 @@ object TextOps {
         .persist())
     val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n_total"))
-    val scored = toks.join(counts, Seq("w"))
+    // persist(): the compact per-doc score table feeds BOTH the percentile
+    // aggregation and the final bucket projection — without it the
+    // token-scale scoring join (the query's dominant stage) executes twice
+    val scored = CacheRegistry.harness.add(toks.join(counts, Seq("w"))
       .crossJoin(broadcast(total))
       .withColumn("info_q", expr("(n_total * 100) div c"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         (floor(avg(col("info_q")) * lit(1e4)) / lit(1e4)).as("lm_score"))
+      .persist())
     val th = scored.agg(
       expr("percentile(lm_score, 0.3333333333333333D)").as("t1"),
       expr("percentile(lm_score, 0.6666666666666666D)").as("t2"))
@@ -1578,7 +1591,12 @@ object TextOps {
       incrementalConnectedComponents(labels1, pairs2.select("d1", "d2"))
     // accumulated per-doc state (appended O(batch) per batch)
     val state = docState(b1).unionByName(docState(b2))
-    state.join(fpState2, Seq("fp"))
+    // NULL-SAFE fp equality: md5(null text) is a null fp, and t65's window
+    // (like the oracle's PARTITION BY) groups all null fps together — a
+    // plain equi-join would silently DROP those docs instead. <=> is still
+    // hash-joinable; null-text docs form one group like any other.
+    state.join(fpState2.withColumnRenamed("fp", "kfp"),
+        col("fp") <=> col("kfp"))
       .withColumn("keep_exact", col("doc_id") === col("keeper"))
       .join(labels2.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_quality"), col("keep_exact"),

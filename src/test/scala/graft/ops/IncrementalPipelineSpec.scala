@@ -33,6 +33,27 @@ class IncrementalPipelineSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("d96 keeps null-text docs exactly as t65 does (null-safe fp join)") {
+    val dir = Fixtures.tempDir("graft-incpipe-null").toString
+    val s = spark
+    import s.implicits._
+    // doc 1: null text (null fingerprint); doc 3: another null text — t65's
+    // window groups all null fps together (keeper = min doc_id = 1), and a
+    // plain equi-join would silently DROP both rows
+    Seq[(java.lang.Long, String, String, String, java.lang.Long)](
+      (1L, null, "en", "src0", null),
+      (2L, "some ordinary document text here", "en", "src0", 32L),
+      (3L, null, "de", "src1", null))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val incr = TextOps.d96IncrementalPipeline(spark, dir)
+    val oneShot = TextOps.t65CleanPipeline(spark, dir)
+    assert(incr.count() == 3, "null-text docs must not vanish")
+    assert(incr.exceptAll(oneShot).count() == 0)
+    assert(oneShot.exceptAll(incr).count() == 0)
+    CacheRegistry.harness.release()
+  }
+
   test("two-batch d96 equals the one-shot t65 on the corpus") {
     val sf = "/root/testdata/sf0.001"
     val incr = TextOps.d96IncrementalPipeline(spark, sf)

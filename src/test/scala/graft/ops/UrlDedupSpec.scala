@@ -25,6 +25,16 @@ class UrlDedupSpec extends SparkSpec {
     assert(canon("https://site.com/p?fbclid=abc123") == "site.com/p")
     // a meaningful param survives when the tracking param is chained after it
     assert(canon("http://site.com/p?page=2&gclid=zz") == "site.com/p?page=2")
+    // tracking-LOOKING text in the PATH is never rewritten — two genuinely
+    // different pages must not merge
+    assert(canon("https://site.com/ref/utm_campaign=x")
+      == "site.com/ref/utm_campaign=x")
+    assert(canon("https://site.com/ref/utm_campaign=x")
+      != canon("https://site.com/ref/"))
+    // multiple tracking params strip completely, in either position
+    assert(canon("http://site.com/p?utm_a=1&utm_b=2") == "site.com/p")
+    assert(canon("http://site.com/p?utm_a=1&page=2&utm_b=2")
+      == "site.com/p?page=2")
   }
 
   test("d93 keeps exactly one doc per canonical URL, the smallest doc_id") {
