@@ -388,6 +388,22 @@ object OracleGen {
     * band pairs, counts cumulated per shared-band threshold with
     * integer-quantized ratios. Composes the d25 and d26 oracle CTEs.
     */
+  /** Containment near-dup pairs (d97) matching
+    * [[graft.ops.TextOps.d97Containment]] — the shared capped-Jaccard CTEs
+    * with the integer-exact 5·inter ≥ 4·min(sz) containment filter.
+    */
+  val containment: String =
+    s"""$shingleCte,
+       $cappedJaccardCtes
+     SELECT d1, d2, i AS inter, sa.sz AS sz1, sb.sz AS sz2,
+       (i * 10000) // least(sa.sz, sb.sz) AS containment_q,
+       CASE WHEN sa.sz <= sb.sz THEN d1 ELSE d2 END AS contained_doc
+     FROM inter
+     JOIN sizes sa ON sa.doc_id = d1
+     JOIN sizes sb ON sb.doc_id = d2
+     WHERE 5 * i >= 4 * least(sa.sz, sb.sz)
+     ORDER BY d1, d2"""
+
   val lshRecall: String = {
     s"""$shingleCte,
        $cappedJaccardCtes,

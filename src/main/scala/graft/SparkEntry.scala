@@ -112,6 +112,7 @@ object SparkEntry {
     "t94_perplexity_buckets" -> (TextOps.t94PerplexityBuckets _),
     "d95_lsh_recall" -> (TextOps.d95LshRecall _),
     "d96_incremental_pipeline" -> (TextOps.d96IncrementalPipeline _),
+    "d97_containment" -> (TextOps.d97Containment _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -754,5 +755,6 @@ object SparkEntry {
     // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch
     // pipeline must equal the one-shot composed verdicts (d84/d91 pattern)
     "d96_incremental_pipeline" -> OracleGen.cleanPipeline,
+    "d97_containment" -> OracleGen.containment,
   )
 }

@@ -301,6 +301,34 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
+  /** Containment near-dup pairs — the d97 query (Broder 1997, "On the
+    * resemblance and containment of documents": containment(A, B) =
+    * |A∩B| / |A|). The asymmetric complement of d25's symmetric Jaccard:
+    * a short document embedded verbatim in a much longer one scores near
+    * 1.0 on containment of the smaller set but arbitrarily low on Jaccard
+    * (the union is dominated by the long doc), so Jaccard-threshold dedup
+    * systematically misses quote-expansion and aggregation-page
+    * duplicates. Pairs where the SMALLER capped-shingle set is ≥ 4/5
+    * contained in the other (integer-exact: 5·inter ≥ 4·min(sz)), with
+    * the quantized containment ((inter·10000) div min(sz) — no float
+    * division) and the contained doc's id.
+    *
+    * Scale: reuses [[cappedJaccardInter]] verbatim — the candidate
+    * generation, df-cap and pair exchange are the proven d25 plan; the
+    * containment filter and projection are map-side arithmetic on the
+    * pair table.
+    */
+  def d97Containment(s: SparkSession, d: String): DataFrame = {
+    val minSz = least(col("sz1"), col("sz2"))
+    cappedJaccardInter(s, d)
+      .filter(col("inter") * 5 >= minSz * 4)
+      .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+        expr("(inter * 10000) div least(sz1, sz2)").as("containment_q"),
+        when(col("sz1") <= col("sz2"), col("d1")).otherwise(col("d2"))
+          .as("contained_doc"))
+      .orderBy("d1", "d2")
+  }
+
   /** LSH recall/precision vs exact ground truth — the d95 query, the text
     * side of what v80/v82 measure for ANN: how many of the TRUE near-dup
     * pairs (exact capped-shingle Jaccard ≥ 1/2, integer-exact as
