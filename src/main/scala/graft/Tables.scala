@@ -38,10 +38,19 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // fail loudly on a third testdata generation (e.g. string or INT96):
+        // a blind cast would coerce to nulls/garbage and ship a silently-bad
+        // artifact — the round-8 failure mode this reader exists to prevent
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other; expected " +
+            "LongType (nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP — extend " +
+            "Tables.events with an explicit lossless conversion for it")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

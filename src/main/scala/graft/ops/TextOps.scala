@@ -203,8 +203,16 @@ object TextOps {
     * GROUND TRUTH from the same machinery (one definition of the capped
     * shingle universe; the two can never drift).
     */
-  private def cappedJaccardInter(s: SparkSession, d: String): DataFrame = {
-    val all = shingles(s, d).persist()
+  private def cappedJaccardInter(s: SparkSession, d: String): DataFrame =
+    cappedJaccardInterFrom(
+      CacheRegistry.harness.add(shingles(s, d).persist()))
+
+  /** [[cappedJaccardInter]] over an ALREADY-persisted (and registered)
+    * shingle table — the entry [[d95LshRecall]] uses so the truth and
+    * candidate branches share ONE shingle scan instead of re-exploding the
+    * corpus per branch.
+    */
+  private def cappedJaccardInterFrom(all: DataFrame): DataFrame = {
     // hot = shingles with df > τ: the k² blowup keys. Broadcast-anti-joining
     // the SMALL hot side (instead of equi-joining the corpus-scale rare side)
     // keeps the cap map-side.
@@ -215,9 +223,10 @@ object TextOps {
     // document (billions — not broadcastable), so joining it back onto the
     // pair table twice would be two full-corpus shuffle joins; carrying two
     // longs through the candidate shuffle costs almost nothing
-    val sh = all.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh")
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .persist()
+    val sh = CacheRegistry.harness.add(
+      all.join(hot, Seq("sh"), "left_anti").select("doc_id", "sh")
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .persist())
     sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -284,13 +293,20 @@ object TextOps {
   private def bandTable(sigs: DataFrame): DataFrame =
     bandsFromKeys(withBandKeys(sigs))
 
-  def d26MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def d26MinhashLsh(s: SparkSession, d: String): DataFrame =
+    d26MinhashLshFrom(shingles(s, d))
+
+  /** [[d26MinhashLsh]] over a caller-supplied shingle table — lets
+    * [[d95LshRecall]] feed the candidate side from the SAME persisted
+    * shingle scan as the exact-Jaccard truth side.
+    */
+  private def d26MinhashLshFrom(sh: DataFrame): DataFrame = {
     // persist(): the compact signature table (one row of k longs per doc)
     // feeds BOTH band self-join sides — without it the shingle scan + k-min
     // aggregation executes twice (ReusedExchange does not bridge self-join
     // branches; same finding as d25/d27)
-    val sigs = sigTable(shingles(s, d).withColumn("h", h48(col("sh"))))
-      .persist()
+    val sigs = CacheRegistry.harness.add(
+      sigTable(sh.withColumn("h", h48(col("sh")))).persist())
     val bands = bandTable(sigs)
     bands.as("a")
       .join(bands.as("b"),
@@ -348,13 +364,18 @@ object TextOps {
     * the operator's cost is bounded by the d25 exact pass it feeds on.
     */
   def d95LshRecall(s: SparkSession, d: String): DataFrame = {
-    val inter = cappedJaccardInter(s, d)
+    // ONE persisted shingle table feeds both branches: the exact-Jaccard
+    // truth side (cappedJaccardInterFrom) and the minhash candidate side
+    // (d26MinhashLshFrom) — the corpus is scanned and shingled once, and
+    // every intermediate persist is registered for harness release
+    val allSh = CacheRegistry.harness.add(shingles(s, d).persist())
+    val inter = cappedJaccardInterFrom(allSh)
     val truth = inter
       .filter(col("inter") * 2 >= col("sz1") + col("sz2") - col("inter"))
       .select(col("d1"), col("d2"), lit(1L).as("is_true"))
       .persist()
     CacheRegistry.harness.add(truth)
-    val cand = CacheRegistry.harness.add(d26MinhashLsh(s, d).persist())
+    val cand = CacheRegistry.harness.add(d26MinhashLshFrom(allSh).persist())
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val thresholds = s.range(1, MinhashBands + 1)
       .select(col("id").cast("int").as("band_threshold"))
@@ -869,8 +890,11 @@ object TextOps {
     * `www.`, mixed-case host, trailing slash, a MEANINGFUL query param
     * (`page=2`, which canonicalization must KEEP), a tracking param
     * (`utm_source`, which it must DROP, in both `?`-first and `&`-chained
-    * positions), and a fragment. Docs sharing (source, doc_id mod 50)
-    * canonicalize to the same URL — the duplicate generator.
+    * positions), and a fragment. The duplicate classes are keyed on
+    * (source, doc_id mod 50, doc_id mod 13 == 0): docs with
+    * `doc_id % 13 == 0` KEEP their meaningful `?page=2` after
+    * canonicalization, so they form their own class alongside their
+    * page-less mod-50 siblings — the duplicate generator.
     */
   private def syntheticUrl(docId: Column, source: Column): Column = concat(
     when(docId % 2 === 0, lit("https://")).otherwise(lit("http://")),
@@ -893,6 +917,13 @@ object TextOps {
     * ones; strip dangling `?`/`&`; collapse `/?` to `?`; strip the
     * trailing slash. Pure codegen'd regexp chain — map-side, no UDF, no
     * shuffle; the DuckDB oracle runs the same chain.
+    *
+    * Caveat for reuse on real crawl URLs: the first step lowercases the
+    * WHOLE URL — correct for this synthetic corpus (and what the oracle
+    * mirrors), but real-world paths are case-sensitive, so `/A` and `/a`
+    * would over-merge. A real-crawl deployment should lowercase only the
+    * scheme+authority portion (the C4/CC convention) and leave path and
+    * query values untouched.
     */
   def canonicalizeUrl(u: Column): Column = {
     val steps = Seq(

@@ -244,10 +244,13 @@ object StreamOps {
     * the broadcast codebook (O(batch × k), no shuffle of accumulated
     * state), publish them as this batch's own `batch=N` assignment
     * partition, then probe the PRIOR partitions for same-cluster
-    * above-threshold pairs — stored cids are read back, never re-derived,
-    * and the pair join is keyed on cid so untouched clusters never move.
-    * State write is O(batch); the accumulated corpus is read for the
-    * probe join but never rewritten.
+    * above-threshold pairs — stored cids are read back, never re-derived.
+    * State write is O(batch); the probe join is keyed on cid, but the
+    * `batch=N` layout means the accumulated corpus is scanned (never
+    * rewritten) each batch to find the matching cids — O(corpus) read per
+    * batch. For the cid-pruned O(touched clusters) read, land the state
+    * through [[graft.ops.VectorOps.writeCidBucketedState]]'s cid-bucketed
+    * layout instead (the batch path; see BucketedStateSpec).
     *
     * Effectively-once exactly like the minhash sink: deterministic
     * `batch=id` partitions staged in sibling `.tmp` dirs and published
