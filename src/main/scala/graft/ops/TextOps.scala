@@ -987,15 +987,30 @@ object TextOps {
     * convention: monotone in 1/p(w), integer arithmetic only, so no
     * cross-engine float-log drift — averaged per doc and floor-truncated
     * to 4 decimals (the repo's int/int-rational convention). Tertile
-    * thresholds via exact `percentile` (the q32 quantile_cont parity),
-    * with 1/3 and 2/3 written as their shortest-repr double literals so
-    * both engines parse the identical double.
+    * thresholds are EXACT (the oracle's quantile_cont cut) but computed
+    * by a partial-aggregable two-pass order-statistic selection, never a
+    * one-group `percentile()` whose state buffers every per-doc score on
+    * a single reducer: pass 1 compacts scores into a histogram (ordinary
+    * groupBy — map-side combine), pass 2 reads the order statistics off
+    * the histogram's cumulative counts. Bucket membership under the
+    * interpolated threshold t = s[k] + frac·(s[k+1] − s[k]) (frac < 1)
+    * equals membership under the FLOOR order statistic s[k] — no value
+    * lies strictly between consecutive order statistics — so the
+    * interpolation arithmetic (and its cross-engine float-rounding risk)
+    * drops out entirely while the verdicts stay hash-identical to the
+    * oracle's. The rank itself replicates both engines' double arithmetic
+    * floor(p·(n−1)) with 1/3 and 2/3 as the same shortest-repr double
+    * literals both engines parse.
     *
     * Scale: one vocab-sized partial-aggregable count, one one-row total,
     * one scoring join keyed on the token (broadcast when the vocab fits —
     * AQE decides; at web scale this is the standard LM-scoring shuffle),
-    * one partial-aggregable per-doc average, and a one-row threshold
-    * broadcast. Nothing quadratic; the token table crosses each exchange
+    * one partial-aggregable per-doc average, one partial-aggregable
+    * histogram, and a one-row threshold broadcast. The only global-order
+    * stage is the running sum over the HISTOGRAM (distinct quantized
+    * scores — compact; worst-case O(docs) keys carrying two longs each,
+    * a shuffle-compacted window, never an aggregation buffer holding the
+    * corpus). Nothing quadratic; the token table crosses each exchange
     * once.
     */
   def t94PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
@@ -1017,9 +1032,22 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         (floor(avg(col("info_q")) * lit(1e4)) / lit(1e4)).as("lm_score"))
       .persist())
-    val th = scored.agg(
-      expr("percentile(lm_score, 0.3333333333333333D)").as("t1"),
-      expr("percentile(lm_score, 0.6666666666666666D)").as("t2"))
+    // two-pass exact tertile (see scaladoc): histogram, then the floor
+    // order statistic s[k] = smallest score whose cumulative count
+    // exceeds k, at rank k = floor(p·(n−1)) in the engines' shared
+    // double arithmetic
+    val nDocs = scored.agg(count(lit(1)).as("n_docs"))
+    val hist = scored.groupBy("lm_score").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum_cnt",
+      sum(col("cnt")).over(Window.orderBy("lm_score")))
+    val th = cum.crossJoin(broadcast(nDocs))
+      .select(
+        min(when(col("cum_cnt") >
+          floor(lit(0.3333333333333333) * (col("n_docs") - 1)),
+          col("lm_score"))).as("t1"),
+        min(when(col("cum_cnt") >
+          floor(lit(0.6666666666666666) * (col("n_docs") - 1)),
+          col("lm_score"))).as("t2"))
     scored.crossJoin(broadcast(th))
       .select(col("doc_id"), col("n_tokens"), col("lm_score"),
         when(col("lm_score") <= col("t1"), lit("head"))
