@@ -447,8 +447,14 @@ object OracleGen {
     * here matches at most once per URL by construction, and the 'g' flag
     * is passed anyway so the engines agree on arbitrary input.
     */
-  val urlDedup: String =
-    """WITH u AS (
+  /** Synthetic URL build + canonicalization chain (u/c CTEs) — ONE
+    * definition shared by [[urlDedup]] and [[blocklistFilter]] (and the
+    * d99 incremental-URL oracle, which reuses [[urlDedup]] whole), so the
+    * URL twins can never drift from the Spark-side
+    * syntheticUrl/canonicalizeUrl pair.
+    */
+  private val urlCanonCtes: String =
+    """u AS (
          SELECT doc_id,
            (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
            (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
@@ -476,13 +482,60 @@ object OracleGen {
              '[?&]+$', '', 'g'),
              '/\?', '?', 'g'),
              '/$', '', 'g') AS canon_url
-         FROM u),
+         FROM u)"""
+
+  val urlDedup: String =
+    s"""WITH $urlCanonCtes,
        g AS (SELECT canon_url, min(doc_id) AS keeper_id,
                count(*) AS n_docs
              FROM c GROUP BY canon_url)
      SELECT c.doc_id, c.canon_url, g.n_docs,
        c.doc_id = g.keeper_id AS keeper
      FROM c JOIN g USING (canon_url) ORDER BY c.doc_id"""
+
+  /** C4 blocklist page filter (t99) matching
+    * [[graft.ops.TextOps.t99BlocklistFilter]]: blocked-token count,
+    * canonical-domain block verdict, and the page gate composed with
+    * t86's C4 rules. The word and domain lists render from the SAME
+    * Scala Seqs the Spark query and streaming gate read
+    * ([[graft.ops.TextOps.BlockedWords]]/[[graft.ops.TextOps.BlockedDomains]]).
+    */
+  val blocklistFilter: String = {
+    val badList = graft.ops.TextOps.BlockedWords
+      .map(w => s"'$w'").mkString(", ")
+    val domList = graft.ops.TextOps.BlockedDomains
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH $urlCanonCtes,
+       $linedCte,
+       toks AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         FROM documents),
+       nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bad
+         FROM toks WHERE w IN ($badList) GROUP BY doc_id),
+       pg AS (SELECT doc_id,
+           CAST(len(list_filter(lns, l ->
+             substr(l, -1, 1) IN ('.', '!', '?', '"')
+             AND len(string_split(l, ' ')) >= 5
+             AND NOT contains(l, 'javascript'))) AS BIGINT) >= 3
+           AND len(list_filter(lns, l -> contains(l, 'lorem ipsum'))) = 0
+           AND len(list_filter(lns, l -> contains(l, '{'))) = 0
+             AS page_keep
+         FROM lined),
+       dom AS (SELECT doc_id,
+           regexp_extract(canon_url, '^[^/?]+', 0) AS domain
+         FROM c)
+     SELECT d.doc_id, coalesce(nb.n_bad, 0) AS n_bad, dom.domain,
+       dom.domain IN ($domList) AS domain_blocked,
+       (coalesce(nb.n_bad, 0) = 0 AND dom.domain NOT IN ($domList))
+         AS keep_blocklist,
+       (pg.page_keep AND coalesce(nb.n_bad, 0) = 0
+         AND dom.domain NOT IN ($domList)) AS keep_page
+     FROM documents d
+     JOIN dom USING (doc_id)
+     JOIN pg USING (doc_id)
+     LEFT JOIN nb USING (doc_id)
+     ORDER BY d.doc_id"""
+  }
 
   /** CCNet-style unigram-LM quality bucketing (t94) matching
     * [[graft.ops.TextOps.t94PerplexityBuckets]]: integer-quantized token

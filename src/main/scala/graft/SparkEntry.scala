@@ -113,6 +113,7 @@ object SparkEntry {
     "d95_lsh_recall" -> (TextOps.d95LshRecall _),
     "d96_incremental_pipeline" -> (TextOps.d96IncrementalPipeline _),
     "d97_containment" -> (TextOps.d97Containment _),
+    "t99_blocklist_filter" -> (TextOps.t99BlocklistFilter _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -756,5 +757,6 @@ object SparkEntry {
     // pipeline must equal the one-shot composed verdicts (d84/d91 pattern)
     "d96_incremental_pipeline" -> OracleGen.cleanPipeline,
     "d97_containment" -> OracleGen.containment,
+    "t99_blocklist_filter" -> OracleGen.blocklistFilter,
   )
 }

@@ -653,6 +653,83 @@ object TextOps {
       !exists(lns, l => l.contains("lorem ipsum")) &&
       !exists(lns, l => l.contains("{"))
 
+  /** The blocked-word list for [[t99BlocklistFilter]] — the C4 recipe's
+    * "List of Dirty, Naughty, Obscene or Otherwise Bad Words" membership
+    * filter (Raffel et al. 2020 §2.2: pages containing any listed word are
+    * removed), stood in by two corpus-vocabulary words so the verdict
+    * splits the test corpus. Single source of truth: the batch query, the
+    * streaming gate, and the DuckDB oracle all render from this Seq.
+    */
+  val BlockedWords: Seq[String] = Seq("slow", "dup")
+
+  /** The blocked-domain list for [[t99BlocklistFilter]] — the URL-level
+    * complement of [[BlockedWords]] (C4/CC pipelines drop whole domains
+    * before fetching content). Matched against the canonical URL's
+    * authority, so scheme/www/case variants of a blocked domain are
+    * caught. Same single-source-of-truth contract as [[BlockedWords]].
+    */
+  val BlockedDomains: Seq[String] = Seq("src7.example.com", "src13.example.com")
+
+  /** The authority (host) portion of an already-canonicalized URL. */
+  private[graft] def canonDomain(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[^/?]+", 0)
+
+  /** Blocklist page verdict — keep iff NO token is a blocked word and the
+    * canonical domain is not blocked. One reusable stateless expression
+    * (map-side HOF membership over the literal lists — no join, no
+    * shuffle, streaming-safe), shared by [[t99BlocklistFilter]] and the
+    * streaming blocklist gate exactly like gopherKeep/c4Keep, so batch and
+    * stream can never disagree on a page.
+    *
+    * This literal-array form is right for O(100)-word lists (compiled
+    * into the plan, codegen'd). A full 2k-word production blocklist keeps
+    * the same verdict semantics through the broadcast-join form
+    * [[t99BlocklistFilter]] also demonstrates — broadcast membership is
+    * still map-side, just with the list shipped as a broadcast table
+    * instead of a plan literal.
+    */
+  def blocklistKeep(text: Column, canonUrl: Column): Column =
+    !arrays_overlap(words(text), lit(BlockedWords.toArray)) &&
+      !canonDomain(canonUrl).isin(BlockedDomains: _*)
+
+  /** C4 blocklist page filter — the t99 query: per-doc blocked-token
+    * count via a BROADCAST membership scan (the production shape for a
+    * 2k-word list: explode tokens, broadcast-hash-semi-join the tiny
+    * list — map-side, the token table never shuffles on the word — then
+    * one partial-aggregable per-doc count), the canonical-domain block
+    * verdict, and the final page gate COMPOSED with t86's C4 page rules
+    * (`keep_page` = c4Keep ∧ blocklistKeep over the same lined payload).
+    *
+    * Scale: the broadcast join and all verdict expressions are map-side;
+    * the only exchanges are the per-doc count aggregation and its
+    * doc_id-keyed join back — both keyed on doc_id, nothing quadratic.
+    */
+  def t99BlocklistFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // persist(): the doc table feeds the token-explode branch and the
+    // final projection (ReusedExchange does not bridge join branches)
+    val base = CacheRegistry.harness.add(
+      documents(s, d).select(col("doc_id"), col("text"), col("source"))
+        .withColumn("canon_url",
+          canonicalizeUrl(syntheticUrl(col("doc_id"), col("source"))))
+        .persist())
+    val badWords = BlockedWords.toDF("bad_w")
+    val nBad = base
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .join(broadcast(badWords), col("w") === col("bad_w"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bad"))
+    base.join(nBad, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bad"), lit(0L)).as("n_bad"),
+        canonDomain(col("canon_url")).as("domain"),
+        canonDomain(col("canon_url")).isin(BlockedDomains: _*)
+          .as("domain_blocked"),
+        blocklistKeep(col("text"), col("canon_url")).as("keep_blocklist"),
+        (c4Keep(linedLines(col("doc_id"), col("text"))) &&
+          blocklistKeep(col("text"), col("canon_url"))).as("keep_page"))
+      .orderBy("doc_id")
+  }
+
   /** Window length (tokens) for [[t87ExactSubstring]] — the ExactSubstr
     * span threshold, scaled to this corpus's 10-99-word documents (the
     * paper uses 50 tokens over web-scale pages; the recipe is

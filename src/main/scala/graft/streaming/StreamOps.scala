@@ -100,6 +100,21 @@ object StreamOps {
     docs.withColumn("keep_c4",
       graft.ops.TextOps.c4Keep(split(col("text"), "\n")))
 
+  /** Streaming blocklist gate — the streaming twin of t99's page verdict.
+    * The expression IS [[graft.ops.TextOps.blocklistKeep]] (the same
+    * single source of truth as the batch query and the DuckDB oracle), so
+    * batch and stream can never disagree on a blocked page. Stateless
+    * map-side membership work like the quality and C4 gates: no
+    * watermark, no state store, no shuffle. Input needs `text` and `url`
+    * columns (the raw crawl URL — canonicalized here with the shared
+    * [[graft.ops.TextOps.canonicalizeUrl]] chain); emits the input plus
+    * `keep_blocklist`.
+    */
+  def blocklistGateStream(docs: DataFrame): DataFrame =
+    docs.withColumn("keep_blocklist",
+      graft.ops.TextOps.blocklistKeep(col("text"),
+        graft.ops.TextOps.canonicalizeUrl(col("url"))))
+
   /** Streaming URL dedup — the streaming twin of the d93 batch query
     * ([[graft.ops.TextOps.canonicalizeUrl]] is the shared single source of
     * truth, so batch and stream canonicalize identically): canonicalize
