@@ -114,6 +114,7 @@ object SparkEntry {
     "d96_incremental_pipeline" -> (TextOps.d96IncrementalPipeline _),
     "d97_containment" -> (TextOps.d97Containment _),
     "t99_blocklist_filter" -> (TextOps.t99BlocklistFilter _),
+    "t100_source_cap" -> (TextOps.t100SourceCap _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -758,5 +759,34 @@ object SparkEntry {
     "d96_incremental_pipeline" -> OracleGen.cleanPipeline,
     "d97_containment" -> OracleGen.containment,
     "t99_blocklist_filter" -> OracleGen.blocklistFilter,
+    "t100_source_cap" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 12))::BIGINT
+               AS h
+           FROM documents),
+         p0 AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             ('0x' || substr(md5(source || ':policy'), 1, 12))::BIGINT % 10
+               AS pdraw
+           FROM documents GROUP BY source),
+         p AS (
+           SELECT source, n_docs,
+             CASE WHEN pdraw < 2 THEN 'drop'
+                  WHEN pdraw < 6 THEN 'cap'
+                  ELSE 'keep' END AS policy,
+             CASE WHEN pdraw >= 2 AND pdraw < 6
+                  THEN (n_docs * 7) // 10 END AS cap
+           FROM p0),
+         r AS (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY h % 100, h, doc_id) AS BIGINT) AS rk
+           FROM h)
+       SELECT r.doc_id, r.source, p.policy, p.cap,
+         CASE p.policy WHEN 'drop' THEN FALSE
+              WHEN 'keep' THEN TRUE
+              ELSE r.rk <= p.cap END AS kept
+       FROM r JOIN p USING (source) ORDER BY r.doc_id""",
   )
 }

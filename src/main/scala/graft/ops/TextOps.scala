@@ -2141,6 +2141,82 @@ object TextOps {
       .select("doc_id", "lang", "bucket", "rate")
       .orderBy("doc_id")
 
+  /** Per-source cap/drop enforcement — the t100 query, executing the
+    * keep/cap/drop decision t58's per-source rollup exists to feed. The
+    * policy is derived deterministically per source (an md5 draw on the
+    * source name splits sources into drop / cap / keep; capped sources
+    * get a DATA-DRIVEN cap of ⌊7·n_docs/10⌋ from the rollup), and the cap
+    * is enforced EXACTLY with t70's deterministic md5-bucket draw: a doc
+    * survives iff its rank in the (bucket, h, doc_id) order is ≤ cap —
+    * a pure function of the corpus, so re-running after an append never
+    * flips an already-kept doc arbitrarily (no RNG, no partitioning
+    * dependence).
+    *
+    * Scale — the point of the two-phase shape: capping a billion-doc
+    * source must NOT sort the source (a per-source global rank window
+    * puts the whole source on one partition). Phase 1 aggregates the
+    * (source × 100)-row bucket histogram (partial-aggregable) and
+    * classifies each bucket against the cap's cumulative position: fully
+    * kept, fully dropped, or THE boundary bucket. Phase 2 ranks only the
+    * boundary bucket's docs (~1/100 of the source) in a
+    * (source, bucket)-partitioned window; every other doc's verdict is a
+    * broadcast-joined bucket flag. The DuckDB oracle states the same
+    * selection as one per-source rank window — identical verdicts, the
+    * simple spec vs the scale implementation (asserted equal in
+    * SourceCapSpec).
+    */
+  def t100SourceCap(s: SparkSession, d: String): DataFrame = {
+    // persist(): the drawn doc table feeds the policy rollup, the bucket
+    // histogram, and the final verdict join
+    val base = CacheRegistry.harness.add(
+      documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("h", h48(concat(col("doc_id").cast("string"), lit(":cap"))))
+        .withColumn("bucket", col("h") % 100)
+        .persist())
+    val policy = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("pdraw", h48(concat(col("source"), lit(":policy"))) % 10)
+      .select(col("source"), col("n_docs"),
+        when(col("pdraw") < 2, lit("drop"))
+          .when(col("pdraw") < 6, lit("cap"))
+          .otherwise(lit("keep")).as("policy"),
+        when(col("pdraw") >= 2 && col("pdraw") < 6,
+          expr("(n_docs * 7) div 10"))
+          .otherwise(lit(null).cast("long")).as("cap"))
+    // phase 1: bucket histogram + cumulative position vs the cap. The
+    // running sum's window is over the HISTOGRAM (≤100 rows per source),
+    // not the docs.
+    val hist = base.groupBy("source", "bucket").agg(count(lit(1)).as("bcnt"))
+    val wcum = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bclass = hist
+      .withColumn("cum_before", coalesce(sum("bcnt").over(wcum), lit(0L)))
+      .join(policy.filter(col("policy") === "cap")
+        .select(col("source"), col("cap")), Seq("source"))
+      .select(col("source"), col("bucket"), col("bcnt"),
+        greatest(lit(0L), least(col("bcnt"), col("cap") - col("cum_before")))
+          .as("quota"))
+      .withColumn("whole_verdict",
+        when(col("quota") === col("bcnt"), lit(true))
+          .when(col("quota") === 0, lit(false))
+          .otherwise(lit(null).cast("boolean")))
+    // phase 2: only boundary-bucket docs (whole_verdict null) are ranked
+    val cappedDocs = base.join(bclass, Seq("source", "bucket"))
+    val wInBucket = Window.partitionBy("source", "bucket")
+      .orderBy("h", "doc_id")
+    val boundary = cappedDocs.filter(col("whole_verdict").isNull)
+      .withColumn("rk", row_number().over(wInBucket).cast("long"))
+      .select(col("doc_id"), (col("rk") <= col("quota")).as("kept_cap"))
+    val whole = cappedDocs.filter(col("whole_verdict").isNotNull)
+      .select(col("doc_id"), col("whole_verdict").as("kept_cap"))
+    base.join(broadcast(policy), Seq("source"))
+      .join(boundary.unionByName(whole), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("policy"), col("cap"),
+        when(col("policy") === "drop", lit(false))
+          .when(col("policy") === "keep", lit(true))
+          .otherwise(col("kept_cap")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top-terms per document with an integer-quantized IDF
     * (idf_q = (N*100) div df). Floating-point log() is not IEEE-pinned
     * across engines, so the quantized integer form keeps scores exactly
