@@ -115,6 +115,7 @@ object SparkEntry {
     "d97_containment" -> (TextOps.d97Containment _),
     "t99_blocklist_filter" -> (TextOps.t99BlocklistFilter _),
     "t100_source_cap" -> (TextOps.t100SourceCap _),
+    "d101_incremental_url" -> (TextOps.d101IncrementalUrlDedup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -752,6 +753,10 @@ object SparkEntry {
     // to the frozen centroids, one v83-style in-cluster pair search
     "d92_incremental_semdedup" -> OracleGen.incrementalSemDedup,
     "d93_url_dedup" -> OracleGen.urlDedup,
+    // deliberately the ONE-SHOT d93 oracle: the batch-by-batch merged
+    // state must reproduce the full recompute's verdicts (d84/d91/d92
+    // convention)
+    "d101_incremental_url" -> OracleGen.urlDedup,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
     "d95_lsh_recall" -> OracleGen.lshRecall,
     // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch

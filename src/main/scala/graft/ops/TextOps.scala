@@ -1053,6 +1053,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Batch-incremental URL dedup — the d101 query, completing the
+    * incremental matrix for the fourth stateful dedup granularity
+    * (document d84, component d91, cluster d92, URL here). The keeper
+    * state is a min-mergeable (canon_url → min doc_id, n_docs) table —
+    * min and sum are associative+commutative, so each ingest batch
+    * contributes its own O(batch) partial state and the merge is one
+    * partial-aggregable groupBy on canon_url, never a re-canonicalization
+    * of history. Two halves of the corpus are ingested as separate
+    * batches; the verdict join against the merged state must reproduce
+    * the ONE-SHOT [[d93UrlDedup]] output bit for bit — the d84/d91/d92
+    * convention, so the oracle IS d93's.
+    *
+    * Scale: per batch, canonicalization is map-side and the partial state
+    * is one groupBy on canon_url; the cross-batch merge shuffles only the
+    * compact state tables (one row per URL), and the final verdict join
+    * is the same canon_url-keyed exchange d93 uses. Nothing re-reads or
+    * re-processes prior batches' raw documents.
+    */
+  def d101IncrementalUrlDedup(s: SparkSession, d: String): DataFrame = {
+    // persist(): the canonicalized table feeds both batch splits and the
+    // final verdict join's probe side
+    val base = CacheRegistry.harness.add(
+      documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("url", syntheticUrl(col("doc_id"), col("source")))
+        .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
+        .persist())
+    val b1 = base.filter(col("doc_id") % 2 === 0)
+    val b2 = base.filter(col("doc_id") % 2 === 1)
+    def urlState(b: DataFrame): DataFrame =
+      b.groupBy("canon_url")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+    def mergeState(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).groupBy("canon_url")
+        .agg(min("keeper_id").as("keeper_id"), sum("n_docs").as("n_docs"))
+    val state2 = mergeState(urlState(b1), urlState(b2))
+    base.join(state2, Seq("canon_url"))
+      .select(col("doc_id"), col("canon_url"), col("n_docs"),
+        (col("doc_id") === col("keeper_id")).as("keeper"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style LM quality bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
     * the head/middle/tail cut): score every document by the average

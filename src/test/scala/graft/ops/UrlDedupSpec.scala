@@ -55,4 +55,12 @@ class UrlDedupSpec extends SparkSpec {
     assert(out.filter(col("n_docs") > 1).count() > 0)
     CacheRegistry.harness.release()
   }
+
+  test("d101 incremental state reproduces the one-shot d93 verdicts") {
+    val oneShot = TextOps.d93UrlDedup(spark, "/root/testdata/sf0.001")
+    val incr = TextOps.d101IncrementalUrlDedup(spark, "/root/testdata/sf0.001")
+    assert(incr.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(incr).count() == 0)
+    CacheRegistry.harness.release()
+  }
 }
