@@ -454,6 +454,39 @@ object TextOps {
       : DataFrame =
     pairsFromBands(bandsFromKeys(priorSigs), bandsFromKeys(newSigs))
 
+  /** Land accumulated minhash band state as a bkey-BUCKETED table — the
+    * 100 TB layout for [[probeBandBucketedState]]'s per-batch probe. The
+    * state is stored EXPLODED ((doc_id, band, bkey), 4 rows per doc, keys
+    * from the stored `bk0..bk3` — never re-hashed) and bucketed on
+    * (band, bkey) — EXACTLY the probe join's keys: Spark's v1 bucketing
+    * only feeds a join when the bucket columns equal the join keys (a
+    * bkey-only bucketing is rejected by the planner — "disabled by query
+    * planner" — and both sides re-shuffle). With the match, the
+    * accumulated side arrives pre-partitioned: NO Exchange of the
+    * corpus-scale state per batch. Per-batch I/O: the state is READ
+    * (sequential bucket scan) but never SHUFFLED — the exchange, its
+    * network transfer, and its spill are paid only by the 4×|batch| probe
+    * rows. Appends accumulate batches; Spark validates the bucket spec on
+    * append.
+    */
+  def writeBandBucketedState(sigsWithKeys: DataFrame, tableName: String,
+      path: String, nBuckets: Int = 32): Unit =
+    bandsFromKeys(sigsWithKeys).write.mode("append")
+      .bucketBy(nBuckets, "band", "bkey").sortBy("band", "bkey")
+      .option("path", path).saveAsTable(tableName)
+
+  /** Probe a [[writeBandBucketedState]] table with a new batch: shingle +
+    * sign ONLY the batch, then [[pairsFromBands]] against the bucketed
+    * state — identical pair semantics to [[incrementalMinhashDedup]], but
+    * the accumulated side needs no exchange (BucketedStateSpec asserts
+    * the plan). The state must not contain the batch's own doc_ids (the
+    * same disjointness contract as the streaming sink).
+    */
+  def probeBandBucketedState(s: SparkSession, tableName: String,
+      batch: DataFrame): DataFrame =
+    pairsFromBands(s.table(tableName),
+      bandsFromKeys(minhashSignaturesWithKeys(batch)))
+
   /** Incremental near-dup detection — the q78 mergeable-state story applied
     * to dedup: deduplicating batch N+1 against the accumulated corpus costs
     * O(batch), not O(corpus).

@@ -475,6 +475,40 @@ object VectorOps {
   def trainCodebook(s: SparkSession, emb: DataFrame): DataFrame =
     codebookOf(kmeansLoopOn(s, emb)._2)
 
+  /** Land accumulated semantic-dedup assignment state as a cid-BUCKETED
+    * table — the 100 TB layout for [[probeCidBucketedState]]'s per-batch
+    * probe (the batch=N partition layout of the streaming sink reads the
+    * whole state per batch; this layout is what the O(touched clusters)
+    * claim requires). Bucketing on cid means the probe join's accumulated
+    * side arrives pre-partitioned on the join key — NO Exchange of the
+    * corpus-scale state per batch. Appends accumulate batches; Spark
+    * validates the bucket spec on append.
+    */
+  def writeCidBucketedState(assignments: DataFrame, tableName: String,
+      path: String, nBuckets: Int = 32): Unit =
+    assignments.write.mode("append")
+      .bucketBy(nBuckets, "cid").sortBy("cid")
+      .option("path", path).saveAsTable(tableName)
+
+  /** Probe a [[writeCidBucketedState]] table with a newly-assigned batch:
+    * same pair semantics as [[semanticPairs]], plus CLUSTER PRUNING — the
+    * batch touches at most k clusters (k = codebook size, a bounded
+    * driver-side collect), and filtering the state scan to those cids is
+    * a literal predicate Spark bucket-prunes on, so untouched clusters'
+    * buckets are never read. Per-batch state I/O is therefore
+    * O(touched clusters), and what IS read is never exchanged
+    * (BucketedStateSpec asserts both plan properties). The state must not
+    * contain the batch's own vec_ids (the streaming sink's disjointness
+    * contract).
+    */
+  def probeCidBucketedState(s: SparkSession, tableName: String,
+      newAssigned: DataFrame): DataFrame = {
+    val batchCids = newAssigned.select("cid").distinct().collect()
+      .map(_.get(0))
+    val prior = s.table(tableName).filter(col("cid").isin(batchCids: _*))
+    semanticPairs(s, prior, newAssigned)
+  }
+
   def incrementalSemanticDedup(s: SparkSession, codebook: DataFrame,
       priorAssigned: DataFrame, batch: DataFrame,
       reg: CacheRegistry = CacheRegistry.harness)
