@@ -537,6 +537,62 @@ object OracleGen {
      ORDER BY d.doc_id"""
   }
 
+  /** Image perceptual-hash near-dup (d98) matching
+    * [[graft.multimodal.Multimodal.d98ImageNearDup]]: the aHash is
+    * recomputed ANALYTICALLY from the deterministic pixel-generator
+    * contract (`imageGenParams`: class-keyed 24-bit md5 base, 3-bit
+    * perturbation, class-keyed dims; pixel = base XOR (x·31+y), masked to
+    * 24 bits) — the Spark side decodes REAL PNG bytes, the oracle
+    * re-derives the same pixels in SQL, and the two must agree bit for
+    * bit because every step is integer arithmetic (grayscale = r+g+b,
+    * bit = blockSum·64 > totalSum with equal-size blocks). Ground truth
+    * is the BRUTE-FORCE all-pairs Hamming scan, so the rotated-prefix
+    * bucketing's exact-recall claim is oracle-checked, not assumed.
+    * Bit 63's power term is written as (-9223372036854775807 - 1) + the
+    * positive powers: distinct powers of two never carry, so the signed
+    * 64-bit sum reproduces the Java `1L << 63` bit pattern without
+    * overflowing DuckDB's BIGINT.
+    */
+  val imageNearDup: String = {
+    val m = graft.multimodal.Multimodal.ImageDupClasses
+    val powerTerm =
+      """CASE WHEN by * 8 + bx = 63 THEN -9223372036854775807 - 1
+              ELSE (1::BIGINT << (by * 8 + bx)) END"""
+    s"""WITH img AS (
+         SELECT doc_id,
+           xor(('0x' || substr(md5('img:' ||
+                 CAST(doc_id % $m AS VARCHAR)), 1, 6))::BIGINT,
+               ((doc_id // $m) % 8) * 9) AS base,
+           32 + ((doc_id % $m) % 5) * 8 AS w,
+           32 + ((doc_id % $m) % 3) * 8 AS h
+         FROM documents),
+       px AS (
+         SELECT doc_id, w, h, x, y,
+           xor(base, ((x * 31 + y) * 2654435761) & 16777215) & 16777215 AS p
+         FROM img,
+           unnest(generate_series(0, w - 1)) AS tx(x),
+           unnest(generate_series(0, h - 1)) AS ty(y)),
+       g AS (
+         SELECT doc_id, y // (h // 8) AS by, x // (w // 8) AS bx,
+           ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255) AS gray
+         FROM px),
+       bs AS (
+         SELECT doc_id, by, bx, CAST(sum(gray) AS BIGINT) AS s
+         FROM g GROUP BY 1, 2, 3),
+       tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t
+         FROM bs GROUP BY 1),
+       ah AS (
+         SELECT bs.doc_id,
+           CAST(sum(CASE WHEN s * 64 > t THEN $powerTerm ELSE 0 END)
+             AS BIGINT) AS ahash
+         FROM bs JOIN tot USING (doc_id) GROUP BY 1)
+     SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+     FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+     ORDER BY d1, d2"""
+  }
+
   /** CCNet-style unigram-LM quality bucketing (t94) matching
     * [[graft.ops.TextOps.t94PerplexityBuckets]]: integer-quantized token
     * information averaged per doc, tertile cut via quantile_cont (the q32

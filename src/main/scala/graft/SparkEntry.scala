@@ -116,6 +116,7 @@ object SparkEntry {
     "t99_blocklist_filter" -> (TextOps.t99BlocklistFilter _),
     "t100_source_cap" -> (TextOps.t100SourceCap _),
     "d101_incremental_url" -> (TextOps.d101IncrementalUrlDedup _),
+    "d98_image_neardup" -> (graft.multimodal.Multimodal.d98ImageNearDup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -757,6 +758,7 @@ object SparkEntry {
     // state must reproduce the full recompute's verdicts (d84/d91/d92
     // convention)
     "d101_incremental_url" -> OracleGen.urlDedup,
+    "d98_image_neardup" -> OracleGen.imageNearDup,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
     "d95_lsh_recall" -> OracleGen.lshRecall,
     // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch

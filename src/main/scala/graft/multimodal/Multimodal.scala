@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -394,6 +394,184 @@ object Multimodal {
         Row(r.getLong(0), unit.toSeq)
       }
     }(enc)
+  }
+
+  /** Class modulus for [[imageDedupPayload]]: docs sharing doc_id mod
+    * this value render near-identical images (same dims, same base color
+    * pattern, a small per-doc perturbation) — the duplicate generator for
+    * d98, playing the role syntheticUrl plays for d93.
+    */
+  val ImageDupClasses = 150
+
+  /** Deterministic pixel-generator parameters for one document — the
+    * shared contract between the PNG synthesizer, the aHash spec twin,
+    * and the DuckDB oracle. Returns (base, w, h):
+    *  - cls = doc_id % [[ImageDupClasses]];
+    *  - base = 24-bit md5 draw on "img:cls" XOR a per-doc perturbation
+    *    (((doc_id div 150) % 8)·9 — up to 6 low blue bits) — same class ⇒
+    *    same image up to a small blue shift (a near-duplicate at varying
+    *    Hamming distance), same perturbation too ⇒ byte-identical image
+    *    (an exact duplicate);
+    *  - w = 32 + (cls%5)·8, h = 32 + (cls%3)·8 — always multiples of 8,
+    *    so the 8×8 aHash grid divides evenly (integer-exact blocks).
+    * pixel(x, y) = (base XOR ((x·31 + y)·2654435761 & 0xFFFFFF)) — the
+    * Knuth multiplicative scramble spreads pixel energy across all 24
+    * bits, so DIFFERENT classes get near-independent hashes (cross-class
+    * Hamming≤3 collisions are rare) while the XOR perturbation keeps
+    * same-class images genuinely near. All arithmetic fits
+    * a 64-bit long exactly in every engine (x·31+y ≤ ~2000, ×2654435761
+    * < 2^43).
+    */
+  def imageGenParams(docId: Long): (Int, Int, Int) = {
+    val cls = (docId % ImageDupClasses).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"img:$cls".getBytes("UTF-8"))
+      .take(3).map(b => f"$b%02x").mkString
+    val base24 = Integer.parseInt(hex, 16)
+    val pert = ((docId / ImageDupClasses) % 8).toInt * 9
+    (base24 ^ pert, 32 + (cls % 5) * 8, 32 + (cls % 3) * 8)
+  }
+
+  /** One real PNG per document from [[imageGenParams]]'s deterministic
+    * pixels — the d98 input (every doc gets an image; production reads
+    * the bytes from the lakehouse, the pipeline shape is identical).
+    */
+  def imageDedupPayload(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (base, w, h) = imageGenParams(id)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (base ^ (((x * 31 + y) * 2654435761L) & 0xffffff)).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", out)
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** 64-bit average-hash over the REAL decoded pixels: ImageIO decodes
+    * the full PNG (not header-only — this op needs pixels), grayscale =
+    * r+g+b (a pure sum; aHash compares against the mean, so scale drops
+    * out), the 8×8 grid averages blocks, and bit(by, bx) = 1 iff
+    * blockSum·64 > totalSum — integer-exact (all 64 blocks hold equal
+    * pixel counts because w, h are multiples of 8), so the DuckDB oracle
+    * reproduces the hash bit for bit from the generator formula with no
+    * float anywhere. Per-partition batch iteration like [[decodeMeta]];
+    * an undecodable payload yields a null hash (the corrupt-input
+    * marker).
+    */
+  def aHash64(withPayload: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayload.select("doc_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth % 8 != 0 || img.getHeight % 8 != 0)
+          Row(id, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val bw = w / 8
+          val bh = h / 8
+          val sums = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y) & 0xffffff
+              val gray =
+                ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+              sums((y / bh) * 8 + x / bw) += gray
+              total += gray
+              x += 1
+            }
+            y += 1
+          }
+          var ahash = 0L
+          var b = 0
+          while (b < 64) {
+            if (sums(b) * 64 > total) ahash |= (1L << b)
+            b += 1
+          }
+          Row(id, ahash)
+        }
+      }
+    }(enc)
+  }
+
+  /** Rotate-left of a full 64-bit value. */
+  private def rot64(c: Column, r: Int): Column =
+    if (r == 0) c
+    else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
+
+  /** Image perceptual-hash near-dup — the d98 query, extending the dedup
+    * family to the multimodal pillar: synthesize each doc's PNG, decode
+    * it for REAL ([[aHash64]]'s ImageIO path), then find all pairs at
+    * Hamming distance ≤ 3 via d27's rotated-prefix bucketing, 64-bit
+    * edition: 4 tables keyed by the 16-bit prefix at rotations
+    * 0/16/32/48. The four windows are DISJOINT and cover every bit
+    * exactly once, so a Hamming≤3 pair has at most 3 dirty windows and
+    * is GUARANTEED to share at least one bucket (pigeonhole — exact
+    * recall, unlike d27's probabilistic overlap). Candidates from any
+    * table, Hamming-refined map-side BEFORE the dedup shuffle, then
+    * distinct — an equi-join per table, never all-pairs. The DuckDB
+    * oracle recomputes the aHash analytically from the generator
+    * contract ([[imageGenParams]]) and brute-forces the ground-truth
+    * pair set — bucketing recall is therefore oracle-CHECKED, not
+    * assumed.
+    *
+    * Scale: hashing is map-side (one decode per payload); the candidate
+    * join is bounded by bucket occupancy (2^16 keyspace per table, ×4
+    * candidate volume) exactly like d27; nothing is quadratic in corpus
+    * size — only in duplicate-class size, the irreducible output.
+    */
+  def d98ImageNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.CacheRegistry
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+    // persist(): the one-row-per-doc hash table feeds both candidate
+    // self-join sides (same finding as d25/d26/d27)
+    val hashes = CacheRegistry.harness.add(
+      aHash64(imageDedupPayload(docs)).filter(col("ahash").isNotNull)
+        .persist())
+    val tableStructs = (0 until 4).map { t =>
+      struct(lit(t).as("tbl"),
+        shiftrightunsigned(rot64(col("ahash"), 16 * t), 48).as("bucket"))
+    }
+    val buckets = hashes
+      .select(col("doc_id"), col("ahash"),
+        explode(array(tableStructs: _*)).as("tb"))
+      .select(col("doc_id"), col("ahash"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("d1", "d2")
   }
 
   /** Frame sampling: up to `k` evenly-spaced frame indices per video row —

@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.betfair.SparkSpec
+import graft.ops.CacheRegistry
+
+/** [[Multimodal.d98ImageNearDup]] — the perceptual-hash near-dup family
+  * member: the REAL-decode aHash must equal the analytic formula, the
+  * rotated-prefix bucketing must have exact recall at Hamming ≤ 3, and
+  * the synthetic classes must produce both exact and near duplicates.
+  */
+class ImageNearDupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The aHash computed straight from the generator contract — no PNG,
+    * no ImageIO; the oracle's analytic twin in Scala.
+    */
+  private def formulaHash(docId: Long): Long = {
+    val (base, w, h) = Multimodal.imageGenParams(docId)
+    val bw = w / 8
+    val bh = h / 8
+    val sums = new Array[Long](64)
+    var total = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (base ^ (((x * 31 + y) * 2654435761L) & 0xffffff)).toInt & 0xffffff
+      val gray = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+      sums((y / bh) * 8 + x / bw) += gray
+      total += gray
+    }
+    (0 until 64).foldLeft(0L) { (acc, b) =>
+      if (sums(b) * 64 > total) acc | (1L << b) else acc
+    }
+  }
+
+  test("decoded-pixel aHash equals the analytic formula on every doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").limit(120)
+    val decoded = Multimodal.aHash64(Multimodal.imageDedupPayload(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decoded.size == 120)
+    decoded.foreach { case (id, ah) =>
+      assert(ah == formulaHash(id), s"doc $id: decode path disagrees")
+    }
+  }
+
+  test("bucketed pair set equals the brute-force ground truth (exact recall)") {
+    val out = Multimodal.d98ImageNearDup(spark, sf).persist()
+    CacheRegistry.harness.add(out)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val hashes = Multimodal.aHash64(Multimodal.imageDedupPayload(docs))
+      .persist()
+    CacheRegistry.harness.add(hashes)
+    val brute = hashes.as("a").join(hashes.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(out.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(out).count() == 0)
+    // the synthetic classes yield BOTH exact (hamming 0) and genuine
+    // near-duplicate (hamming 1..3) pairs, and the scrambled pixel
+    // pattern keeps the hash DISCRIMINATIVE: accidental cross-class
+    // collisions are a small minority of the pair set
+    assert(out.filter(col("hamming") === 0).count() > 0)
+    assert(out.filter(col("hamming") > 0).count() > 0)
+    val crossClass = out.filter(col("d1") % Multimodal.ImageDupClasses
+      =!= col("d2") % Multimodal.ImageDupClasses).count()
+    assert(crossClass * 5 < out.count(), s"hash not discriminative: " +
+      s"$crossClass cross-class of ${out.count()} pairs")
+    CacheRegistry.harness.release()
+  }
+
+  test("same class + same perturbation is byte-identical; different class diverges") {
+    import spark.implicits._
+    // doc 7 and doc 7 + 150*8 share class AND perturbation -> same bytes
+    val twinA = 7L
+    val twinB = 7L + Multimodal.ImageDupClasses * 8L
+    val payloads = Multimodal.imageDedupPayload(
+      Seq(twinA, twinB, 8L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(payloads(twinA), payloads(twinB)))
+    assert(!java.util.Arrays.equals(payloads(twinA), payloads(8L)))
+  }
+}
