@@ -537,6 +537,26 @@ object OracleGen {
      ORDER BY d.doc_id"""
   }
 
+  /** Brute-force Hamming≤3 pair tail over an `ah(doc_id, ahash)` CTE —
+    * shared by the d98 and d102 oracles (ground truth is all-pairs, so
+    * the Spark side's bucketing recall is checked, not assumed).
+    */
+  private val hammingPairTail: String =
+    """SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+     FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+     ORDER BY d1, d2"""
+
+  /** Signed-64 power term for bit index `bitExpr` — bit 63 is written as
+    * (-9223372036854775807 - 1) so summing distinct powers reproduces the
+    * Java `1L << 63` bit pattern without overflowing DuckDB's BIGINT
+    * (distinct powers of two never carry).
+    */
+  private def bitPowerTerm(bitExpr: String): String =
+    s"""CASE WHEN $bitExpr = 63 THEN -9223372036854775807 - 1
+            ELSE (1::BIGINT << ($bitExpr)) END"""
+
   /** Image perceptual-hash near-dup (d98) matching
     * [[graft.multimodal.Multimodal.d98ImageNearDup]]: the aHash is
     * recomputed ANALYTICALLY from the deterministic pixel-generator
@@ -555,9 +575,7 @@ object OracleGen {
     */
   val imageNearDup: String = {
     val m = graft.multimodal.Multimodal.ImageDupClasses
-    val powerTerm =
-      """CASE WHEN by * 8 + bx = 63 THEN -9223372036854775807 - 1
-              ELSE (1::BIGINT << (by * 8 + bx)) END"""
+    val powerTerm = bitPowerTerm("by * 8 + bx")
     s"""WITH img AS (
          SELECT doc_id,
            xor(('0x' || substr(md5('img:' ||
@@ -586,11 +604,42 @@ object OracleGen {
            CAST(sum(CASE WHEN s * 64 > t THEN $powerTerm ELSE 0 END)
              AS BIGINT) AS ahash
          FROM bs JOIN tot USING (doc_id) GROUP BY 1)
-     SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-     FROM ah a JOIN ah b ON a.doc_id < b.doc_id
-     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-     ORDER BY d1, d2"""
+     $hammingPairTail"""
+  }
+
+  /** Audio energy-hash near-dup (d102) matching
+    * [[graft.multimodal.Multimodal.d102AudioNearDup]]: the 64-window
+    * energy hash recomputed analytically from the PCM generator contract
+    * (`audioGenParams`: class-keyed odd multiplier, per-doc XOR
+    * perturbation on sample bits 7-9, class-keyed frame count; WAV is
+    * lossless so the Spark side's real decode returns these exact
+    * samples). Same integer-exact window rule and brute-force ground
+    * truth as [[imageNearDup]].
+    */
+  val audioNearDup: String = {
+    val m = graft.multimodal.Multimodal.AudioDupClasses
+    s"""WITH ad AS (
+         SELECT doc_id,
+           2654435761 + 2 * ('0x' || substr(md5('wav:' ||
+             CAST(doc_id % $m AS VARCHAR)), 1, 6))::BIGINT AS mult,
+           ((doc_id // $m) % 8) << 7 AS pert,
+           1024 + ((doc_id % $m) % 4) * 256 AS frames
+         FROM documents),
+       sm AS (
+         SELECT doc_id, i // (frames // 64) AS win,
+           abs(xor(((i * mult) & 16777215) >> 8, pert) - 32768) AS e
+         FROM ad, unnest(generate_series(0, frames - 1)) AS t(i)),
+       ws AS (
+         SELECT doc_id, win, CAST(sum(e) AS BIGINT) AS s
+         FROM sm GROUP BY 1, 2),
+       tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t
+         FROM ws GROUP BY 1),
+       ah AS (
+         SELECT ws.doc_id,
+           CAST(sum(CASE WHEN s * 64 > t THEN ${bitPowerTerm("win")}
+                    ELSE 0 END) AS BIGINT) AS ahash
+         FROM ws JOIN tot USING (doc_id) GROUP BY 1)
+     $hammingPairTail"""
   }
 
   /** CCNet-style unigram-LM quality bucketing (t94) matching

@@ -117,6 +117,7 @@ object SparkEntry {
     "t100_source_cap" -> (TextOps.t100SourceCap _),
     "d101_incremental_url" -> (TextOps.d101IncrementalUrlDedup _),
     "d98_image_neardup" -> (graft.multimodal.Multimodal.d98ImageNearDup _),
+    "d102_audio_neardup" -> (graft.multimodal.Multimodal.d102AudioNearDup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -759,6 +760,7 @@ object SparkEntry {
     // convention)
     "d101_incremental_url" -> OracleGen.urlDedup,
     "d98_image_neardup" -> OracleGen.imageNearDup,
+    "d102_audio_neardup" -> OracleGen.audioNearDup,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
     "d95_lsh_recall" -> OracleGen.lshRecall,
     // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch

@@ -524,6 +524,42 @@ object Multimodal {
     if (r == 0) c
     else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
 
+  /** All pairs at Hamming distance ≤ `maxHamming` over a
+    * (doc_id, ahash) table via rotated-prefix bucketing, 64-bit form:
+    * 4 tables keyed by the 16-bit prefix at rotations 0/16/32/48. The
+    * four windows are DISJOINT and cover every bit exactly once, so for
+    * maxHamming ≤ 3 a qualifying pair has at most 3 dirty windows and
+    * is GUARANTEED to share at least one bucket (pigeonhole — exact
+    * recall). Candidates from any table, Hamming-refined map-side BEFORE
+    * the dedup shuffle, then distinct — an equi-join per table, never
+    * all-pairs; cost is bounded by bucket occupancy (2^16 keyspace per
+    * table), quadratic only in duplicate-class size, the irreducible
+    * output. Shared by the image (d98) and audio (d102) near-dup ops.
+    */
+  private def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"exact recall needs maxHamming <= 3 with 4 disjoint windows")
+    val tableStructs = (0 until 4).map { t =>
+      struct(lit(t).as("tbl"),
+        shiftrightunsigned(rot64(col("ahash"), 16 * t), 48).as("bucket"))
+    }
+    val buckets = hashes
+      .select(col("doc_id"), col("ahash"),
+        explode(array(tableStructs: _*)).as("tb"))
+      .select(col("doc_id"), col("ahash"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
   /** Image perceptual-hash near-dup — the d98 query, extending the dedup
     * family to the multimodal pillar: synthesize each doc's PNG, decode
     * it for REAL ([[aHash64]]'s ImageIO path), then find all pairs at
@@ -553,25 +589,137 @@ object Multimodal {
     val hashes = CacheRegistry.harness.add(
       aHash64(imageDedupPayload(docs)).filter(col("ahash").isNotNull)
         .persist())
-    val tableStructs = (0 until 4).map { t =>
-      struct(lit(t).as("tbl"),
-        shiftrightunsigned(rot64(col("ahash"), 16 * t), 48).as("bucket"))
-    }
-    val buckets = hashes
-      .select(col("doc_id"), col("ahash"),
-        explode(array(tableStructs: _*)).as("tb"))
-      .select(col("doc_id"), col("ahash"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
-      .orderBy("d1", "d2")
+    hammingPairs(hashes, 3)
+  }
+
+  /** Class modulus for [[audioDedupPayload]] — the audio analog of
+    * [[ImageDupClasses]] (a different modulus, so audio and image
+    * duplicate classes cut the corpus differently).
+    */
+  val AudioDupClasses = 130
+
+  /** Deterministic PCM-generator parameters for one document — the
+    * shared contract between the WAV synthesizer, the energy-hash spec
+    * twin, and the DuckDB oracle. Returns (mult, pert, frames):
+    *  - cls = doc_id % [[AudioDupClasses]];
+    *  - mult = 2654435761 + 2·(24-bit md5 draw on "wav:cls") — an ODD
+    *    class-keyed multiplier, so each class gets its own
+    *    pseudo-random sample sequence (cross-class energy hashes are
+    *    near-independent);
+    *  - pert = ((doc_id div 130) % 8) << 7 — a per-doc XOR on sample
+    *    bits 7-9: same class ⇒ near-identical signal (small Hamming),
+    *    same pert too ⇒ byte-identical WAV (an exact duplicate);
+    *  - frames = 1024 + (cls%4)·256 — always a multiple of 64, so the
+    *    64-window energy grid divides evenly.
+    * sample(i) = (((i·mult) & 0xFFFFFF) >> 8) XOR pert − 32768.
+    * All arithmetic fits a 64-bit long exactly in every engine
+    * (i·mult < 2^43).
+    */
+  def audioGenParams(docId: Long): (Long, Int, Int) = {
+    val cls = (docId % AudioDupClasses).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"wav:$cls".getBytes("UTF-8"))
+      .take(3).map(b => f"$b%02x").mkString
+    val base24 = Integer.parseInt(hex, 16)
+    val pert = (((docId / AudioDupClasses) % 8) << 7).toInt
+    (2654435761L + 2L * base24, pert, 1024 + (cls % 4) * 256)
+  }
+
+  /** One real WAV per document (RIFF + 16-bit LE mono PCM via
+    * `javax.sound.sampled`, like [[attachPayload]]'s audio arm) from
+    * [[audioGenParams]]'s deterministic samples — the d102 input.
+    */
+  def audioDedupPayload(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (mult, pert, frames) = audioGenParams(id)
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val sRaw = ((i * mult) & 0xffffff) >> 8
+          val v = ((sRaw ^ pert) - 32768).toShort
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(SynthSampleRate.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val out = new ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+        Row(id, out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** 64-bit energy hash over the REAL decoded PCM: `javax.sound` parses
+    * the RIFF container and hands back the sample stream (WAV is
+    * lossless, so the round trip is bit-exact), energy = |sample| per
+    * frame, 64 equal windows, bit(k) = windowSum·64 > totalSum — the
+    * audio twin of [[aHash64]]'s integer-exact block rule, so the
+    * DuckDB oracle reproduces the hash bit for bit from the generator
+    * formula. An undecodable payload yields a null hash.
+    */
+  def audioHash64(withPayload: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayload.select("doc_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val pcm =
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            try ais.readAllBytes() finally ais.close()
+          } catch { case _: Exception => null }
+        val frames = if (pcm == null) 0 else pcm.length / 2
+        if (frames == 0 || frames % 64 != 0) Row(id, null)
+        else {
+          val wlen = frames / 64
+          val sums = new Array[Long](64)
+          var total = 0L
+          var i = 0
+          while (i < frames) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort
+            val e = math.abs(v.toLong)
+            sums(i / wlen) += e
+            total += e
+            i += 1
+          }
+          var ahash = 0L
+          var b = 0
+          while (b < 64) {
+            if (sums(b) * 64 > total) ahash |= (1L << b)
+            b += 1
+          }
+          Row(id, ahash)
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio perceptual-hash near-dup — the d102 query, the audio member
+    * of the dedup family (image d98's shape on the second modality):
+    * synthesize each doc's WAV, decode the REAL PCM, energy-hash it,
+    * and find all pairs at Hamming ≤ 3 via the shared
+    * [[hammingPairs]] rotated-prefix bucketing (exact recall by
+    * pigeonhole, oracle-checked against the brute-force ground truth
+    * recomputed analytically from [[audioGenParams]]).
+    */
+  def d102AudioNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.CacheRegistry
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+    val hashes = CacheRegistry.harness.add(
+      audioHash64(audioDedupPayload(docs)).filter(col("ahash").isNotNull)
+        .persist())
+    hammingPairs(hashes, 3)
   }
 
   /** Frame sampling: up to `k` evenly-spaced frame indices per video row —

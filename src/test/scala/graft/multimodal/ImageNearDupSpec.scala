@@ -72,6 +72,48 @@ class ImageNearDupSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  /** The audio energy hash computed straight from the PCM generator
+    * contract — no WAV, no javax.sound; the d102 oracle's analytic twin.
+    */
+  private def audioFormulaHash(docId: Long): Long = {
+    val (mult, pert, frames) = Multimodal.audioGenParams(docId)
+    val wlen = frames / 64
+    val sums = new Array[Long](64)
+    var total = 0L
+    for (i <- 0 until frames) {
+      val sRaw = ((i * mult) & 0xffffff) >> 8
+      val e = math.abs((sRaw ^ pert) - 32768)
+      sums(i / wlen) += e
+      total += e
+    }
+    (0 until 64).foldLeft(0L) { (acc, b) =>
+      if (sums(b) * 64 > total) acc | (1L << b) else acc
+    }
+  }
+
+  test("decoded-PCM energy hash equals the analytic formula on every doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").limit(120)
+    val decoded = Multimodal.audioHash64(Multimodal.audioDedupPayload(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decoded.size == 120)
+    decoded.foreach { case (id, ah) =>
+      assert(ah == audioFormulaHash(id), s"doc $id: decode path disagrees")
+    }
+  }
+
+  test("d102 audio pairs carry exact and near duplicates, discriminatively") {
+    val out = Multimodal.d102AudioNearDup(spark, sf).persist()
+    CacheRegistry.harness.add(out)
+    assert(out.filter(col("hamming") === 0).count() > 0)
+    assert(out.filter(col("hamming") > 0).count() > 0)
+    val crossClass = out.filter(col("d1") % Multimodal.AudioDupClasses
+      =!= col("d2") % Multimodal.AudioDupClasses).count()
+    assert(crossClass * 5 < out.count(), s"audio hash not discriminative: " +
+      s"$crossClass cross-class of ${out.count()} pairs")
+    CacheRegistry.harness.release()
+  }
+
   test("same class + same perturbation is byte-identical; different class diverges") {
     import spark.implicits._
     // doc 7 and doc 7 + 150*8 share class AND perturbation -> same bytes
