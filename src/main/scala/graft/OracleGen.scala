@@ -642,6 +642,41 @@ object OracleGen {
      $hammingPairTail"""
   }
 
+  /** Video clip-overlap near-dup (d103) matching
+    * [[graft.multimodal.Multimodal.d103VideoOverlap]]: the identical
+    * class-stream clip model (md5("vid:cls:k") fingerprints, offset and
+    * length from the doc id) and the identical integer-exact containment
+    * rule, with brute-force shared-fingerprint pairing as ground truth.
+    */
+  val videoOverlap: String = {
+    val m = graft.multimodal.Multimodal.VideoDupClasses
+    s"""WITH vd AS (
+         SELECT doc_id,
+           doc_id % $m AS cls,
+           ((doc_id // $m) % 4) * 16 AS off,
+           64 + ((doc_id % $m) % 3) * 16 AS n
+         FROM documents),
+       fr AS (
+         SELECT doc_id,
+           md5('vid:' || CAST(cls AS VARCHAR) || ':' || CAST(k AS VARCHAR))
+             AS fp
+         FROM vd, unnest(generate_series(off, off + n - 1)) AS t(k)),
+       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         FROM fr GROUP BY 1),
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(count(*) AS BIGINT) AS inter
+         FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+     SELECT d1, d2, inter, sa.sz AS sz1, sb.sz AS sz2,
+       (inter * 10000) // least(sa.sz, sb.sz) AS containment_q
+     FROM pr
+     JOIN sz sa ON sa.doc_id = d1
+     JOIN sz sb ON sb.doc_id = d2
+     WHERE inter * 5 >= least(sa.sz, sb.sz) * 4
+     ORDER BY d1, d2"""
+  }
+
   /** CCNet-style unigram-LM quality bucketing (t94) matching
     * [[graft.ops.TextOps.t94PerplexityBuckets]]: integer-quantized token
     * information averaged per doc, tertile cut via quantile_cont (the q32

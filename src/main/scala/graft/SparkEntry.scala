@@ -118,6 +118,7 @@ object SparkEntry {
     "d101_incremental_url" -> (TextOps.d101IncrementalUrlDedup _),
     "d98_image_neardup" -> (graft.multimodal.Multimodal.d98ImageNearDup _),
     "d102_audio_neardup" -> (graft.multimodal.Multimodal.d102AudioNearDup _),
+    "d103_video_overlap" -> (graft.multimodal.Multimodal.d103VideoOverlap _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -761,6 +762,7 @@ object SparkEntry {
     "d101_incremental_url" -> OracleGen.urlDedup,
     "d98_image_neardup" -> OracleGen.imageNearDup,
     "d102_audio_neardup" -> OracleGen.audioNearDup,
+    "d103_video_overlap" -> OracleGen.videoOverlap,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
     "d95_lsh_recall" -> OracleGen.lshRecall,
     // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch

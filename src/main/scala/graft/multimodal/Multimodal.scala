@@ -6,6 +6,7 @@ import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -720,6 +721,67 @@ object Multimodal {
       audioHash64(audioDedupPayload(docs)).filter(col("ahash").isNotNull)
         .persist())
     hammingPairs(hashes, 3)
+  }
+
+  /** Class modulus for [[d103VideoOverlap]]'s synthetic clip model. */
+  val VideoDupClasses = 120
+
+  /** Clip-overlap video near-dup over a (doc_id, fp) frame-fingerprint
+    * table — the REAL operator of the d103 query, generic over where the
+    * fingerprints come from (production: [[frameSample]]'s frame indices
+    * → per-frame decode → a perceptual hash per frame — the frame DECODE
+    * is this engine's declared video stub, the dedup plumbing is live).
+    * Two videos are near-duplicates when the smaller one's frame set is
+    * ≥ 4/5 contained in the other — the d97 containment convention at
+    * clip granularity, which is exactly how re-uploads, trims, and
+    * re-intros of the same footage present: a shifted/trimmed WINDOW
+    * over a shared frame stream, high containment, Jaccard diluted by
+    * the extra footage.
+    *
+    * Scale: one shared-fingerprint equi-join (the d25 candidate shape —
+    * never all-pairs; a fingerprint's fan-out is bounded by how many
+    * clips actually contain that frame, the irreducible dup density),
+    * one partial-aggregable pair count, per-doc sizes ride the window
+    * column like cappedJaccardInter. Integer-exact verdict
+    * (5·inter ≥ 4·min(sz)) and quantized containment — no float.
+    */
+  def videoClipOverlap(frames: DataFrame): DataFrame = {
+    val sized = frames.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 5 >= least(col("sz1"), col("sz2")) * 4)
+      .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+        expr("(inter * 10000) div least(sz1, sz2)").as("containment_q"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Video clip-overlap near-dup — the d103 query, completing the
+    * multimodal dedup trio (image d98, audio d102, video here). The
+    * synthetic clip model: each class (doc_id mod [[VideoDupClasses]])
+    * owns a virtual source stream of frame fingerprints
+    * md5("vid:cls:k"); a document is a CLIP of that stream — offset
+    * ((doc_id div 120) mod 4)·16, length 64 + (cls mod 3)·16 — so
+    * same-class clips overlap by construction (trims/shifts of shared
+    * footage) and cross-class clips share nothing. Fingerprint
+    * synthesis is pure codegen'd column work (sequence → transform →
+    * md5 → explode, no UDF); the DuckDB oracle builds the identical
+    * stream and brute-runs the same containment rule.
+    */
+  def d103VideoOverlap(s: SparkSession, d: String): DataFrame = {
+    val cls = col("doc_id") % VideoDupClasses
+    val off = (expr(s"doc_id div $VideoDupClasses") % 4) * 16
+    val n = lit(64) + (cls % 3) * 16
+    val frames = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(transform(sequence(off, off + n - 1),
+          k => md5(concat(lit("vid:"), cls.cast("string"), lit(":"),
+            k.cast("string"))))).as("fp"))
+    videoClipOverlap(frames)
   }
 
   /** Frame sampling: up to `k` evenly-spaced frame indices per video row —

@@ -114,6 +114,25 @@ class ImageNearDupSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("d103 video clip overlap: containment semantics on the clip model") {
+    val out = Multimodal.d103VideoOverlap(spark, sf).persist()
+    CacheRegistry.harness.add(out)
+    // every pair is same-class (cross-class clips share no frames) and
+    // inter never exceeds the smaller clip
+    assert(out.filter(col("d1") % Multimodal.VideoDupClasses
+      =!= col("d2") % Multimodal.VideoDupClasses).count() == 0)
+    assert(out.filter(col("inter") > least(col("sz1"), col("sz2")))
+      .count() == 0)
+    // exact duplicates (same offset+length => containment 10000) and
+    // genuine partial overlaps both occur
+    assert(out.filter(col("containment_q") === 10000).count() > 0)
+    assert(out.filter(col("containment_q") < 10000).count() > 0)
+    // the verdict threshold holds: nothing below 4/5 containment
+    assert(out.filter(col("inter") * 5 <
+      least(col("sz1"), col("sz2")) * 4).count() == 0)
+    CacheRegistry.harness.release()
+  }
+
   test("same class + same perturbation is byte-identical; different class diverges") {
     import spark.implicits._
     // doc 7 and doc 7 + 150*8 share class AND perturbation -> same bytes
