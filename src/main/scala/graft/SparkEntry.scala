@@ -119,6 +119,8 @@ object SparkEntry {
     "d98_image_neardup" -> (graft.multimodal.Multimodal.d98ImageNearDup _),
     "d102_audio_neardup" -> (graft.multimodal.Multimodal.d102AudioNearDup _),
     "d103_video_overlap" -> (graft.multimodal.Multimodal.d103VideoOverlap _),
+    "d104_incremental_image" ->
+      (graft.multimodal.Multimodal.d104IncrementalImageDedup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -763,6 +765,9 @@ object SparkEntry {
     "d98_image_neardup" -> OracleGen.imageNearDup,
     "d102_audio_neardup" -> OracleGen.audioNearDup,
     "d103_video_overlap" -> OracleGen.videoOverlap,
+    // deliberately the ONE-SHOT d98 oracle: the batch-by-batch hash state
+    // must reproduce the full recompute's pair set (d84/d101 convention)
+    "d104_incremental_image" -> OracleGen.imageNearDup,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
     "d95_lsh_recall" -> OracleGen.lshRecall,
     // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch

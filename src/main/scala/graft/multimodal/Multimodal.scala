@@ -540,15 +540,7 @@ object Multimodal {
   private def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       s"exact recall needs maxHamming <= 3 with 4 disjoint windows")
-    val tableStructs = (0 until 4).map { t =>
-      struct(lit(t).as("tbl"),
-        shiftrightunsigned(rot64(col("ahash"), 16 * t), 48).as("bucket"))
-    }
-    val buckets = hashes
-      .select(col("doc_id"), col("ahash"),
-        explode(array(tableStructs: _*)).as("tb"))
-      .select(col("doc_id"), col("ahash"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val buckets = hashBuckets(hashes)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -558,6 +550,83 @@ object Multimodal {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .orderBy("d1", "d2")
+  }
+
+  /** The 4 rotated-prefix bucket rows per hash — (doc_id, ahash, tbl,
+    * bucket); the schema the incremental state stores, so later batches
+    * probe stored keys instead of re-bucketing accumulated hashes.
+    */
+  private def hashBuckets(hashes: DataFrame): DataFrame = {
+    val tableStructs = (0 until 4).map { t =>
+      struct(lit(t).as("tbl"),
+        shiftrightunsigned(rot64(col("ahash"), 16 * t), 48).as("bucket"))
+    }
+    hashes
+      .select(col("doc_id"), col("ahash"),
+        explode(array(tableStructs: _*)).as("tb"))
+      .select(col("doc_id"), col("ahash"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Near-dup pairs of one incremental step over perceptual hashes — the
+    * d84 `pairsFromBands` pattern on the Hamming family: new-vs-prior via
+    * the bucket probe join plus new-vs-new via the batch's own self-join,
+    * identical Hamming semantics to [[hammingPairs]]. `prior` must not
+    * contain the batch's own doc_ids; the `=!=` guard degrades an
+    * accidental overlap to missed cross pairs, never corrupt self-pairs.
+    * Per-batch cost: hash ONLY the batch (one decode each), probe
+    * 4×|batch| bucket rows against the accumulated bucket table — store
+    * it bucketed on (tbl, bucket) (the [[graft.ops.TextOps]]
+    * writeBandBucketedState recipe, bucket cols = join keys) and the
+    * probe never exchanges the accumulated side.
+    */
+  def incrementalHammingPairs(prior: DataFrame, batch: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"exact recall needs maxHamming <= 3 with 4 disjoint windows")
+    val pb = hashBuckets(prior)
+    val nb = hashBuckets(batch)
+    val cross = nb.as("a")
+      .join(pb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
+          .as("hamming"))
+    val self = nb.as("a")
+      .join(nb.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
+          .as("hamming"))
+    cross.unionByName(self)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Two-batch incremental image dedup over the whole corpus — the d104
+    * query: the d84 even/odd convention applied to the multimodal pillar.
+    * Batch 1 hashes the even docs (self pairs only), batch 2 hashes the
+    * odd docs and probes batch 1's ACCUMULATED hash state (old payloads
+    * are never re-decoded — the per-doc hash is the mergeable state, 8
+    * bytes per image); the union of the two batches' pair sets must
+    * equal the one-shot [[d98ImageNearDup]] exactly, so the oracle is
+    * deliberately d98's (the full-recompute SQL).
+    */
+  def d104IncrementalImageDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.CacheRegistry
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+    val hashes = CacheRegistry.harness.add(
+      aHash64(imageDedupPayload(docs)).filter(col("ahash").isNotNull)
+        .persist())
+    val b1 = hashes.filter(col("doc_id") % 2 === 0)
+    val b2 = hashes.filter(col("doc_id") % 2 === 1)
+    val empty = hashes.filter(lit(false))
+    incrementalHammingPairs(empty, b1)
+      .unionByName(incrementalHammingPairs(b1, b2))
       .orderBy("d1", "d2")
   }
 

@@ -133,6 +133,14 @@ class ImageNearDupSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("d104 incremental hash state reproduces the one-shot d98 pairs") {
+    val oneShot = Multimodal.d98ImageNearDup(spark, sf)
+    val incr = Multimodal.d104IncrementalImageDedup(spark, sf)
+    assert(incr.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(incr).count() == 0)
+    CacheRegistry.harness.release()
+  }
+
   test("same class + same perturbation is byte-identical; different class diverges") {
     import spark.implicits._
     // doc 7 and doc 7 + 150*8 share class AND perturbation -> same bytes
