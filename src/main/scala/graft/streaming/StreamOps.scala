@@ -245,6 +245,53 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming incremental PERCEPTUAL-HASH dedup —
+    * [[incrementalDedupStream]]'s state layout applied to the multimodal
+    * pillar, completing the batch one-shot (d98) / oracle-gated
+    * incremental (d104) / streaming sink trio for the Hamming family.
+    * Per micro-batch of (doc_id, payload) media rows: decode + hash ONLY
+    * the batch ([[graft.multimodal.Multimodal.aHash64]] — one real codec
+    * round-trip per payload, never a re-decode of history), publish the
+    * batch's own (doc_id, ahash) `batch=N` partition — EIGHT BYTES of
+    * state per image, the cheapest accumulated state in the whole dedup
+    * family — then probe the prior partitions through
+    * [[graft.multimodal.Multimodal.incrementalHammingPairs]] (stored
+    * hashes re-bucket with four shifts; nothing re-reads payload bytes).
+    *
+    * Effectively-once exactly like the minhash/semantic sinks:
+    * deterministic `batch=id` partitions staged in sibling `.tmp` dirs,
+    * one atomic rename ([[publishPartition]]), probe side
+    * partition-prunes `batch=id` away, so a foreachBatch replay
+    * reproduces identical state and pairs. Input batches must carry
+    * disjoint doc_ids (the batch API's contract; the `=!=` guard in the
+    * cross probe degrades an overlap to missed pairs, never corrupt
+    * self-pairs).
+    *
+    * Layout: `statePath/batch=N/` = (doc_id, ahash) partition of
+    * micro-batch N; `statePath.pairs/batch=N/` = Hamming≤3 pairs emitted
+    * by micro-batch N. Returns the started query (caller stops it).
+    */
+  def imageDedupStream(spark: SparkSession, media: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.multimodal.Multimodal.aHash64(batch.toDF())
+          .filter(col("ahash").isNotNull)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+        val all = spark.read.parquet(statePath)
+        val mine = all.filter(col("batch") === id).drop("batch")
+        val prior = all.filter(col("batch") =!= id).drop("batch")
+        graft.multimodal.Multimodal.incrementalHammingPairs(prior, mine)
+          .write.mode("overwrite").parquet(s"$statePath.pairs.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.pairs.tmp/batch=$id",
+          s"$statePath.pairs/batch=$id")
+      }
+      .start()
+
   /** Streaming incremental SEMANTIC dedup — [[incrementalDedupStream]]'s
     * state layout applied to the third dedup modality, completing
     * batch+streaming parity for the whole family (exact

@@ -151,6 +151,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(s.read.parquet(state).count() == fullSigs.count())
   }
 
+  test("image dedup stream accumulates 8-byte hash state and reproduces " +
+      "the one-shot d98 pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("imgdedup").toString
+    val state = s"$dir/hashes"
+    // real synthesized PNG payloads (they carry the d98 class structure),
+    // streamed in two disjoint batches
+    val payloads = graft.multimodal.Multimodal.imageDedupPayload(
+        graft.Tables.documents(s, "/root/testdata/sf0.001")
+          .select("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (b1, b2) = payloads.partition(_._1 < 250)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val media = mem.toDF().toDF("doc_id", "payload")
+    val q = StreamOps.imageDedupStream(s, media, state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.read.parquet(s"$state.pairs")
+      .select("d1", "d2", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.multimodal.Multimodal
+      .d98ImageNearDup(s, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+    // the published snapshot holds one 8-byte hash per document
+    assert(s.read.parquet(state).count() == payloads.length)
+    graft.ops.CacheRegistry.harness.release()
+  }
+
   test("semantic dedup stream accumulates assignments and reproduces the " +
       "fixed-centroid one-shot pairs") {
     val s = spark
