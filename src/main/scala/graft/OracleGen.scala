@@ -642,6 +642,19 @@ object OracleGen {
      $hammingPairTail"""
   }
 
+  /** Image-hash cluster assignment (d105) matching
+    * [[graft.multimodal.Multimodal.d105ImageClusters]]: the d46 recipe on
+    * the d98 pair set — DuckDB's recursive CTE computes full
+    * reachability over the analytic-hash pairs and labels each doc with
+    * the min reachable doc_id, the same fixpoint the Spark
+    * connected-components loop converges to.
+    */
+  val imageClusters: String =
+    s"""WITH RECURSIVE ${ccChain(imageNearDup)}
+     SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS csize
+     FROM comp ORDER BY doc_id"""
+
   /** Video clip-overlap near-dup (d103) matching
     * [[graft.multimodal.Multimodal.d103VideoOverlap]]: the identical
     * class-stream clip model (md5("vid:cls:k") fingerprints, offset and
@@ -780,9 +793,9 @@ object OracleGen {
     * full reachability (fine at oracle scale), then labels each doc with the
     * min reachable doc_id — the same fixpoint the Spark loop converges to.
     */
-  private val ccCtes: String =
+  private def ccChain(pairsSql: String): String =
     s"""edges AS (
-         SELECT d1, d2 FROM ($minhashLsh) mh),
+         SELECT d1, d2 FROM ($pairsSql) mh),
        sym AS (
          SELECT d1 AS a, d2 AS b FROM edges
          UNION
@@ -794,6 +807,8 @@ object OracleGen {
          FROM reach JOIN sym s ON s.a = reach.r),
        comp AS (
          SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)"""
+
+  private val ccCtes: String = ccChain(minhashLsh)
 
   val dedupClusters: String =
     s"""WITH RECURSIVE $ccCtes

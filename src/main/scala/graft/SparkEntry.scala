@@ -121,6 +121,8 @@ object SparkEntry {
     "d103_video_overlap" -> (graft.multimodal.Multimodal.d103VideoOverlap _),
     "d104_incremental_image" ->
       (graft.multimodal.Multimodal.d104IncrementalImageDedup _),
+    "d105_image_clusters" ->
+      (graft.multimodal.Multimodal.d105ImageClusters _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -768,6 +770,7 @@ object SparkEntry {
     // deliberately the ONE-SHOT d98 oracle: the batch-by-batch hash state
     // must reproduce the full recompute's pair set (d84/d101 convention)
     "d104_incremental_image" -> OracleGen.imageNearDup,
+    "d105_image_clusters" -> OracleGen.imageClusters,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
     "d95_lsh_recall" -> OracleGen.lshRecall,
     // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch

@@ -792,6 +792,25 @@ object Multimodal {
     hammingPairs(hashes, 3)
   }
 
+  /** Image-hash duplicate-cluster assignment — the d105 query, d46's
+    * shape on the multimodal pillar: the d98 Hamming≤3 pair set feeds
+    * the shared min-label connected-components loop
+    * ([[graft.ops.TextOps.connectedComponents]] — pointer jumping,
+    * O(log n) rounds, the same machinery every text dedup family member
+    * uses), and each clustered image carries its component label and
+    * component size. Together with d98 (pairs), d104 (incremental), and
+    * the streaming sink, the perceptual family now has the full
+    * pairs→clusters→keeper story the minhash family has.
+    */
+  def d105ImageClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = d98ImageNearDup(s, d).select(col("d1"), col("d2"))
+    val labels = graft.ops.TextOps.connectedComponents(edges)
+    val byComp = Window.partitionBy("component")
+    labels
+      .withColumn("csize", count(lit(1)).over(byComp))
+      .orderBy("doc_id")
+  }
+
   /** Class modulus for [[d103VideoOverlap]]'s synthetic clip model. */
   val VideoDupClasses = 120
 
