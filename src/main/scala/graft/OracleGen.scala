@@ -655,6 +655,35 @@ object OracleGen {
        count(*) OVER (PARTITION BY component) AS csize
      FROM comp ORDER BY doc_id"""
 
+  /** Cross-modal composed dedup verdict (d106) matching
+    * [[graft.multimodal.Multimodal.d106MultimodalDedup]]: the d24
+    * canonical-text keeper (null-safe fp join), the d105 image component
+    * representative (unclustered ⇒ keeper), and the d93 URL keeper,
+    * composed per doc from the same sub-oracles those queries use.
+    */
+  val multimodalDedup: String =
+    s"""WITH RECURSIVE ${ccChain(imageNearDup)},
+       fp AS (
+         SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fp
+         FROM documents),
+       fk AS (SELECT fp, min(doc_id) AS tkeeper FROM fp GROUP BY fp),
+       tv AS (
+         SELECT fp.doc_id, fp.doc_id = fk.tkeeper AS keep_text
+         FROM fp JOIN fk ON fp.fp IS NOT DISTINCT FROM fk.fp),
+       uv AS (SELECT doc_id, keeper AS keep_url FROM ($urlDedup) u)
+     SELECT tv.doc_id, tv.keep_text,
+       (comp.component IS NULL OR comp.component = tv.doc_id) AS keep_image,
+       uv.keep_url,
+       (tv.keep_text
+         AND (comp.component IS NULL OR comp.component = tv.doc_id)
+         AND uv.keep_url) AS kept
+     FROM tv
+     JOIN uv USING (doc_id)
+     LEFT JOIN comp ON comp.doc_id = tv.doc_id
+     ORDER BY tv.doc_id"""
+
   /** Video clip-overlap near-dup (d103) matching
     * [[graft.multimodal.Multimodal.d103VideoOverlap]]: the identical
     * class-stream clip model (md5("vid:cls:k") fingerprints, offset and

@@ -123,6 +123,8 @@ object SparkEntry {
       (graft.multimodal.Multimodal.d104IncrementalImageDedup _),
     "d105_image_clusters" ->
       (graft.multimodal.Multimodal.d105ImageClusters _),
+    "d106_multimodal_dedup" ->
+      (graft.multimodal.Multimodal.d106MultimodalDedup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -771,6 +773,7 @@ object SparkEntry {
     // must reproduce the full recompute's pair set (d84/d101 convention)
     "d104_incremental_image" -> OracleGen.imageNearDup,
     "d105_image_clusters" -> OracleGen.imageClusters,
+    "d106_multimodal_dedup" -> OracleGen.multimodalDedup,
     "t94_perplexity_buckets" -> OracleGen.perplexityBuckets,
     "d95_lsh_recall" -> OracleGen.lshRecall,
     // deliberately the FULL-RECOMPUTE t65 oracle: the batch-by-batch

@@ -811,6 +811,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Cross-modal composed dedup verdict — the d106 query, t65's
+    * composition idea ACROSS modalities: one per-doc gate combining the
+    * text-exact keeper (d24 semantics — min doc_id per canonical-text
+    * fingerprint, null-safe like d96), the image-cluster representative
+    * (d105 — unclustered images are their own representative), and the
+    * canonical-URL keeper (d93). A training pipeline drops a document
+    * when ANY modality says it is a duplicate of something kept — this
+    * is that verdict, oracle-checked by composing the three
+    * sub-oracles.
+    *
+    * Scale: three verdict tables, each the proven plan of its family
+    * (one fp groupBy, the d98+CC image path, the canon_url groupBy),
+    * joined back on doc_id — no new join shapes, no new exchanges
+    * beyond the doc_id-keyed composition joins.
+    */
+  def d106MultimodalDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.{CacheRegistry, TextOps}
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    // persist(): the fingerprinted table feeds the keeper aggregation and
+    // the verdict join (the d24/d96 canonical-text definition)
+    val base = CacheRegistry.harness.add(
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), md5(canon).as("fp")).persist())
+    val fpKeeper = base.groupBy("fp").agg(min("doc_id").as("tkeeper"))
+    // null-safe fp equality: md5(null text) is a null fp; <=> keeps those
+    // docs in one group exactly like the oracle's null-safe join (the d96
+    // finding — a plain equi-join would silently DROP them)
+    val textV = base
+      .join(fpKeeper.withColumnRenamed("fp", "kfp"), col("fp") <=> col("kfp"))
+      .select(col("doc_id"), (col("doc_id") === col("tkeeper")).as("keep_text"))
+    val urlV = TextOps.d93UrlDedup(s, d)
+      .select(col("doc_id"), col("keeper").as("keep_url"))
+    val imgLabels = d105ImageClusters(s, d).select("doc_id", "component")
+    textV.join(urlV, Seq("doc_id"))
+      .join(imgLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_text"),
+        (col("component").isNull || col("component") === col("doc_id"))
+          .as("keep_image"),
+        col("keep_url"))
+      .withColumn("kept",
+        col("keep_text") && col("keep_image") && col("keep_url"))
+      .orderBy("doc_id")
+  }
+
   /** Class modulus for [[d103VideoOverlap]]'s synthetic clip model. */
   val VideoDupClasses = 120
 

@@ -141,6 +141,22 @@ class ImageNearDupSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("d106 composed verdict: conjunction holds and each modality contributes") {
+    val out = Multimodal.d106MultimodalDedup(spark, sf).persist()
+    CacheRegistry.harness.add(out)
+    assert(out.filter(col("kept") =!=
+      (col("keep_text") && col("keep_image") && col("keep_url")))
+      .count() == 0)
+    // every modality actually rejects someone the others would keep
+    assert(out.filter(!col("keep_image") && col("keep_url")).count() > 0)
+    assert(out.filter(col("keep_image") && !col("keep_url")).count() > 0)
+    assert(out.filter(col("kept")).count() > 0)
+    // one row per document
+    assert(out.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    CacheRegistry.harness.release()
+  }
+
   test("same class + same perturbation is byte-identical; different class diverges") {
     import spark.implicits._
     // doc 7 and doc 7 + 150*8 share class AND perturbation -> same bytes
