@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, DotProduct, NfcNormalize}
+import graft.expressions.{BloomMightContain, CosineSimilarity, DotProduct, NfcNormalize}
 
 /** Session-extensions entry point — the deployment hook for clusters:
   *
@@ -41,6 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => NfcNormalize(c)
         case _ => throw new IllegalArgumentException(
           "nfc_normalize(s) takes exactly one argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(b, h) => BloomMightContain(b, h)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(filter, hash) takes exactly two arguments")
       }))
   }
 }

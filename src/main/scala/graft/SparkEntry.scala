@@ -125,6 +125,13 @@ object SparkEntry {
       (graft.multimodal.Multimodal.d105ImageClusters _),
     "d106_multimodal_dedup" ->
       (graft.multimodal.Multimodal.d106MultimodalDedup _),
+    "q107_retention_cohorts" -> (Relational.q107RetentionCohorts _),
+    "q108_funnel" -> (Relational.q108Funnel _),
+    "t109_bloom_decontaminate" -> (TextOps.t109BloomDecontaminate _),
+    "q110_zorder_layout" -> (Layout.q110ZorderLayout _),
+    "d111_incremental_audio" ->
+      (graft.multimodal.Multimodal.d111IncrementalAudioDedup _),
+    "t112_quality_classifier" -> (TextOps.t112QualityClassifier _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -810,5 +817,88 @@ object SparkEntry {
               WHEN 'keep' THEN TRUE
               ELSE r.rk <= p.cap END AS kept
        FROM r JOIN p USING (source) ORDER BY r.doc_id""",
+    "q107_retention_cohorts" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+           FROM events),
+         coh AS (
+           SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY 1)
+       SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+         CAST(a.wk - c.cohort_week AS BIGINT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+       FROM act a JOIN coh c USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q108_funnel" ->
+      """WITH pu AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN pu USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > pu.t_view
+           GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+           GROUP BY 1)
+       SELECT
+         CAST((SELECT count(*) FROM pu WHERE t_view IS NOT NULL) AS BIGINT)
+           AS n_view,
+         CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+         CAST((SELECT count(*) FROM p) AS BIGINT)
+           AS n_view_click_purchase""",
+    // deliberately t67's oracle: the Bloom pre-filter + exact confirm must
+    // reproduce the single-join decontamination bit for bit (false
+    // positives die in the confirm join; no false negatives exist)
+    "t109_bloom_decontaminate" -> OracleGen.decontaminate,
+    "q110_zorder_layout" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_custkey & 65535 AS x,
+             (CAST(o_orderdate AS DATE) - DATE '1995-01-01') & 65535 AS y
+           FROM orders),
+         s1 AS (SELECT o_orderkey, (x | (x << 8)) & 16711935 AS x1,
+                  (y | (y << 8)) & 16711935 AS y1 FROM b),
+         s2 AS (SELECT o_orderkey, (x1 | (x1 << 4)) & 252645135 AS x2,
+                  (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+         s3 AS (SELECT o_orderkey, (x2 | (x2 << 2)) & 858993459 AS x3,
+                  (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+         s4 AS (SELECT o_orderkey, (x3 | (x3 << 1)) & 1431655765 AS sx,
+                  (y3 | (y3 << 1)) & 1431655765 AS sy FROM s3),
+         z AS (SELECT o_orderkey, sx | (sy << 1) AS zval FROM s4)
+       SELECT CAST(zval >> 16 AS BIGINT) AS zregion,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(min(zval) AS BIGINT) AS z_min,
+         CAST(max(zval) AS BIGINT) AS z_max
+       FROM z GROUP BY 1 ORDER BY 1""",
+    // deliberately the ONE-SHOT d102 oracle: the batch-by-batch hash state
+    // must reproduce the full recompute's pair set (d104 convention)
+    "d111_incremental_audio" -> OracleGen.audioNearDup,
+    "t112_quality_classifier" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE text IS NOT NULL),
+         f AS (
+           SELECT doc_id, unnest(list_concat(ws,
+             list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i + 1]))) AS feat
+           FROM t),
+         m AS (
+           SELECT i AS bucket,
+             (('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+               % 2001) - 1000 AS w
+           FROM range(0, 1024) r(i)),
+         b AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS bucket
+           FROM f)
+       SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(m.w) AS BIGINT) AS score,
+         CASE WHEN CAST(sum(m.w) AS BIGINT) > 0 THEN 'keep' ELSE 'drop' END
+           AS label
+       FROM b JOIN m USING (bucket)
+       GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -132,7 +132,8 @@ object GraftFunctions {
     // every VectorOps query invokes register, 40+ times per Bench run)
     if (reg.functionExists(FunctionIdentifier("cosine_sim")) &&
       reg.functionExists(FunctionIdentifier("dot_product")) &&
-      reg.functionExists(FunctionIdentifier("nfc_normalize"))) return
+      reg.functionExists(FunctionIdentifier("nfc_normalize")) &&
+      reg.functionExists(FunctionIdentifier("bloom_might_contain"))) return
     reg.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
@@ -156,6 +157,15 @@ object GraftFunctions {
         case Seq(c) => NfcNormalize(c)
         case _ => throw new IllegalArgumentException(
           "nfc_normalize(s) takes exactly one argument")
+      })
+    reg.registerFunction(
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(b, h) => BloomMightContain(b, h)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(filter, hash) takes exactly two arguments")
       })
   }
 }

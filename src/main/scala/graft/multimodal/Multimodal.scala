@@ -792,6 +792,31 @@ object Multimodal {
     hammingPairs(hashes, 3)
   }
 
+  /** Two-batch incremental AUDIO dedup — the d111 query. Nothing here is
+    * audio-specific beyond the hash function: [[incrementalHammingPairs]]
+    * is generic over any (doc_id, ahash) frame, so the d104 recipe (per-doc
+    * 8-byte hashes ARE the mergeable state; old payloads never re-decoded)
+    * transfers to the energy-hash family by substituting [[audioHash64]]
+    * for [[aHash64]]. Oracle is deliberately the one-shot
+    * [[d102AudioNearDup]] SQL (full-recompute, the d84/d104 convention) —
+    * the batch-by-batch state must reproduce it bit for bit. With d104 +
+    * d111 every Hamming-bucketed modality shares one incremental engine;
+    * a third perceptual hash (video keyframes, say) inherits it for free.
+    */
+  def d111IncrementalAudioDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.CacheRegistry
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+    val hashes = CacheRegistry.harness.add(
+      audioHash64(audioDedupPayload(docs)).filter(col("ahash").isNotNull)
+        .persist())
+    val b1 = hashes.filter(col("doc_id") % 2 === 0)
+    val b2 = hashes.filter(col("doc_id") % 2 === 1)
+    val empty = hashes.filter(lit(false))
+    incrementalHammingPairs(empty, b1)
+      .unionByName(incrementalHammingPairs(b1, b2))
+      .orderBy("d1", "d2")
+  }
+
   /** Image-hash duplicate-cluster assignment — the d105 query, d46's
     * shape on the multimodal pillar: the d98 Hamming≤3 pair set feeds
     * the shared min-label connected-components loop

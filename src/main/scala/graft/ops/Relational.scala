@@ -699,4 +699,68 @@ object Relational {
         (col("pos") + 1).cast("long").as("rn"))
       .orderBy("o_custkey", "rn")
   }
+
+  /** §2.C events analytics: weekly retention cohorts — the classic
+    * product-analytics matrix (cohort week of first activity × week offset →
+    * distinct active users). Weeks are integer day-offsets from the corpus
+    * epoch divided by 7, so the bucketing is exact integer math the oracle
+    * reproduces bit-for-bit.
+    *
+    * Scale: the corpus-sized work is the (user_id, week) distinct — one
+    * partial-aggregated exchange whose output cardinality is bounded by
+    * users×weeks, orders of magnitude below raw events. The cohort anchor
+    * is a window min over THAT reduced table (one user_id exchange, no
+    * join back), and the final matrix groupBy is calendar-bounded
+    * (weeks²). No window ever touches raw events, nothing non-mergeable.
+    */
+  def q107RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val week = floor(
+      datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 7)
+      .cast("long")
+    val act = events(s, d).select(col("user_id"), week.as("wk")).distinct()
+    act
+      .withColumn("cohort_week",
+        min("wk").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** §2.C events analytics: ordered conversion funnel
+    * view → click-after-view → purchase-after-click, counted over users.
+    * Step k's timestamp is the earliest qualifying event STRICTLY after step
+    * k-1's — the standard ordered-funnel semantics (an early purchase before
+    * any view does not count).
+    *
+    * Scale: ONE exchange on user_id; the three step columns are window mins
+    * over the same partition spec, so Catalyst chains Window operators on a
+    * single sort with no further shuffle (each step's `when` reads the
+    * previous step's per-partition constant). The per-user collapse reuses
+    * the same partitioning (groupBy on the partition key → no new
+    * exchange), and the final count is a single partial-aggregated scalar.
+    */
+  def q108Funnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"), col("ts"))).over(w))
+    staged
+      .groupBy("user_id")
+      .agg(first("t_view").as("t_view"), first("t_click").as("t_click"),
+        first("t_purchase").as("t_purchase"))
+      .agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_click").isNotNull, 1L).otherwise(0L))
+          .as("n_view_click"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+          .as("n_view_click_purchase"))
+  }
 }
