@@ -57,8 +57,14 @@ object Bench {
     // raw parquet read rejects; the reader branches on the observed type)
     warmUp(Tables.events(spark, sfDir).count())
     // sorted: stable execution order across rounds (Map order is hash-based)
+    // dev-only targeted runs (PLANS.md stress rows): comma-separated name
+    // filter; the driver never sets it, so round artifacts stay whole-suite
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def runAll(): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }

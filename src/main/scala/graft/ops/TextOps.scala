@@ -1771,9 +1771,16 @@ object TextOps {
     val bloom = benchSh.agg(bloomAgg(xxhash64(col("sh"))).as("bloom"))
     graft.expressions.GraftFunctions.register(s)
     val corp = sh.filter(col("doc_id") >= 10)
-    val survivors = corp.crossJoin(broadcast(bloom))
-      .filter(expr("bloom_might_contain(bloom, xxhash64(sh))"))
-      .drop("bloom")
+    // the filter reaches the probe as a SCALAR SUBQUERY — evaluated once,
+    // embedded as a plan literal. The tempting crossJoin(broadcast(bloom))
+    // is a trap at scale: the join materializes the 16 KiB byte array INTO
+    // every corpus row (16 KiB × rows of pure memcpy — measured 2.7× the
+    // plain t67 at the 10× replica before this form; 1.4× after, the
+    // residue being the second in-memory pass for n_sh)
+    bloom.createOrReplaceTempView("t109_bloom")
+    val survivors = corp
+      .filter(expr(
+        "bloom_might_contain((SELECT bloom FROM t109_bloom), xxhash64(sh))"))
     // exact confirm over the surviving sliver only; t67's verdict math
     // needs n_sh over ALL corpus shingles, so that count comes from the
     // pre-filter stream (same persisted scan, partial-aggregated)
