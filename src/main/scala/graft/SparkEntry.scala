@@ -15,6 +15,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q03JoinRevenue(spark, "/root/testdata/sf0.001")
 
+  /** q107's oracle — shared verbatim by d113 (the incremental form must
+    * equal the one-shot, so the oracle IS the one-shot's SQL).
+    */
+  private val retentionSql =
+    """WITH act AS (
+         SELECT DISTINCT user_id,
+           (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+         FROM events),
+       coh AS (
+         SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY 1)
+     SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(a.wk - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+     FROM act a JOIN coh c USING (user_id)
+     GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> (Relational.q01FilterProject _),
@@ -132,6 +148,8 @@ object SparkEntry {
     "d111_incremental_audio" ->
       (graft.multimodal.Multimodal.d111IncrementalAudioDedup _),
     "t112_quality_classifier" -> (TextOps.t112QualityClassifier _),
+    "d113_incremental_retention" -> (Relational.d113IncrementalRetention _),
+    "q114_countmin" -> (Relational.q114CountMin _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -817,18 +835,16 @@ object SparkEntry {
               WHEN 'keep' THEN TRUE
               ELSE r.rk <= p.cap END AS kept
        FROM r JOIN p USING (source) ORDER BY r.doc_id""",
-    "q107_retention_cohorts" ->
-      """WITH act AS (
-           SELECT DISTINCT user_id,
-             (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
-           FROM events),
-         coh AS (
-           SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY 1)
-       SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
-         CAST(a.wk - c.cohort_week AS BIGINT) AS week_offset,
-         CAST(count(*) AS BIGINT) AS n_users
-       FROM act a JOIN coh c USING (user_id)
-       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q107_retention_cohorts" -> retentionSql,
+    // deliberately the ONE-SHOT q107 oracle: the batch-merged activity
+    // state must reproduce the full recompute (d84/d101 convention)
+    "d113_incremental_retention" -> retentionSql,
+    "q114_countmin" ->
+      """WITH e AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM events GROUP BY 1)
+       SELECT user_id, exact_cnt, TRUE AS sketch_ok
+       FROM e ORDER BY exact_cnt DESC, user_id LIMIT 10""",
     "q108_funnel" ->
       """WITH pu AS (
            SELECT user_id,

@@ -684,6 +684,40 @@ object Relational {
           col("exact_users") * 0.05).as("sketch_ok"))
   }
 
+  /** Count-Min frequency sketch under the correctness gate — q78's
+    * mergeable-summaries story for FREQUENCIES: one pass builds the 32 KiB
+    * sketch (typed Aggregator, pointwise-add merge → per-shard partials
+    * union without re-scans), then the 10 hottest keys' estimates are
+    * checked in-row against their exact counts (the q37/q42/q78
+    * convention — `sketch_ok` asserts the CMS guarantee
+    * exact ≤ est ≤ exact + 3N/W, so the engine-specific counter bytes
+    * never reach the oracle). Build and probe share ONE xxhash64
+    * expression ([[CountMin]]'s Bloom-style discipline).
+    *
+    * Scale: at 100 TB the exact per-key groupBy here exists only to GRADE
+    * the sketch; the production read is sketch-only — point frequency
+    * estimates from 32 KiB of mergeable state per shard, the companion of
+    * q49's Misra-Gries (MG finds WHICH keys are hot; CMS answers HOW hot
+    * any key is). The hot-key scan is TakeOrderedAndProject (k-bounded),
+    * and the 10-row verdict join is a broadcast of the one-row sketch.
+    */
+  def q114CountMin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"))
+    val h = xxhash64(col("user_id"))
+    val cmAgg = udaf(new CountMinAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketch = ev.agg(cmAgg(h).as("st"), count(lit(1)).as("n_total"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+    top.crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("exact_cnt"),
+        (CountMin.estimate(col("st"), h) >= col("exact_cnt") &&
+          CountMin.estimate(col("st"), h) <=
+            col("exact_cnt") + (col("n_total") * 3 / lit(CountMin.W))
+              .cast("long")).as("sketch_ok"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
   def q73TopKAgg(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new TopKByValue(3),
       org.apache.spark.sql.Encoders.tuple(
@@ -719,6 +753,45 @@ object Relational {
       .cast("long")
     val act = events(s, d).select(col("user_id"), week.as("wk")).distinct()
     act
+      .withColumn("cohort_week",
+        min("wk").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Batch-incremental retention — the d113 query, extending the
+    * incremental matrix (document d84 / component d91 / cluster d92 / URL
+    * d101 / perceptual-hash d104+d111) to the ANALYTICS family. The whole
+    * state of a retention computation is the distinct (user_id, week)
+    * activity set — idempotent under union-distinct, so each ingest batch
+    * contributes its own O(batch) partial and the merge is one
+    * partial-aggregable distinct; the cohort anchor (per-user min week)
+    * derives from the merged state, never from raw history. Two halves of
+    * the events stream are ingested as separate batches; the matrix built
+    * from the merged state must reproduce the one-shot
+    * [[q107RetentionCohorts]] bit for bit — the oracle IS q107's SQL.
+    *
+    * Scale: per batch, ONE partial-aggregated distinct over the batch's
+    * events; the cross-batch merge shuffles only the compact
+    * user×week-bounded state (idempotence absorbs re-delivered events —
+    * the exactly-once-free property that makes this the production shape
+    * for daily retention rollups). Nothing re-reads prior batches.
+    */
+  def d113IncrementalRetention(s: SparkSession, d: String): DataFrame = {
+    val week = floor(
+      datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 7)
+      .cast("long")
+    val base = events(s, d)
+      .select(col("user_id"), week.as("wk"), col("event_id"))
+    val b1 = base.filter(col("event_id") % 2 === 0)
+    val b2 = base.filter(col("event_id") % 2 === 1)
+    def actState(b: DataFrame): DataFrame =
+      b.select("user_id", "wk").distinct()
+    def mergeState(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(b).distinct()
+    mergeState(actState(b1), actState(b2))
       .withColumn("cohort_week",
         min("wk").over(Window.partitionBy("user_id")))
       .groupBy(col("cohort_week"),
