@@ -734,6 +734,30 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** The shared week bucketing of the retention family — integer
+    * day-offset from the corpus epoch divided by 7. Single source of truth
+    * for q107 (one-shot), d113 (batch-incremental), and
+    * [[graft.streaming.StreamOps.retentionStream]] (streaming sink), so
+    * the three forms can never bucket a timestamp differently; the DuckDB
+    * oracle mirrors it as `(CAST(ts AS DATE) - DATE '2024-01-01') // 7`.
+    */
+  def retentionWeek(ts: Column): Column =
+    floor(datediff(to_date(ts), to_date(lit("2024-01-01"))) / 7).cast("long")
+
+  /** The retention matrix from a distinct (user_id, wk) activity table —
+    * the shared tail of q107/d113/the streaming sink's reader: cohort
+    * anchor as a window min over the user-bounded state, then the
+    * calendar-bounded rollup.
+    */
+  def retentionMatrixFrom(act: DataFrame): DataFrame =
+    act
+      .withColumn("cohort_week",
+        min("wk").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+
   /** §2.C events analytics: weekly retention cohorts — the classic
     * product-analytics matrix (cohort week of first activity × week offset →
     * distinct active users). Weeks are integer day-offsets from the corpus
@@ -748,17 +772,9 @@ object Relational {
     * (weeks²). No window ever touches raw events, nothing non-mergeable.
     */
   def q107RetentionCohorts(s: SparkSession, d: String): DataFrame = {
-    val week = floor(
-      datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 7)
-      .cast("long")
-    val act = events(s, d).select(col("user_id"), week.as("wk")).distinct()
-    act
-      .withColumn("cohort_week",
-        min("wk").over(Window.partitionBy("user_id")))
-      .groupBy(col("cohort_week"),
-        (col("wk") - col("cohort_week")).as("week_offset"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
+    val act = events(s, d)
+      .select(col("user_id"), retentionWeek(col("ts")).as("wk")).distinct()
+    retentionMatrixFrom(act)
   }
 
   /** Batch-incremental retention — the d113 query, extending the
@@ -780,24 +796,16 @@ object Relational {
     * for daily retention rollups). Nothing re-reads prior batches.
     */
   def d113IncrementalRetention(s: SparkSession, d: String): DataFrame = {
-    val week = floor(
-      datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 7)
-      .cast("long")
     val base = events(s, d)
-      .select(col("user_id"), week.as("wk"), col("event_id"))
+      .select(col("user_id"), retentionWeek(col("ts")).as("wk"),
+        col("event_id"))
     val b1 = base.filter(col("event_id") % 2 === 0)
     val b2 = base.filter(col("event_id") % 2 === 1)
     def actState(b: DataFrame): DataFrame =
       b.select("user_id", "wk").distinct()
     def mergeState(a: DataFrame, b: DataFrame): DataFrame =
       a.unionByName(b).distinct()
-    mergeState(actState(b1), actState(b2))
-      .withColumn("cohort_week",
-        min("wk").over(Window.partitionBy("user_id")))
-      .groupBy(col("cohort_week"),
-        (col("wk") - col("cohort_week")).as("week_offset"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
+    retentionMatrixFrom(mergeState(actState(b1), actState(b2)))
   }
 
   /** §2.C events analytics: ordered conversion funnel

@@ -395,6 +395,49 @@ object StreamOps {
     * unbounded feed (the prerequisite for running attribution on a
     * production clickstream). Inputs need (user_id, event_id, ts) columns.
     */
+  /** Streaming retention state sink — the streaming member of the
+    * analytics trio (one-shot q107 / batch-incremental d113 / here),
+    * mirroring the dedup families' batch+incremental+streaming coverage.
+    * Per micro-batch of events: bucket to weeks with the SHARED
+    * [[graft.ops.Relational.retentionWeek]] expression (batch and stream
+    * cannot bucket differently), reduce the batch to its distinct
+    * (user_id, wk) partial — the O(batch→users×weeks) collapse happens
+    * BEFORE anything is written — and publish it as this batch's own
+    * `batch=N` partition (sibling-`.tmp` + atomic rename, the
+    * effectively-once layout every graft sink uses: a foreachBatch replay
+    * rewrites an identical partition).
+    *
+    * The accumulated state is union-of-distincts, NOT globally distinct —
+    * dedup across batches happens at read time ([[retentionMatrix]]),
+    * which is exactly the d113 merge and is idempotent under replayed or
+    * re-delivered events. State volume is bounded by
+    * users×weeks×batches-touching-that-week, not by event volume.
+    */
+  def retentionStream(spark: SparkSession, events: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF()
+          .select(col("user_id"),
+            graft.ops.Relational.retentionWeek(col("ts")).as("wk"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** The retention matrix from [[retentionStream]]'s accumulated state:
+    * the d113 merge (distinct over the unioned partials) + the shared
+    * q107 tail ([[graft.ops.Relational.retentionMatrixFrom]]) — so the
+    * streaming read is bit-identical to the one-shot by construction.
+    */
+  def retentionMatrix(spark: SparkSession, statePath: String): DataFrame =
+    graft.ops.Relational.retentionMatrixFrom(
+      spark.read.parquet(statePath).select("user_id", "wk").distinct())
+
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
       watermark: String = "2 hours", intervalSql: String = "1 hour")
       : DataFrame = {

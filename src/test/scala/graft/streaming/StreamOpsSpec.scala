@@ -431,4 +431,39 @@ class StreamOpsSpec extends SparkSpec {
     // identical canonical form the d93 batch op would
     assert(out.head._2 == "example.com/a/3")
   }
+
+  test("retention stream accumulates activity state and reproduces the one-shot q107 matrix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("retention").toString
+    val state = s"$dir/act"
+    // real events, streamed in two disjoint micro-batches (event_id parity
+    // — users and weeks STRADDLE the batches, which is what makes the
+    // read-time distinct-merge necessary and the test meaningful)
+    val corpus = graft.Tables.events(s, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ev = mem.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamOps.retentionStream(s, ev, state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = StreamOps.retentionMatrix(s, state)
+    val oneShot = graft.ops.Relational
+      .q107RetentionCohorts(s, "/root/testdata/sf0.001")
+    assert(streamed.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+    // the state really is per-batch partials: two published partitions,
+    // and their union contains duplicates that the read-time merge drops
+    val partials = s.read.parquet(state)
+    assert(partials.select("batch").distinct().count() == 2)
+    assert(partials.count() >=
+      partials.select("user_id", "wk").distinct().count())
+  }
 }
