@@ -150,6 +150,11 @@ object SparkEntry {
     "t112_quality_classifier" -> (TextOps.t112QualityClassifier _),
     "d113_incremental_retention" -> (Relational.d113IncrementalRetention _),
     "q114_countmin" -> (Relational.q114CountMin _),
+    "q115_windowed_funnel" -> ((s, dir) =>
+      Relational.q115WindowedFunnel(s, dir)),
+    "q116_group_percentile" -> (Relational.q116GroupPercentile _),
+    "d117_incremental_video" ->
+      (graft.multimodal.Multimodal.d117IncrementalVideoDedup _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -845,6 +850,47 @@ object SparkEntry {
            FROM events GROUP BY 1)
        SELECT user_id, exact_cnt, TRUE AS sketch_ok
        FROM e ORDER BY exact_cnt DESC, user_id LIMIT 10""",
+    "q115_windowed_funnel" ->
+      """WITH pu AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+           FROM events GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN pu USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > pu.t_view
+             AND e.ts <= pu.t_view + INTERVAL 7 DAY
+           GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             AND e.ts <= c.t_click + INTERVAL 7 DAY
+           GROUP BY 1)
+       SELECT
+         CAST((SELECT count(*) FROM pu WHERE t_view IS NOT NULL) AS BIGINT)
+           AS n_view,
+         CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+         CAST((SELECT count(*) FROM p) AS BIGINT)
+           AS n_view_click_purchase""",
+    "q116_group_percentile" ->
+      """WITH h AS (
+           SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT l_returnflag, l_quantity,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag
+               ORDER BY l_quantity) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+           FROM h)
+       SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         min(CASE WHEN cum >= (n + 1) // 2 THEN l_quantity END) AS p50,
+         min(CASE WHEN cum >= (9 * n + 9) // 10 THEN l_quantity END) AS p90
+       FROM c GROUP BY l_returnflag, n ORDER BY l_returnflag""",
+    // deliberately the ONE-SHOT d103 oracle: the batch-by-batch frame
+    // state must reproduce the full recompute's pair set (d104/d111
+    // convention, third modality)
+    "d117_incremental_video" -> OracleGen.videoOverlap,
     "q108_funnel" ->
       """WITH pu AS (
            SELECT user_id,

@@ -902,20 +902,52 @@ object Multimodal {
     * column like cappedJaccardInter. Integer-exact verdict
     * (5·inter ≥ 4·min(sz)) and quantized containment — no float.
     */
-  def videoClipOverlap(frames: DataFrame): DataFrame = {
-    val sized = frames.withColumn("sz",
-      count(lit(1)).over(Window.partitionBy("doc_id")))
-    sized.as("a")
-      .join(sized.as("b"),
+  def videoClipOverlap(frames: DataFrame): DataFrame =
+    containmentVerdict(selfSharedFrames(sizedFrames(frames)))
+      .orderBy("d1", "d2")
+
+  /** Frame rows annotated with their doc's total frame count. */
+  private def sizedFrames(frames: DataFrame): DataFrame =
+    frames.withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+
+  /** Shared-fingerprint rows within ONE (doc_id, fp, sz) frame table:
+    * `<` on the ids both orders the pair and halves the self-join (each
+    * shared fp contributes exactly one row).
+    */
+  private def selfSharedFrames(s: DataFrame): DataFrame =
+    s.as("a")
+      .join(s.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+
+  /** Shared-fingerprint rows BETWEEN two disjoint frame tables (the
+    * incremental cross probe): every match is one shared fp (the sides
+    * cannot pair internally), canonicalized with least/greatest — sizes
+    * swap alongside their ids.
+    */
+  private def crossSharedFrames(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a")
+      .join(b.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.sz"))
+          .otherwise(col("b.sz")).as("sz1"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.sz"))
+          .otherwise(col("a.sz")).as("sz2"))
+
+  /** The d97-convention containment rule over shared-fingerprint rows:
+    * a pair is a near-dup when the smaller side is ≥ 4/5 contained in the
+    * larger (integer-exact compare, integer-quantized containment).
+    */
+  private def containmentVerdict(shared: DataFrame): DataFrame =
+    shared
+      .groupBy(col("d1"), col("d2"), col("sz1"), col("sz2"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter") * 5 >= least(col("sz1"), col("sz2")) * 4)
       .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
         expr("(inter * 10000) div least(sz1, sz2)").as("containment_q"))
-      .orderBy("d1", "d2")
-  }
 
   /** Video clip-overlap near-dup — the d103 query, completing the
     * multimodal dedup trio (image d98, audio d102, video here). The
@@ -929,16 +961,58 @@ object Multimodal {
     * md5 → explode, no UDF); the DuckDB oracle builds the identical
     * stream and brute-runs the same containment rule.
     */
-  def d103VideoOverlap(s: SparkSession, d: String): DataFrame = {
+  def d103VideoOverlap(s: SparkSession, d: String): DataFrame =
+    videoClipOverlap(d103Frames(s, d))
+
+  /** The d103 synthetic clip-fingerprint table (shared with d117). */
+  private def d103Frames(s: SparkSession, d: String): DataFrame = {
     val cls = col("doc_id") % VideoDupClasses
     val off = (expr(s"doc_id div $VideoDupClasses") % 4) * 16
     val n = lit(64) + (cls % 3) * 16
-    val frames = graft.Tables.documents(s, d)
+    graft.Tables.documents(s, d)
       .select(col("doc_id"),
         explode(transform(sequence(off, off + n - 1),
           k => md5(concat(lit("vid:"), cls.cast("string"), lit(":"),
             k.cast("string"))))).as("fp"))
-    videoClipOverlap(frames)
+  }
+
+  /** Incremental clip-overlap pairs of one ingest step: the new batch's
+    * frames probe the ACCUMULATED (doc_id, fp, sz) frame state
+    * (cross pairs) and pair among themselves (self pairs); prior videos'
+    * frames are read from state, never re-decoded or re-fingerprinted.
+    * `prior` and `batch` must carry disjoint doc_ids and each doc's
+    * COMPLETE frame set (videos don't straddle batches — the same
+    * whole-item contract every incremental dedup op in the repo has).
+    */
+  def incrementalClipPairs(prior: DataFrame, batch: DataFrame): DataFrame = {
+    val pb = sizedFrames(prior)
+    val nb = sizedFrames(batch)
+    containmentVerdict(
+      selfSharedFrames(nb).unionByName(crossSharedFrames(nb, pb)))
+  }
+
+  /** Two-batch incremental VIDEO dedup — the d117 query, closing the
+    * incremental matrix across ALL multimodal members (image d104, audio
+    * d111, video here): per-doc frame-fingerprint sets ARE the mergeable
+    * state (append-only rows, ~33 bytes per frame), batch 2 probes batch
+    * 1's stored fingerprints through [[incrementalClipPairs]] — the same
+    * containment verdict as the one-shot, over self + cross shared-frame
+    * rows. The union of the two batches' pair sets must equal the
+    * one-shot [[d103VideoOverlap]] exactly (pairs within batch 1, within
+    * batch 2, and across are disjoint populations, and each pair's FULL
+    * intersection lives in exactly one population because docs carry
+    * complete frame sets), so the oracle is deliberately d103's
+    * full-recompute SQL (the d84/d104/d111 convention).
+    */
+  def d117IncrementalVideoDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.CacheRegistry
+    val frames = CacheRegistry.harness.add(d103Frames(s, d).persist())
+    val b1 = frames.filter(col("doc_id") % 2 === 0)
+    val b2 = frames.filter(col("doc_id") % 2 === 1)
+    val empty = frames.filter(lit(false))
+    incrementalClipPairs(empty, b1)
+      .unionByName(incrementalClipPairs(b1, b2))
+      .orderBy("d1", "d2")
   }
 
   /** Frame sampling: up to `k` evenly-spaced frame indices per video row —

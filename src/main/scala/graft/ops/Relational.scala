@@ -684,6 +684,79 @@ object Relational {
           col("exact_users") * 0.05).as("sketch_ok"))
   }
 
+  /** §2.C events analytics: the conversion-WINDOW funnel — q108's strict
+    * ordering plus the bound every real attribution model adds: a step
+    * only converts within `windowDays` of the previous step (a purchase a
+    * month after the click is organic, not funnel conversion). Same
+    * single-exchange plan as q108 — the window bound is one more
+    * comparison inside each step's `when`, free at any scale.
+    */
+  def q115WindowedFunnel(s: SparkSession, d: String,
+      windowDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val bound = expr(s"INTERVAL $windowDays DAYS")
+    val staged = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + bound, col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + bound, col("ts"))).over(w))
+    staged
+      .groupBy("user_id")
+      .agg(first("t_view").as("t_view"), first("t_click").as("t_click"),
+        first("t_purchase").as("t_purchase"))
+      .agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_click").isNotNull, 1L).otherwise(0L))
+          .as("n_view_click"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+          .as("n_view_click_purchase"))
+  }
+
+  /** Scale-safe EXACT group percentiles — the t94 histogram-order-statistic
+    * technique promoted to a first-class relational operator, and the
+    * answer to "exact `percentile` materializes every distinct value in
+    * ONE aggregation buffer" (the q32 shape, fine for conformance, fatal
+    * at 10^9 rows): pass 1 is a partial-aggregable (group, value)
+    * histogram; the cumulative walk runs over THAT bounded table
+    * (partitioned per group, ordered by value); the cut is the smallest
+    * value whose cumulative count reaches the integer rank
+    * ceil(p·n) — computed in INTEGER arithmetic ((p_num·n + p_den − 1)
+    * div p_den), never float (0.9·n in binary floats lands just above the
+    * integer for n divisible by 10, and ceil then overshoots by one — the
+    * classic off-by-one this formulation exists to avoid).
+    *
+    * Scale: the only corpus-sized stage is the histogram groupBy
+    * (mergeable). The window runs over distinct (group, value) pairs —
+    * for discrete measures like quantity that is thousands of rows at ANY
+    * corpus size; for continuous measures, quantize first (the t94
+    * convention) and the same bound holds.
+    */
+  def q116GroupPercentile(s: SparkSession, d: String): DataFrame = {
+    val hist = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val cum = hist.withColumn("cum", sum("cnt").over(byFlag))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+    // integer ranks: ceil(n/2) = (n+1) div 2, ceil(9n/10) = (9n+9) div 10
+    cum
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("l_quantity")))
+          .as("p50"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("l_quantity")))
+          .as("p90"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        col("p50"), col("p90"))
+      .orderBy("l_returnflag")
+  }
+
   /** Count-Min frequency sketch under the correctness gate — q78's
     * mergeable-summaries story for FREQUENCIES: one pass builds the 32 KiB
     * sketch (typed Aggregator, pointwise-add merge → per-shard partials
