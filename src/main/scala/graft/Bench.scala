@@ -60,7 +60,10 @@ object Bench {
     // dev-only targeted runs (PLANS.md stress rows): comma-separated name
     // filter; the driver never sets it, so round artifacts stay whole-suite
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY name '$n' matches no " +
+        "query — check for a typo (it would otherwise silently not run)")))
     def runAll(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }

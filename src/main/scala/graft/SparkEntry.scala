@@ -21,7 +21,8 @@ object SparkEntry {
   private val retentionSql =
     """WITH act AS (
          SELECT DISTINCT user_id,
-           (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+           CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7.0)
+             AS BIGINT) AS wk
          FROM events),
        coh AS (
          SELECT user_id, min(wk) AS cohort_week FROM act GROUP BY 1)

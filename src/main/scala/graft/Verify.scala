@@ -10,7 +10,11 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet)
+      else None
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] filter name '$n' matches no query — " +
+        "check for a typo (it would otherwise silently not run)")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

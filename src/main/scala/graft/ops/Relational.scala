@@ -692,31 +692,9 @@ object Relational {
     * comparison inside each step's `when`, free at any scale.
     */
   def q115WindowedFunnel(s: SparkSession, d: String,
-      windowDays: Int = 7): DataFrame = {
-    val w = Window.partitionBy("user_id")
-    val bound = expr(s"INTERVAL $windowDays DAYS")
-    val staged = events(s, d)
-      .select(col("user_id"), col("event_type"), col("ts"))
-      .withColumn("t_view",
-        min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("t_click",
-        min(when(col("event_type") === "click" && col("ts") > col("t_view") &&
-          col("ts") <= col("t_view") + bound, col("ts"))).over(w))
-      .withColumn("t_purchase",
-        min(when(col("event_type") === "purchase" &&
-          col("ts") > col("t_click") &&
-          col("ts") <= col("t_click") + bound, col("ts"))).over(w))
-    staged
-      .groupBy("user_id")
-      .agg(first("t_view").as("t_view"), first("t_click").as("t_click"),
-        first("t_purchase").as("t_purchase"))
-      .agg(
-        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
-        sum(when(col("t_click").isNotNull, 1L).otherwise(0L))
-          .as("n_view_click"),
-        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L))
-          .as("n_view_click_purchase"))
-  }
+      windowDays: Int = 7): DataFrame =
+    funnelCounts(funnelStaged(events(s, d),
+      window = Some(expr(s"INTERVAL $windowDays DAYS"))))
 
   /** Scale-safe EXACT group percentiles — the t94 histogram-order-statistic
     * technique promoted to a first-class relational operator, and the
@@ -783,11 +761,15 @@ object Relational {
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
     top.crossJoin(broadcast(sketch))
+      // bind the estimate once via a projection: both bound checks then
+      // read one computed column instead of re-expanding the 4-probe
+      // least() tree (and its xxhash64) on each side of the &&
+      .withColumn("est", CountMin.estimate(col("st"), h))
       .select(col("user_id"), col("exact_cnt"),
-        (CountMin.estimate(col("st"), h) >= col("exact_cnt") &&
-          CountMin.estimate(col("st"), h) <=
-            col("exact_cnt") + (col("n_total") * 3 / lit(CountMin.W))
-              .cast("long")).as("sketch_ok"))
+        (col("est") >= col("exact_cnt") &&
+          col("est") <= col("exact_cnt") +
+            (col("n_total") * 3 / lit(CountMin.W)).cast("long"))
+          .as("sketch_ok"))
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }
 
@@ -812,7 +794,10 @@ object Relational {
     * for q107 (one-shot), d113 (batch-incremental), and
     * [[graft.streaming.StreamOps.retentionStream]] (streaming sink), so
     * the three forms can never bucket a timestamp differently; the DuckDB
-    * oracle mirrors it as `(CAST(ts AS DATE) - DATE '2024-01-01') // 7`.
+    * oracle mirrors it as `floor((CAST(ts AS DATE) - DATE '2024-01-01')
+    * / 7.0)` — floor, NOT DuckDB's integer `//` (which truncates toward
+    * zero), so a pre-epoch timestamp buckets identically on both sides
+    * (floor(-1/7) = -1 in both; `(-1) // 7` would be 0).
     */
   def retentionWeek(ts: Column): Column =
     floor(datediff(to_date(ts), to_date(lit("2024-01-01"))) / 7).cast("long")
@@ -894,18 +879,35 @@ object Relational {
     * the same partitioning (groupBy on the partition key → no new
     * exchange), and the final count is a single partial-aggregated scalar.
     */
-  def q108Funnel(s: SparkSession, d: String): DataFrame = {
+  def q108Funnel(s: SparkSession, d: String): DataFrame =
+    funnelCounts(funnelStaged(events(s, d), window = None))
+
+  /** The funnel's per-user step timestamps over any (user_id, event_type,
+    * ts) frame — the single source of truth for q108 (unbounded), q115
+    * (conversion-window bound) and the spec's synthetic-corpus ordering
+    * test, so the strict-ordering semantics exist in exactly one place.
+    * Step k's timestamp is the earliest qualifying event STRICTLY after
+    * step k-1's, optionally within `window` of it.
+    */
+  def funnelStaged(ev: DataFrame, window: Option[Column]): DataFrame = {
     val w = Window.partitionBy("user_id")
-    val staged = events(s, d)
+    def within(prev: Column): Column =
+      window.map(b => col("ts") <= prev + b).getOrElse(lit(true))
+    ev
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t_view",
         min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t_click",
-        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-          col("ts"))).over(w))
+        min(when(col("event_type") === "click" && col("ts") > col("t_view") &&
+          within(col("t_view")), col("ts"))).over(w))
       .withColumn("t_purchase",
         min(when(col("event_type") === "purchase" &&
-          col("ts") > col("t_click"), col("ts"))).over(w))
+          col("ts") > col("t_click") && within(col("t_click")),
+          col("ts"))).over(w))
+  }
+
+  /** Collapse [[funnelStaged]] to the 3-counter funnel row. */
+  private def funnelCounts(staged: DataFrame): DataFrame =
     staged
       .groupBy("user_id")
       .agg(first("t_view").as("t_view"), first("t_click").as("t_click"),
@@ -916,5 +918,4 @@ object Relational {
           .as("n_view_click"),
         sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L))
           .as("n_view_click_purchase"))
-  }
 }

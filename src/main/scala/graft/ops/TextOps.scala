@@ -1756,12 +1756,17 @@ object TextOps {
     * partial-aggregated pass (bytewise-OR mergeable state, O(16 KiB ×
     * partitions) shuffle regardless of suite size — [[BloomFilterAgg]]),
     * the probe is five masked loads per shingle inside whole-stage codegen
-    * ([[graft.expressions.BloomMightContain]]), and the exact-confirm
-    * broadcast now carries only shingles that pass the filter-anchored
-    * semi-join — at real overlap rates (~1e-3) the confirm join's input is
-    * three orders of magnitude smaller than the corpus shingle stream.
-    * Build and probe share ONE hash expression (xxhash64 over the shingle),
-    * so they cannot drift.
+    * ([[graft.expressions.BloomMightContain]]), and the confirm join's
+    * STREAM side shrinks to the survivor sliver — at real overlap rates
+    * (~1e-3) three orders of magnitude below the corpus shingle stream.
+    * The confirm's BUILD side is still the benchmark set: broadcast here
+    * (it fits at this suite size, and broadcasting survivors instead
+    * would re-shuffle nothing but also prove nothing); past the broadcast
+    * threshold the same plan becomes a shuffle-hash join whose cost is
+    * bounded by the tiny survivor stream, NOT the corpus — that
+    * stream-side reduction, not the build side, is what the Bloom stage
+    * buys. Build and probe share ONE hash expression (xxhash64 over the
+    * shingle), so they cannot drift.
     */
   def t109BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     val sh = CacheRegistry.harness.add(shingles(s, d).persist())
@@ -1776,11 +1781,14 @@ object TextOps {
     // is a trap at scale: the join materializes the 16 KiB byte array INTO
     // every corpus row (16 KiB × rows of pure memcpy — measured 2.7× the
     // plain t67 at the 10× replica before this form; 1.4× after, the
-    // residue being the second in-memory pass for n_sh)
-    bloom.createOrReplaceTempView("t109_bloom")
+    // residue being the second in-memory pass for n_sh). View name is
+    // call-unique: a fixed name would clobber a user's view and race
+    // concurrent t109 constructions in one session
+    val view = s"t109_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    bloom.createOrReplaceTempView(view)
     val survivors = corp
       .filter(expr(
-        "bloom_might_contain((SELECT bloom FROM t109_bloom), xxhash64(sh))"))
+        s"bloom_might_contain((SELECT bloom FROM $view), xxhash64(sh))"))
     // exact confirm over the surviving sliver only; t67's verdict math
     // needs n_sh over ALL corpus shingles, so that count comes from the
     // pre-filter stream (same persisted scan, partial-aggregated)

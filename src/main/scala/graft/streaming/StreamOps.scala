@@ -387,14 +387,6 @@ object StreamOps {
       throw new java.io.IOException(s"publishPartition: rename $tmp -> $dst failed")
   }
 
-  /** Watermarked stream-stream interval join: attribute each purchase to the
-    * same user's clicks in the preceding `intervalSql` (event-time range
-    * condition). Both sides carry watermarks AND the join condition bounds
-    * click_ts relative to purchase_ts, so Spark can compute exactly how long
-    * to retain each side's state — the state store stays bounded on an
-    * unbounded feed (the prerequisite for running attribution on a
-    * production clickstream). Inputs need (user_id, event_id, ts) columns.
-    */
   /** Streaming retention state sink — the streaming member of the
     * analytics trio (one-shot q107 / batch-incremental d113 / here),
     * mirroring the dedup families' batch+incremental+streaming coverage.
@@ -438,6 +430,14 @@ object StreamOps {
     graft.ops.Relational.retentionMatrixFrom(
       spark.read.parquet(statePath).select("user_id", "wk").distinct())
 
+  /** Watermarked stream-stream interval join: attribute each purchase to the
+    * same user's clicks in the preceding `intervalSql` (event-time range
+    * condition). Both sides carry watermarks AND the join condition bounds
+    * click_ts relative to purchase_ts, so Spark can compute exactly how long
+    * to retain each side's state — the state store stays bounded on an
+    * unbounded feed (the prerequisite for running attribution on a
+    * production clickstream). Inputs need (user_id, event_id, ts) columns.
+    */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
       watermark: String = "2 hours", intervalSql: String = "1 hour")
       : DataFrame = {

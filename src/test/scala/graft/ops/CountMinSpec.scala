@@ -11,11 +11,13 @@ class CountMinSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("kernel: estimates never under-count and merge equals single-pass") {
-    val rnd = new scala.util.Random(13)
-    // zipf-ish: key k appears ~1000/k times
+    // zipf-ish: key k appears ~1000/k times; the hash must be a FUNCTION
+    // of the key (one salt for the whole run), or duplicates would get
+    // distinct hashes and every probed key would have exact count 1
+    val salt = new scala.util.Random(13).nextLong()
     val keys = (1 to 50).flatMap(k => Seq.fill(1000 / k)(k.toLong))
-    val hashes = keys.map(k => // any deterministic 64-bit spread works here
-      java.lang.Long.reverse(k * 0x9E3779B97F4A7C15L) ^ rnd.nextLong())
+    val hashes = keys.map(k =>
+      java.lang.Long.reverse(k * 0x9E3779B97F4A7C15L) ^ salt)
     // single-pass sketch
     val agg = new CountMinAgg
     val one = hashes.foldLeft(agg.zero)(agg.reduce)
@@ -54,12 +56,11 @@ class CountMinSpec extends SparkSpec {
     assert(oneShot.exceptAll(inc).count() == 0 &&
       inc.exceptAll(oneShot).count() == 0)
     // idempotence under re-delivery: re-ingesting batch 1 on top of the
-    // merged state changes nothing (the union-distinct absorbs replays)
-    import org.apache.spark.sql.expressions.Window
-    val week = floor(datediff(to_date(col("ts")),
-      to_date(lit("2024-01-01"))) / 7).cast("long")
+    // merged state changes nothing (the union-distinct absorbs replays).
+    // Uses the PRODUCTION retentionWeek bucketing, not an inline copy.
     val base = graft.Tables.events(spark, sf)
-      .select(col("user_id"), week.as("wk"), col("event_id"))
+      .select(col("user_id"),
+        Relational.retentionWeek(col("ts")).as("wk"), col("event_id"))
     val act = base.select("user_id", "wk").distinct()
     val replayed = act.unionByName(
       base.filter(col("event_id") % 2 === 0).select("user_id", "wk")

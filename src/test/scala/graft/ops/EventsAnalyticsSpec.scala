@@ -61,17 +61,9 @@ class EventsAnalyticsSpec extends SparkSpec {
       (3L, "click", 700L)
     ).toDF("user_id", "event_type", "ms")
       .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
-    // same pipeline as q108, inlined over the synthetic frame
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-    val staged = ev
-      .withColumn("t_view",
-        min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("t_click",
-        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-          col("ts"))).over(w))
-      .withColumn("t_purchase",
-        min(when(col("event_type") === "purchase" &&
-          col("ts") > col("t_click"), col("ts"))).over(w))
+    // the PRODUCTION staged pipeline over the synthetic frame — the test
+    // drives the same code q108/q115 run, not a copy
+    val staged = Relational.funnelStaged(ev, window = None)
     val agg = staged.groupBy("user_id")
       .agg(first("t_view").as("tv"), first("t_click").as("tc"),
         first("t_purchase").as("tp"))
