@@ -822,20 +822,24 @@ object OracleGen {
     * full reachability (fine at oracle scale), then labels each doc with the
     * min reachable doc_id — the same fixpoint the Spark loop converges to.
     */
-  private def ccChain(pairsSql: String): String =
-    s"""edges AS (
+  /** Recursive-CTE connected components over a (d1, d2) pair query. The
+    * `p` prefix renames every CTE (`${p}comp` etc.) so several chains can
+    * coexist in ONE WITH RECURSIVE (the d118 oracle runs three).
+    */
+  private def ccChain(pairsSql: String, p: String = ""): String =
+    s"""${p}edges AS (
          SELECT d1, d2 FROM ($pairsSql) mh),
-       sym AS (
-         SELECT d1 AS a, d2 AS b FROM edges
+       ${p}sym AS (
+         SELECT d1 AS a, d2 AS b FROM ${p}edges
          UNION
-         SELECT d2 AS a, d1 AS b FROM edges),
-       reach AS (
-         SELECT a AS doc_id, a AS r FROM sym
+         SELECT d2 AS a, d1 AS b FROM ${p}edges),
+       ${p}reach AS (
+         SELECT a AS doc_id, a AS r FROM ${p}sym
          UNION
-         SELECT reach.doc_id, s.b AS r
-         FROM reach JOIN sym s ON s.a = reach.r),
-       comp AS (
-         SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id)"""
+         SELECT ${p}reach.doc_id, s.b AS r
+         FROM ${p}reach JOIN ${p}sym s ON s.a = ${p}reach.r),
+       ${p}comp AS (
+         SELECT doc_id, min(r) AS component FROM ${p}reach GROUP BY doc_id)"""
 
   private val ccCtes: String = ccChain(minhashLsh)
 
@@ -1323,4 +1327,46 @@ object OracleGen {
      LEFT JOIN mm ON mm.query_id = qm.query_id AND mm.method = qm.method
      ORDER BY qm.query_id, qm.method, kk.k"""
   }
+
+  /** Full five-modality composed gate (d118) matching
+    * [[graft.multimodal.Multimodal.d118FullMultimodalGate]]: the d106
+    * composition widened to every modality — text-exact keeper, image /
+    * audio / video duplicate-cluster representatives (three reachability
+    * chains over the three analytic pair sets), and the canonical-URL
+    * keeper; kept = the conjunction. Each sub-oracle is the SAME SQL the
+    * individual queries are checked against.
+    */
+  val fullMultimodalGate: String =
+    s"""WITH RECURSIVE ${ccChain(imageNearDup, "i")},
+       ${ccChain(audioNearDup, "a")},
+       ${ccChain(videoOverlap, "v")},
+       fp AS (
+         SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fp
+         FROM documents),
+       fk AS (SELECT fp, min(doc_id) AS tkeeper FROM fp GROUP BY fp),
+       tv AS (
+         SELECT fp.doc_id, fp.doc_id = fk.tkeeper AS keep_text
+         FROM fp JOIN fk ON fp.fp IS NOT DISTINCT FROM fk.fp),
+       uv AS (SELECT doc_id, keeper AS keep_url FROM ($urlDedup) u)
+     SELECT tv.doc_id, tv.keep_text,
+       (icomp.component IS NULL OR icomp.component = tv.doc_id)
+         AS keep_image,
+       (acomp.component IS NULL OR acomp.component = tv.doc_id)
+         AS keep_audio,
+       (vcomp.component IS NULL OR vcomp.component = tv.doc_id)
+         AS keep_video,
+       uv.keep_url,
+       (tv.keep_text
+         AND (icomp.component IS NULL OR icomp.component = tv.doc_id)
+         AND (acomp.component IS NULL OR acomp.component = tv.doc_id)
+         AND (vcomp.component IS NULL OR vcomp.component = tv.doc_id)
+         AND uv.keep_url) AS kept
+     FROM tv
+     JOIN uv USING (doc_id)
+     LEFT JOIN icomp ON icomp.doc_id = tv.doc_id
+     LEFT JOIN acomp ON acomp.doc_id = tv.doc_id
+     LEFT JOIN vcomp ON vcomp.doc_id = tv.doc_id
+     ORDER BY tv.doc_id"""
 }

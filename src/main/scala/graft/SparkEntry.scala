@@ -156,6 +156,8 @@ object SparkEntry {
     "q116_group_percentile" -> (Relational.q116GroupPercentile _),
     "d117_incremental_video" ->
       (graft.multimodal.Multimodal.d117IncrementalVideoDedup _),
+    "d118_full_multimodal_gate" ->
+      (graft.multimodal.Multimodal.d118FullMultimodalGate _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -892,6 +894,7 @@ object SparkEntry {
     // state must reproduce the full recompute's pair set (d104/d111
     // convention, third modality)
     "d117_incremental_video" -> OracleGen.videoOverlap,
+    "d118_full_multimodal_gate" -> OracleGen.fullMultimodalGate,
     "q108_funnel" ->
       """WITH pu AS (
            SELECT user_id,

@@ -852,24 +852,11 @@ object Multimodal {
     * beyond the doc_id-keyed composition joins.
     */
   def d106MultimodalDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.ops.{CacheRegistry, TextOps}
-    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-    // persist(): the fingerprinted table feeds the keeper aggregation and
-    // the verdict join (the d24/d96 canonical-text definition)
-    val base = CacheRegistry.harness.add(
-      graft.Tables.documents(s, d)
-        .select(col("doc_id"), md5(canon).as("fp")).persist())
-    val fpKeeper = base.groupBy("fp").agg(min("doc_id").as("tkeeper"))
-    // null-safe fp equality: md5(null text) is a null fp; <=> keeps those
-    // docs in one group exactly like the oracle's null-safe join (the d96
-    // finding — a plain equi-join would silently DROP them)
-    val textV = base
-      .join(fpKeeper.withColumnRenamed("fp", "kfp"), col("fp") <=> col("kfp"))
-      .select(col("doc_id"), (col("doc_id") === col("tkeeper")).as("keep_text"))
+    import graft.ops.TextOps
     val urlV = TextOps.d93UrlDedup(s, d)
       .select(col("doc_id"), col("keeper").as("keep_url"))
     val imgLabels = d105ImageClusters(s, d).select("doc_id", "component")
-    textV.join(urlV, Seq("doc_id"))
+    textExactVerdict(s, d).join(urlV, Seq("doc_id"))
       .join(imgLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_text"),
         (col("component").isNull || col("component") === col("doc_id"))
@@ -877,6 +864,66 @@ object Multimodal {
         col("keep_url"))
       .withColumn("kept",
         col("keep_text") && col("keep_image") && col("keep_url"))
+      .orderBy("doc_id")
+  }
+
+  /** The d24 canonical-text exact-dup keeper verdict, shared by d106 and
+    * d118. Null-safe fp equality: md5(null text) is a null fp; `<=>`
+    * keeps those docs in one group exactly like the oracle's null-safe
+    * join (the d96 finding — a plain equi-join would silently DROP them).
+    */
+  private def textExactVerdict(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.CacheRegistry
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    // persist(): the fingerprinted table feeds the keeper aggregation and
+    // the verdict join (the d24/d96 canonical-text definition)
+    val base = CacheRegistry.harness.add(
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), md5(canon).as("fp")).persist())
+    val fpKeeper = base.groupBy("fp").agg(min("doc_id").as("tkeeper"))
+    base
+      .join(fpKeeper.withColumnRenamed("fp", "kfp"), col("fp") <=> col("kfp"))
+      .select(col("doc_id"), (col("doc_id") === col("tkeeper")).as("keep_text"))
+  }
+
+  /** Full five-modality composed gate — the d118 query and the breadth
+    * capstone: d106's composition widened to EVERY modality the engine
+    * dedups. One per-doc verdict = text-exact keeper ∧ image-cluster
+    * representative (d98 pairs → CC) ∧ audio-cluster representative
+    * (d102 pairs → CC) ∧ video-cluster representative (d103 pairs → CC)
+    * ∧ canonical-URL keeper (d93) — "drop when ANY modality says this is
+    * a duplicate of something kept", the single gate a multimodal
+    * training pipeline actually runs before packing. Oracle composes the
+    * five sub-oracles (three recursive-CTE reachability chains + the
+    * null-safe text keeper + the URL keeper).
+    *
+    * Scale: no new join shapes — five proven verdict plans (each its
+    * family's audited plan) composed on doc_id; the three cluster tables
+    * carry one row per CLUSTERED doc only, so the composition joins are
+    * doc_id-keyed against sub-corpus-sized sides.
+    */
+  def d118FullMultimodalGate(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.TextOps
+    def rep(pairs: DataFrame, name: String): DataFrame =
+      TextOps.connectedComponents(pairs.select(col("d1"), col("d2")))
+        .select(col("doc_id"), col("component").as(name))
+    val urlV = TextOps.d93UrlDedup(s, d)
+      .select(col("doc_id"), col("keeper").as("keep_url"))
+    def keeperOf(c: String): org.apache.spark.sql.Column =
+      col(c).isNull || col(c) === col("doc_id")
+    textExactVerdict(s, d)
+      .join(urlV, Seq("doc_id"))
+      .join(rep(d98ImageNearDup(s, d), "icomp"), Seq("doc_id"), "left")
+      .join(rep(d102AudioNearDup(s, d), "acomp"), Seq("doc_id"), "left")
+      .join(rep(d103VideoOverlap(s, d), "vcomp"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_text"),
+        keeperOf("icomp").as("keep_image"),
+        keeperOf("acomp").as("keep_audio"),
+        keeperOf("vcomp").as("keep_video"),
+        col("keep_url"))
+      .withColumn("kept",
+        col("keep_text") && col("keep_image") && col("keep_audio") &&
+          col("keep_video") && col("keep_url"))
       .orderBy("doc_id")
   }
 

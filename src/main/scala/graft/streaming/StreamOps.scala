@@ -274,10 +274,35 @@ object StreamOps {
   def imageDedupStream(spark: SparkSession, media: DataFrame,
       statePath: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    hammingDedupStream(spark, media, statePath,
+      graft.multimodal.Multimodal.aHash64)
+
+  /** Streaming incremental AUDIO dedup — the same sink as
+    * [[imageDedupStream]] with [[graft.multimodal.Multimodal.audioHash64]]
+    * as the per-batch hasher (the d111 finding made executable at the
+    * streaming layer: nothing in the Hamming sink is image-specific beyond
+    * the hash function). State is 8 bytes per clip; old WAVs are never
+    * re-decoded.
+    */
+  def audioDedupStream(spark: SparkSession, media: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hammingDedupStream(spark, media, statePath,
+      graft.multimodal.Multimodal.audioHash64)
+
+  /** The shared Hamming-family sink: hash ONLY the batch with `hashFn`,
+    * publish its (doc_id, ahash) `batch=N` partition, probe prior
+    * partitions via the shared bucket machinery. One implementation for
+    * every 64-bit perceptual hash — a new modality is one function
+    * reference.
+    */
+  private def hammingDedupStream(spark: SparkSession, media: DataFrame,
+      statePath: String, hashFn: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .option("checkpointLocation", s"$statePath.checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.multimodal.Multimodal.aHash64(batch.toDF())
+        hashFn(batch.toDF())
           .filter(col("ahash").isNotNull)
           .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
         publishPartition(spark, s"$statePath.tmp/batch=$id",
@@ -286,6 +311,38 @@ object StreamOps {
         val mine = all.filter(col("batch") === id).drop("batch")
         val prior = all.filter(col("batch") =!= id).drop("batch")
         graft.multimodal.Multimodal.incrementalHammingPairs(prior, mine)
+          .write.mode("overwrite").parquet(s"$statePath.pairs.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.pairs.tmp/batch=$id",
+          s"$statePath.pairs/batch=$id")
+      }
+      .start()
+
+  /** Streaming incremental VIDEO clip-overlap dedup — the containment
+    * family's sink, completing streaming coverage across ALL multimodal
+    * members (image/audio Hamming above, video here). Per micro-batch of
+    * (doc_id, fp) frame-fingerprint rows (each video's COMPLETE frame set
+    * in one batch — the whole-item contract of
+    * [[graft.multimodal.Multimodal.incrementalClipPairs]]): publish the
+    * batch's frame rows as `batch=N` state (append-only, ~33 bytes per
+    * frame; prior videos are never re-decoded or re-fingerprinted), then
+    * probe prior partitions for containment pairs (self + cross, the same
+    * verdict as the one-shot d103). Effectively-once via the shared
+    * atomic-rename layout.
+    */
+  def videoDedupStream(spark: SparkSession, frames: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    frames.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().select(col("doc_id"), col("fp"))
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+        val all = spark.read.parquet(statePath)
+        val mine = all.filter(col("batch") === id).drop("batch")
+        val prior = all.filter(col("batch") =!= id).drop("batch")
+        graft.multimodal.Multimodal.incrementalClipPairs(prior, mine)
           .write.mode("overwrite").parquet(s"$statePath.pairs.tmp/batch=$id")
         publishPartition(spark, s"$statePath.pairs.tmp/batch=$id",
           s"$statePath.pairs/batch=$id")

@@ -432,6 +432,82 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.head._2 == "example.com/a/3")
   }
 
+  test("audio dedup stream accumulates 8-byte hash state and reproduces " +
+      "the one-shot d102 pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("auddedup").toString
+    val state = s"$dir/hashes"
+    // real synthesized WAV payloads, streamed in two disjoint batches
+    val payloads = graft.multimodal.Multimodal.audioDedupPayload(
+        graft.Tables.documents(s, "/root/testdata/sf0.001")
+          .select("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val (b1, b2) = payloads.partition(_._1 < 250)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val media = mem.toDF().toDF("doc_id", "payload")
+    val q = StreamOps.audioDedupStream(s, media, state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.read.parquet(s"$state.pairs")
+      .select("d1", "d2", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.multimodal.Multimodal
+      .d102AudioNearDup(s, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+    assert(s.read.parquet(state).count() == payloads.length)
+    graft.ops.CacheRegistry.harness.release()
+  }
+
+  test("video dedup stream accumulates frame state and reproduces the " +
+      "one-shot d103 containment pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("viddedup").toString
+    val state = s"$dir/frames"
+    // the d103 synthetic frame tables, streamed whole-video per batch
+    val oneShot = graft.multimodal.Multimodal
+      .d103VideoOverlap(s, "/root/testdata/sf0.001")
+    val cls = col("doc_id") % graft.multimodal.Multimodal.VideoDupClasses
+    val off = (expr(s"doc_id div ${graft.multimodal.Multimodal.VideoDupClasses}") % 4) * 16
+    val n = lit(64) + (cls % 3) * 16
+    val frames = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        explode(transform(sequence(off, off + n - 1),
+          k => md5(concat(lit("vid:"), cls.cast("string"), lit(":"),
+            k.cast("string"))))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = frames.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val fdf = mem.toDF().toDF("doc_id", "fp")
+    val q = StreamOps.videoDedupStream(s, fdf, state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.read.parquet(s"$state.pairs")
+      .select("d1", "d2", "inter", "containment_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = oneShot
+      .select("d1", "d2", "inter", "containment_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+    // state carries every frame row exactly once
+    assert(s.read.parquet(state).count() == frames.length)
+    graft.ops.CacheRegistry.harness.release()
+  }
+
   test("retention stream accumulates activity state and reproduces the one-shot q107 matrix") {
     val s = spark
     import s.implicits._
