@@ -158,6 +158,8 @@ object SparkEntry {
       (graft.multimodal.Multimodal.d117IncrementalVideoDedup _),
     "d118_full_multimodal_gate" ->
       (graft.multimodal.Multimodal.d118FullMultimodalGate _),
+    "d119_incremental_multimodal" ->
+      (graft.multimodal.Multimodal.d119IncrementalMultimodalGate _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -895,6 +897,10 @@ object SparkEntry {
     // convention, third modality)
     "d117_incremental_video" -> OracleGen.videoOverlap,
     "d118_full_multimodal_gate" -> OracleGen.fullMultimodalGate,
+    // deliberately the ONE-SHOT d118 oracle: the per-batch merged state
+    // must reproduce the full five-modality recompute (d96 convention
+    // extended across modalities)
+    "d119_incremental_multimodal" -> OracleGen.fullMultimodalGate,
     "q108_funnel" ->
       """WITH pu AS (
            SELECT user_id,

@@ -927,6 +927,110 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The INCREMENTAL full multimodal gate — the d119 query and the
+    * capstone of the round-10 incremental story, d96's "the COMPOSITION is
+    * incremental" proof extended across every modality: each of
+    * [[d118FullMultimodalGate]]'s five verdicts re-expressed as mergeable
+    * per-batch state, the two-batch run oracle-checked against the
+    * one-shot d118 SQL. Per modality:
+    *
+    *  1. text    — (fp → min doc_id) state, min-mergeable (the d96 stage);
+    *  2. URL     — (canon_url → min doc_id) state, min-mergeable (d101);
+    *  3. image   — per-doc 8-byte aHash state; per-batch pairs via
+    *               [[incrementalHammingPairs]] (the d104 probe), CC over
+    *               the ACCUMULATED pair set (output-sized — the d104
+    *               identity guarantees it equals the one-shot pair set,
+    *               so the components match d118's);
+    *  4. audio   — the same with [[audioHash64]] (d111);
+    *  5. video   — per-doc frame-fp state; per-batch pairs via
+    *               [[incrementalClipPairs]] (d117), CC over accumulated
+    *               pairs.
+    *
+    * Old payloads are never re-decoded, old text/URLs never re-hashed:
+    * each batch contributes O(batch) state (8 B/image, 8 B/clip,
+    * ~33 B/frame, one row per fp/canon_url), merges are min-merge /
+    * append, and the verdict joins run against merged state exactly as
+    * the one-shot runs against its full tables.
+    */
+  def d119IncrementalMultimodalGate(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.{CacheRegistry, TextOps}
+    val docs = CacheRegistry.harness.add(
+      graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source")).persist())
+    def half(i: Int): DataFrame = docs.filter(col("doc_id") % 2 === i)
+
+    // text: min-mergeable (fp -> keeper); null fp groups in groupBy and
+    // joins back null-safely (<=>), the d96/d106 convention
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    def fpTable(b: DataFrame): DataFrame =
+      b.select(col("doc_id"), md5(canon).as("fp"))
+    def fpState(b: DataFrame): DataFrame =
+      fpTable(b).groupBy("fp").agg(min("doc_id").as("tkeeper"))
+    val textState = fpState(half(0)).unionByName(fpState(half(1)))
+      .groupBy("fp").agg(min("tkeeper").as("tkeeper"))
+    val textV = fpTable(docs)
+      .join(textState.withColumnRenamed("fp", "kfp"), col("fp") <=> col("kfp"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("tkeeper")).as("keep_text"))
+
+    // URL: the d101 min-mergeable keeper state
+    def urlTable(b: DataFrame): DataFrame =
+      b.select(col("doc_id"), TextOps.canonicalizeUrl(
+        TextOps.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
+    def urlState(b: DataFrame): DataFrame =
+      urlTable(b).groupBy("canon_url").agg(min("doc_id").as("ukeeper"))
+    val uState = urlState(half(0)).unionByName(urlState(half(1)))
+      .groupBy("canon_url").agg(min("ukeeper").as("ukeeper"))
+    val urlV = urlTable(docs).join(uState, Seq("canon_url"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("ukeeper")).as("keep_url"))
+
+    // Hamming modalities: hash state + incremental probes + CC over the
+    // accumulated (output-sized) pair set
+    def hammingRep(hashes: DataFrame, name: String): DataFrame = {
+      val h1 = hashes.filter(col("doc_id") % 2 === 0)
+      val h2 = hashes.filter(col("doc_id") % 2 === 1)
+      val empty = hashes.filter(lit(false))
+      val pairs = incrementalHammingPairs(empty, h1)
+        .unionByName(incrementalHammingPairs(h1, h2))
+      TextOps.connectedComponents(pairs.select(col("d1"), col("d2")))
+        .select(col("doc_id"), col("component").as(name))
+    }
+    val ids = docs.select(col("doc_id"))
+    val imgHashes = CacheRegistry.harness.add(
+      aHash64(imageDedupPayload(ids)).filter(col("ahash").isNotNull)
+        .persist())
+    val audHashes = CacheRegistry.harness.add(
+      audioHash64(audioDedupPayload(ids)).filter(col("ahash").isNotNull)
+        .persist())
+
+    // video: frame state + incremental containment pairs + CC
+    val frames = CacheRegistry.harness.add(d103Frames(s, d).persist())
+    val f1 = frames.filter(col("doc_id") % 2 === 0)
+    val f2 = frames.filter(col("doc_id") % 2 === 1)
+    val vPairs = incrementalClipPairs(frames.filter(lit(false)), f1)
+      .unionByName(incrementalClipPairs(f1, f2))
+    val vidRep = TextOps.connectedComponents(vPairs.select(col("d1"), col("d2")))
+      .select(col("doc_id"), col("component").as("vcomp"))
+
+    def keeperOf(c: String): org.apache.spark.sql.Column =
+      col(c).isNull || col(c) === col("doc_id")
+    textV
+      .join(urlV, Seq("doc_id"))
+      .join(hammingRep(imgHashes, "icomp"), Seq("doc_id"), "left")
+      .join(hammingRep(audHashes, "acomp"), Seq("doc_id"), "left")
+      .join(vidRep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_text"),
+        keeperOf("icomp").as("keep_image"),
+        keeperOf("acomp").as("keep_audio"),
+        keeperOf("vcomp").as("keep_video"),
+        col("keep_url"))
+      .withColumn("kept",
+        col("keep_text") && col("keep_image") && col("keep_audio") &&
+          col("keep_video") && col("keep_url"))
+      .orderBy("doc_id")
+  }
+
   /** Class modulus for [[d103VideoOverlap]]'s synthetic clip model. */
   val VideoDupClasses = 120
 

@@ -1006,7 +1006,7 @@ object TextOps {
     * canonicalization, so they form their own class alongside their
     * page-less mod-50 siblings — the duplicate generator.
     */
-  private def syntheticUrl(docId: Column, source: Column): Column = concat(
+  private[graft] def syntheticUrl(docId: Column, source: Column): Column = concat(
     when(docId % 2 === 0, lit("https://")).otherwise(lit("http://")),
     when(docId % 3 === 0, lit("www.")).otherwise(lit("")),
     when(docId % 17 === 0, upper(source)).otherwise(source),
