@@ -1004,6 +1004,48 @@ object OracleGen {
      SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
      FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Incremental IVF ANN (v120) matching
+    * [[graft.ops.VectorOps.v120IncrementalIvf]] — the one-shot twin of the
+    * two-batch index build: the coarse quantizer is per-label centroids of
+    * the EVEN-vec_id half only (the frozen codebook batch 1 trained), every
+    * vector — both batches — is assigned to it in one shot, and the
+    * standard 10 queries probe their nprobe=2 nearest lists. Equality
+    * proves the batch-appended index serves the same answers as a
+    * from-scratch build against the same quantizer.
+    */
+  val incrementalIvf: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+       c0 AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                unnest(embedding::DOUBLE[]) AS x FROM embeddings
+              WHERE vec_id % 2 = 0),
+       c1 AS (SELECT label, dim, round(avg(x), 4) AS cv
+              FROM c0 GROUP BY label, dim),
+       c AS (SELECT label AS clabel, list(cv ORDER BY dim) AS cvec
+             FROM c1 GROUP BY label),
+       ranked AS (SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             list_dot_product(v, cvec) / (sqrt(list_dot_product(v, v))
+               * sqrt(list_dot_product(cvec, cvec))) DESC,
+             clabel) AS arn
+         FROM e, c),
+       assigned AS (SELECT r.vec_id, e.v,
+           sqrt(list_dot_product(e.v, e.v)) AS nv, r.clabel
+         FROM ranked r JOIN e ON e.vec_id = r.vec_id WHERE r.arn = 1),
+       probes AS (SELECT r.vec_id AS query_id, e.v AS qv,
+           sqrt(list_dot_product(e.v, e.v)) AS nq, r.clabel
+         FROM ranked r JOIN e ON e.vec_id = r.vec_id
+         WHERE r.vec_id < 10 AND r.arn <= 2),
+       sims AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_dot_product(p.qv, a.v) / (p.nq * a.nv) AS sim
+         FROM assigned a JOIN probes p ON a.clabel = p.clabel
+           AND a.vec_id <> p.query_id),
+       rk AS (SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+     SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
+     FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   /** Unrolled Lloyd's loop matching [[VectorOps.v60Kmeans]]: KmeansIters
     * rounds of (cosine argmax assignment with cid tiebreak, per-dim avg
     * recompute rounded to 4dp), init = first K vectors rounded to 4dp.

@@ -76,6 +76,7 @@ object SparkEntry {
     "m31_binary_meta" -> (VectorOps.m31BinaryMeta _),
     "d40_embed_neardup" -> (VectorOps.d40EmbedNearDup _),
     "v41_ivf_ann" -> (VectorOps.v41IvfAnn _),
+    "v120_incremental_ivf" -> (VectorOps.v120IncrementalIvf _),
     "q42_quantile_sketch" -> (Relational.q42QuantileSketch _),
     "q43_cube" -> (Relational.q43Cube _),
     "q44_intersect" -> (Relational.q44Intersect _),
@@ -513,6 +514,7 @@ object SparkEntry {
     "v30_ann_lsh" -> OracleGen.annLsh,
     "d40_embed_neardup" -> OracleGen.embedNearDup,
     "v41_ivf_ann" -> OracleGen.ivfAnn,
+    "v120_incremental_ivf" -> OracleGen.incrementalIvf,
     "m31_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5, source

@@ -172,15 +172,90 @@ object VectorOps {
     * its nprobe=2 nearest lists only. All joins are broadcasts of the tiny
     * codebook/query side; the corpus is touched by scans and one equi-join.
     */
-  def v41IvfAnn(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    ivfCandidates(s, d).withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim_r"), col("rnk"))
-      .orderBy("query_id", "rnk")
+  def v41IvfAnn(s: SparkSession, d: String): DataFrame =
+    ivfTopK(ivfCandidates(s, d))
+
+  /** Per-label centroid codebook (clabel, cvec) over the given embedding
+    * frame — the IVF coarse quantizer. Rounded to 4dp per cell so the
+    * codebook is bit-identical in any engine. At production scale this is a
+    * persisted artifact computed once offline; callers persist() the one-row-
+    * per-label result so its posexplode+double-agg subtree runs once.
+    * Shared by the one-shot [[v41IvfAnn]] (trained on the full corpus) and
+    * the incremental [[v120IncrementalIvf]] (trained on the first batch then
+    * FROZEN) — one definition, the two paths cannot drift.
+    */
+  def ivfCodebookOn(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x").cast("double")), 4).as("cv"))
+      .groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+
+  /** Assignment distance for the IVF quantizer: double-precision dot/norm
+    * with the same element-order accumulation as DuckDB's list_dot_product.
+    * Expects `embedding` and `cvec` columns in scope.
+    */
+  private def ivfAsim(s: SparkSession): Column = {
+    val vd = col("embedding").cast("array<double>")
+    planeDot(s, col("embedding"), col("cvec")) /
+      (sqrt(planeDot(s, vd, vd)) *
+        sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec"))))
   }
+
+  /** Build inverted lists: each vector of `vecs` goes to its nearest
+    * codebook centroid. Assignment = argmax(asim) with clabel tiebreak per
+    * vector. A window over the corpus×centroids rows would shuffle
+    * |codebook|× the corpus; min_by over a (−asim, clabel) ordering struct
+    * is the same argmax but gets map-side partial aggregation — the shuffle
+    * moves one compact struct per vector. (Ties can't flip the result: min
+    * of the struct is lexicographic, exactly asim DESC, clabel ASC.)
+    */
+  def assignToIvfLists(s: SparkSession, vecs: DataFrame, cent: DataFrame)
+      : DataFrame =
+    vecs.crossJoin(broadcast(cent)).withColumn("asim", ivfAsim(s))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("embedding"), col("clabel")),
+        struct(-col("asim"), col("clabel"))).as("t"))
+      .select(col("vec_id"), col("t.embedding").as("embedding"),
+        col("t.clabel").as("clabel"))
+
+  /** The `nprobe` nearest inverted lists per query row — a window, but only
+    * over the filtered query rows × |codebook|, never the corpus.
+    */
+  def ivfQueryProbes(s: SparkSession, queries: DataFrame, cent: DataFrame,
+      nprobe: Int = 2): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("asim").desc, col("clabel"))
+    queries.crossJoin(broadcast(cent))
+      .withColumn("asim", ivfAsim(s))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("clabel"))
+  }
+
+  /** Exact-cosine scoring of probes against their probed lists — the one
+    * scoring definition behind [[ivfProbeCandidates]] (broadcast probes, the
+    * in-plan one-shot/incremental query stage) and
+    * [[probeIvfBucketedState]] (plain join so the bucketed state layout
+    * carries the co-partitioning). The `=!=` guard drops each query's own
+    * stored copy.
+    */
+  private def ivfScore(s: SparkSession, state: DataFrame, probes: DataFrame)
+      : DataFrame =
+    state.join(probes,
+        state("clabel") === probes("clabel") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(s, col("qv"), col("embedding")).as("sim"))
+
+  /** Exact cosines of the (tiny) probe set against the assigned state's
+    * probed lists only — probes broadcast, state touched by one equi-join.
+    */
+  def ivfProbeCandidates(s: SparkSession, state: DataFrame, probes: DataFrame)
+      : DataFrame =
+    ivfScore(s, state, broadcast(probes))
 
   /** IVF scored candidate set (see [[v41IvfAnn]] for the full design notes):
     * per query, the exact cosines against the vectors of its nprobe=2
@@ -191,50 +266,11 @@ object VectorOps {
     val emb = embeddings(s, d)
     // persist(): the codebook (one row per label) feeds BOTH the assignment
     // and the probe branch — without it the whole posexplode+double-agg
-    // subtree runs twice. At production scale the codebook is a persisted
-    // artifact computed once offline; this is the in-plan equivalent.
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg(round(avg(col("x").cast("double")), 4).as("cv"))
-      .groupBy(col("label").as("clabel"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-        x => x.getField("cv")).as("cvec"))
-      .persist()
-    // assignment distance: double-precision dot/norm with the same
-    // element-order accumulation as DuckDB's list_dot_product
-    val vd = col("embedding").cast("array<double>")
-    val asim = planeDot(s, col("embedding"), col("cvec")) /
-      (sqrt(planeDot(s, vd, vd)) *
-        sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec"))))
-    // Assignment = argmax(asim) with clabel tiebreak per vector. A window over
-    // the corpus×centroids rows would shuffle |codebook|× the corpus; min_by
-    // over a (−asim, clabel) ordering struct is the same argmax but gets
-    // map-side partial aggregation — the shuffle moves one compact struct per
-    // vector. (Ties can't flip the result: min of the struct is lexicographic,
-    // exactly asim DESC, clabel ASC.)
-    val scored = emb.crossJoin(broadcast(cent)).withColumn("asim", asim)
-    val assigned = scored.groupBy("vec_id")
-      .agg(min_by(struct(col("embedding"), col("clabel")),
-        struct(-col("asim"), col("clabel"))).as("t"))
-      .select(col("vec_id"), col("t.embedding").as("embedding"),
-        col("t.clabel").as("clabel"))
-    // Probes need top-2 lists per query — a window, but only over the 10
-    // filtered query rows × |codebook|, never the corpus.
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("asim").desc, col("clabel"))
-    val probes = emb.filter(col("vec_id") < 10)
-      .crossJoin(broadcast(cent))
-      .withColumn("asim", asim)
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= 2)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("clabel"))
-    assigned.join(broadcast(probes),
-        assigned("clabel") === probes("clabel") &&
-          col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(s, col("qv"), col("embedding")).as("sim"))
+    // subtree runs twice.
+    val cent = ivfCodebookOn(emb).persist()
+    val assigned = assignToIvfLists(s, emb, cent)
+    val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 10), cent)
+    ivfProbeCandidates(s, assigned, probes)
   }
 
   /** v60 k-means cluster count. */
@@ -552,6 +588,98 @@ object VectorOps {
         coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"))
       .withColumn("keeper", col("n_smaller_dups") === 0L)
       .orderBy("vec_id")
+  }
+
+  /** Ingest one batch into a frozen-quantizer IVF index: assign the batch
+    * against the broadcast codebook (O(batch) work — stored vectors are
+    * never re-assigned), anti-join out replayed vec_ids so a re-delivered
+    * batch is idempotent (the d84/d92 convention), and append. The
+    * accumulated index is mergeable state: rows are independent
+    * (vec_id, embedding, clabel) facts, so batch order cannot change the
+    * final index.
+    */
+  def incrementalIvfIngest(s: SparkSession, codebook: DataFrame,
+      priorState: DataFrame, batch: DataFrame): DataFrame = {
+    val newAssigned = assignToIvfLists(s, batch, codebook)
+    priorState
+      .join(newAssigned.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(newAssigned)
+  }
+
+  /** Land an accumulated IVF index as a clabel-BUCKETED table — the 100 TB
+    * serving layout for [[probeIvfBucketedState]]: the query-time probe
+    * join's corpus-scale side arrives pre-partitioned on the join key (no
+    * Exchange of the index per query batch), and the probed-list filter
+    * bucket-prunes so only nprobe lists' buckets are ever read. Appends
+    * accumulate ingest batches; Spark validates the bucket spec on append.
+    */
+  def writeIvfBucketedState(assignments: DataFrame, tableName: String,
+      path: String, nBuckets: Int = 32): Unit =
+    assignments.write.mode("append")
+      .bucketBy(nBuckets, "clabel").sortBy("clabel")
+      .option("path", path).saveAsTable(tableName)
+
+  /** Query a [[writeIvfBucketedState]] index with a probe set: same scoring
+    * as [[ivfProbeCandidates]] (shared [[ivfScore]] internals — the two
+    * paths cannot drift), plus LIST PRUNING — a query batch probes at most
+    * queries×nprobe lists (a bounded driver-side collect), and filtering
+    * the index scan to those clabels is a literal predicate Spark
+    * bucket-prunes on, so untouched lists' buckets are never read.
+    * Per-query-batch index I/O is therefore O(probed lists), and what IS
+    * read is never exchanged (BucketedStateSpec asserts both plan
+    * properties).
+    */
+  def probeIvfBucketedState(s: SparkSession, tableName: String,
+      probes: DataFrame): DataFrame = {
+    val probedLists = probes.select("clabel").distinct().collect()
+      .map(_.get(0))
+    val state = s.table(tableName).filter(col("clabel").isin(probedLists: _*))
+    ivfScore(s, state, probes)
+  }
+
+  /** Rank probe candidates into the final per-query top-k answer — the one
+    * ranking definition for v41/v120 (k=3) and the streamed-index query.
+    */
+  def ivfTopK(cands: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim_r"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Two-batch incremental IVF ANN over the whole corpus — the v120 query,
+    * completing the one-shot/incremental matrix for the similarity-search
+    * pillar (v41 is the one-shot; `StreamOps.annIngestStream` the streaming
+    * member): the coarse quantizer trains on the even-vec_id half only and
+    * is then FROZEN (the d92 SemDeDup contract: retraining is a corpus
+    * re-index, not an ingest step), batch 1 = evens, batch 2 = odds
+    * appended via [[incrementalIvfIngest]] — old vectors are never
+    * re-assigned — and the standard 10 queries probe their nprobe=2 nearest
+    * lists over the ACCUMULATED index. Oracle-checked against a one-shot
+    * SQL twin that assigns ALL vectors to the same frozen codebook: proves
+    * batch-built index == one-shot index, query-for-query.
+    *
+    * 100 TB story: ingest cost is O(batch)×|codebook| map work + one
+    * compact-struct shuffle per batch vector; query cost is O(probed
+    * lists) — with the [[writeIvfBucketedState]] layout the probe is also
+    * exchange-free and bucket-pruned on the index side.
+    */
+  def v120IncrementalIvf(s: SparkSession, d: String): DataFrame = {
+    // persist(): both batch filters and the query scan read this once
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .persist())
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val cent = CacheRegistry.harness.add(ivfCodebookOn(evens).persist())
+    val empty = assignToIvfLists(s, emb.filter(lit(false)), cent)
+    val state1 = incrementalIvfIngest(s, cent, empty, evens)
+    val state2 = incrementalIvfIngest(s, cent, state1, odds)
+    val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 10), cent)
+    ivfTopK(ivfProbeCandidates(s, state2, probes))
   }
 
   /** v64 product quantization: number of subspaces (64 dims → 4×16). */

@@ -407,6 +407,53 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ANN index-ingest sink — the streaming member of the
+    * similarity-search trio (one-shot v41 / batch-incremental v120 / here),
+    * mirroring the dedup families' one-shot+incremental+streaming coverage.
+    * The coarse quantizer is a FROZEN offline artifact at `codebookPath`
+    * (the v120/d92 contract: retraining is a corpus re-index, not an
+    * ingest step). Per micro-batch of (vec_id, embedding): assign the
+    * batch's vectors to their inverted lists with the SHARED
+    * [[graft.ops.VectorOps.assignToIvfLists]] (batch and stream cannot
+    * assign differently) — O(batch) work, stored vectors never re-read or
+    * re-assigned — and publish as this batch's own `batch=N` partition
+    * (sibling-`.tmp` + atomic rename, the effectively-once layout every
+    * graft sink uses: a foreachBatch replay rewrites an identical
+    * partition). [[annIndexQuery]] serves top-k over the accumulated index
+    * at read time.
+    */
+  def annIngestStream(spark: SparkSession, emb: DataFrame,
+      codebookPath: String, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val codebook = spark.read.parquet(codebookPath)
+        graft.ops.VectorOps.assignToIvfLists(spark, batch.toDF(), codebook)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** Top-k cosine query over an [[annIngestStream]]-accumulated index:
+    * probe each query's `nprobe` nearest inverted lists through the same
+    * shared probe/score/rank definitions as v41/v120
+    * ([[graft.ops.VectorOps.ivfQueryProbes]] /
+    * `ivfProbeCandidates` / `ivfTopK`) — the served answer is the one-shot
+    * answer by construction. `queries` carries (vec_id, embedding).
+    */
+  def annIndexQuery(spark: SparkSession, statePath: String,
+      codebookPath: String, queries: DataFrame, k: Int = 3, nprobe: Int = 2)
+      : DataFrame = {
+    val codebook = spark.read.parquet(codebookPath)
+    val state = spark.read.parquet(statePath).drop("batch")
+    val probes =
+      graft.ops.VectorOps.ivfQueryProbes(spark, queries, codebook, nprobe)
+    graft.ops.VectorOps.ivfTopK(
+      graft.ops.VectorOps.ivfProbeCandidates(spark, state, probes), k)
+  }
+
   /** Atomically publish a completed batch-partition directory staged at
     * `tmp` to its final location `dst` inside a partitioned table root:
     * delete a stale `dst` (a replayed batch), then one FileSystem rename.

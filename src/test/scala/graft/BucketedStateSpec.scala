@@ -108,4 +108,42 @@ class BucketedStateSpec extends SparkSpec {
     CacheRegistry.harness.release()
     spark.sql("DROP TABLE IF EXISTS g_cid_state")
   }
+
+  test("ivf index state: query probe is exchange-free AND bucket-pruned") {
+    val wh = betfair.Fixtures.tempDir("ivfstate")
+    spark.sql("DROP TABLE IF EXISTS g_ivf_state")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding")).persist()
+    CacheRegistry.harness.add(emb)
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    // frozen quantizer trained on batch 1 (the v120 contract)
+    val cent = VectorOps.ivfCodebookOn(evens).persist()
+    CacheRegistry.harness.add(cent)
+    val a1 = VectorOps.assignToIvfLists(spark, evens, cent).persist()
+    CacheRegistry.harness.add(a1)
+    val a2 = VectorOps.assignToIvfLists(spark, odds, cent).persist()
+    CacheRegistry.harness.add(a2)
+    // two ingest batches appended to the clabel-bucketed index
+    VectorOps.writeIvfBucketedState(a1, "g_ivf_state", s"$wh/g_ivf_state")
+    VectorOps.writeIvfBucketedState(a2, "g_ivf_state", s"$wh/g_ivf_state")
+    val probes = VectorOps
+      .ivfQueryProbes(spark, emb.filter(col("vec_id") < 10), cent).persist()
+    CacheRegistry.harness.add(probes)
+    withProbeConfs {
+      val cands = VectorOps.probeIvfBucketedState(spark, "g_ivf_state", probes)
+      assertStateSideUnshuffled(cands)
+      // list pruning reached the scan: the literal clabel filter lets the
+      // planner select only the probed lists' buckets
+      val scans = bucketedScans(cands.queryExecution.executedPlan)
+      assert(scans.exists(_.toString.contains("SelectedBucketsCount")),
+        scans.map(_.toString).mkString("\n"))
+      // output identity with the in-memory probe path
+      val expected = VectorOps.ivfProbeCandidates(spark,
+        a1.unionByName(a2), probes)
+      assert(sameSet(cands, expected))
+    }
+    CacheRegistry.harness.release()
+    spark.sql("DROP TABLE IF EXISTS g_ivf_state")
+  }
 }

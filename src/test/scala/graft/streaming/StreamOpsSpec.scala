@@ -233,6 +233,53 @@ class StreamOpsSpec extends SparkSpec {
     graft.ops.CacheRegistry.harness.release()
   }
 
+  test("ann ingest stream accumulates inverted lists and serves the " +
+      "one-shot top-k") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("annindex").toString
+    val state = s"$dir/index"
+    val codebookPath = s"$dir/codebook"
+    val corpus = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    val half = corpus.map(_._1).sorted.apply(corpus.length / 2)
+    // offline step: train the frozen coarse quantizer on the early half
+    graft.ops.VectorOps.ivfCodebookOn(
+        corpus.filter(_._1 < half).toSeq.toDF("vec_id", "label", "embedding"))
+      .write.mode("overwrite").parquet(codebookPath)
+    val vecs = corpus.map(t => (t._1, t._3))
+    val (b1, b2) = vecs.partition(_._1 < half)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val emb = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.annIngestStream(s, emb, codebookPath, state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the accumulated index holds one stored assignment per vector
+    assert(s.read.parquet(state).count() == corpus.length)
+    val queries = vecs.filter(_._1 < 10).toSeq.toDF("vec_id", "embedding")
+    val served = StreamOps.annIndexQuery(s, state, codebookPath, queries)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // one-shot at the SAME frozen codebook: assign everything in one go,
+    // probe through the same shared definitions
+    val codebook = s.read.parquet(codebookPath)
+    val allAssigned = graft.ops.VectorOps.assignToIvfLists(s,
+      vecs.toSeq.toDF("vec_id", "embedding"), codebook)
+    val expected = graft.ops.VectorOps.ivfTopK(
+        graft.ops.VectorOps.ivfProbeCandidates(s, allAssigned,
+          graft.ops.VectorOps.ivfQueryProbes(s, queries, codebook)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(served.nonEmpty)
+    assert(served.toSeq == expected.toSeq)
+    graft.ops.CacheRegistry.harness.release()
+  }
+
   test("stream-static decontamination flags docs overlapping the eval set") {
     val s = spark
     import s.implicits._
