@@ -100,6 +100,7 @@ object SparkEntry {
     "q62_rank_family" -> (Relational.q62RankFamily _),
     "q63_date_trunc" -> (Relational.q63DateTrunc _),
     "v64_pq_ann" -> (VectorOps.v64PqAnn _),
+    "v121_incremental_pq" -> (VectorOps.v121IncrementalPq _),
     "t65_clean_pipeline" -> (TextOps.t65CleanPipeline _),
     "t66_hash_split" -> (TextOps.t66HashSplit _),
     "t67_decontaminate" -> (TextOps.t67Decontaminate _),
@@ -593,6 +594,7 @@ object SparkEntry {
          FROM events GROUP BY week_start, iso_dow
          ORDER BY week_start, iso_dow""",
     "v64_pq_ann" -> OracleGen.pqAnn,
+    "v121_incremental_pq" -> OracleGen.incrementalPq,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -724,45 +724,87 @@ object VectorOps {
     */
   private def pqCandidates(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    val subs = pqSubvectors(emb)
+    // one Lloyd refinement per subspace (k*M*subdim = 256 cells, persisted);
+    // init codebook: subvectors of the first K vectors
+    val cb = trainPqCodebooksOn(s, subs, col("vec_id") < PqK).persist()
+    // encode: the corpus compresses to (vec_id, m, code)
+    val codes = encodePq(s, subs, cb)
+    pqAdcScore(s, codes, subs.filter(col("vec_id") < 5), cb)
+  }
+
+  /** (vec_id, m, sub): each vector's [[PqM]] subvectors, built map-side —
+    * the input shape for PQ training, encoding and query LUTs. Shared by
+    * the one-shot v64 and the incremental [[v121IncrementalPq]].
+    */
+  def pqSubvectors(vecs: DataFrame): DataFrame = {
     val vd = col("embedding").cast("array<double>")
-    // (vec_id, m, sub): each vector's M subvectors, built map-side
-    val subs = emb.select(col("vec_id"),
+    vecs.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PqM - 1)),
         m => slice(vd, m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("m", "sub")))
-    // init codebook: subvectors of the first K vectors, rounded
-    var cb = subs.filter(col("vec_id") < PqK)
+  }
+
+  /** Squared-L2 to a codeword — same accumulation order as the oracle.
+    * Expects `sub` and `cvec` columns in scope.
+    */
+  private def pqDist(s: SparkSession): Column =
+    planeDot(s, col("sub"), col("sub")) -
+      lit(2.0) * planeDot(s, col("sub"), col("cvec")) +
+      planeDot(s, col("cvec").cast("array<double>"), col("cvec"))
+
+  /** Nearest-codeword assignment per (vector, subspace) — min_by over a
+    * (dist, cid) ordering struct: map-side partial aggregation, never a
+    * corpus×k window.
+    */
+  private def pqAssign(s: SparkSession, subs: DataFrame, cb: DataFrame)
+      : DataFrame =
+    subs.join(broadcast(cb), "m").withColumn("dst", pqDist(s))
+      .groupBy("vec_id", "m")
+      .agg(min_by(struct(col("sub"), col("cid")),
+        struct(col("dst"), col("cid"))).as("t"))
+      .select(col("vec_id"), col("m"), col("t.sub").as("sub"),
+        col("t.cid").as("cid"))
+
+  /** Train the per-subspace PQ codebooks on `trainSubs` ([[pqSubvectors]]
+    * rows): init = the subvectors selected by `initPred` (4dp-rounded), one
+    * squared-L2 Lloyd refinement (4dp) — k×M×subdim = 256 cells at any
+    * corpus size. Caller persists the returned (m, cid, cvec). For the
+    * incremental path this is the FROZEN offline artifact (the v120/d92
+    * contract); one definition shared with the one-shot v64.
+    */
+  def trainPqCodebooksOn(s: SparkSession, trainSubs: DataFrame,
+      initPred: Column): DataFrame = {
+    val init = trainSubs.filter(initPred)
       .select(col("m"), col("vec_id").cast("int").as("cid"),
         transform(col("sub"), x => round(x, 4)).as("cvec"))
       .persist()
-    // squared-L2 to a codeword, same accumulation order as the oracle
-    def dist = planeDot(s, col("sub"), col("sub")) -
-      lit(2.0) * planeDot(s, col("sub"), col("cvec")) +
-      planeDot(s, col("cvec").cast("array<double>"), col("cvec"))
-    def assign(df: DataFrame) =
-      df.join(broadcast(cb), "m").withColumn("dst", dist)
-        .groupBy("vec_id", "m")
-        .agg(min_by(struct(col("sub"), col("cid")),
-          struct(col("dst"), col("cid"))).as("t"))
-        .select(col("vec_id"), col("m"), col("t.sub").as("sub"),
-          col("t.cid").as("cid"))
-    // one Lloyd refinement per subspace (k*M*subdim = 256 cells, persisted)
-    cb = assign(subs)
+    pqAssign(s, trainSubs, init)
       .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("dim", "x")))
       .groupBy("m", "cid", "dim")
       .agg(round(avg(col("x")), 4).as("cv"))
       .groupBy("m", "cid")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
         x => x.getField("cv")).as("cvec"))
-      .persist()
-    // encode: the corpus compresses to (vec_id, m, code)
-    val codes = assign(subs).select(col("vec_id"), col("m"), col("cid"))
+  }
+
+  /** Encode vectors against a (frozen) codebook: the corpus compresses to
+    * (vec_id, m, code) — M bytes-scale ids per vector instead of the raw
+    * floats. O(batch)×|codebook| map work + one compact-struct shuffle.
+    */
+  def encodePq(s: SparkSession, subs: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(s, subs, cb).select(col("vec_id"), col("m"), col("cid"))
+
+  /** ADC scoring of queries against a code table.
+    * pd is rounded to 4dp BEFORE the sum: vectors sharing a code tuple get
+    * structurally-equal scores, and raw float sums of the same 4 values in
+    * different orders could flip their rank between engines — sums of 4dp
+    * multiples are never at a rounding boundary, so approx_r (and thus the
+    * rank order) is engine-exact.
+    */
+  def pqAdcScore(s: SparkSession, codes: DataFrame, querySubs: DataFrame,
+      cb: DataFrame): DataFrame = {
     // ADC lookup table: query-subvector · codeword, queries broadcast
-    // pd is rounded to 4dp BEFORE the sum: vectors sharing a code tuple get
-    // structurally-equal scores, and raw float sums of the same 4 values in
-    // different orders could flip their rank between engines — sums of 4dp
-    // multiples are never at a rounding boundary, so approx_r (and thus the
-    // rank order) is engine-exact
-    val lut = subs.filter(col("vec_id") < 5)
+    val lut = querySubs
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cb), "m")
       .select(col("query_id"), col("m"), col("cid"),
@@ -773,6 +815,57 @@ object VectorOps {
       .groupBy("query_id", "vec_id")
       .agg(round(sum("pd"), 4).as("sim"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Ingest one batch into a frozen-codebook PQ index: encode the batch's
+    * subvectors (O(batch) — stored vectors are never re-encoded), anti-join
+    * out replayed vec_ids, append. The code table is mergeable state: rows
+    * are independent (vec_id, m, code) facts.
+    */
+  def incrementalPqIngest(s: SparkSession, cb: DataFrame,
+      priorCodes: DataFrame, batchSubs: DataFrame): DataFrame = {
+    val newCodes = encodePq(s, batchSubs, cb)
+    priorCodes
+      .join(newCodes.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(newCodes)
+  }
+
+  /** Two-batch incremental PQ ANN over the whole corpus — the v121 query,
+    * extending the frozen-artifact incremental contract (v120 = the raw
+    * IVF index, here = the COMPRESSED index a 100 TB deployment actually
+    * holds in memory): PQ codebooks train on the even-vec_id half only
+    * (init = the first K even vectors) and are then FROZEN, batch 1 =
+    * evens, batch 2 = odds appended via [[incrementalPqIngest]], and the
+    * v64 queries ADC-score the ACCUMULATED code table. Oracle-checked
+    * against a one-shot SQL twin encoding ALL vectors against the same
+    * frozen codebooks: batch-built code table == one-shot code table,
+    * query for query.
+    *
+    * 100 TB story: per-batch ingest is the batch's own subvector map work,
+    * one broadcast of the 16-row codebook, one compact-struct shuffle; the
+    * accumulated index carries only M small ids per vector, and queries
+    * never touch the raw floats of stored vectors at all.
+    */
+  def v121IncrementalPq(s: SparkSession, d: String): DataFrame = {
+    // persist(): train, both encodes, and the query LUT all read subs
+    val subs = CacheRegistry.harness.add(pqSubvectors(
+      embeddings(s, d).select(col("vec_id"), col("embedding"))).persist())
+    val evenSubs = subs.filter(col("vec_id") % 2 === 0)
+    val oddSubs = subs.filter(col("vec_id") % 2 === 1)
+    // frozen codebooks: trained on batch 1, init = first K even vectors
+    val cb = CacheRegistry.harness.add(
+      trainPqCodebooksOn(s, evenSubs, col("vec_id") < 2 * PqK).persist())
+    val codes1 = incrementalPqIngest(s, cb, encodePq(s, subs.filter(lit(false)), cb),
+      evenSubs)
+    val codes2 = incrementalPqIngest(s, cb, codes1, oddSubs)
+    val sc = pqAdcScore(s, codes2, subs.filter(col("vec_id") < 5), cb)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        col("sim").as("approx_r"), col("rnk"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Higher-order array-function scalar library over the embedding column:
