@@ -194,13 +194,17 @@ object VectorOps {
 
   /** Assignment distance for the IVF quantizer: double-precision dot/norm
     * with the same element-order accumulation as DuckDB's list_dot_product.
-    * Expects `embedding` and `cvec` columns in scope.
+    * Expects `embedding` and `cvec` columns in scope. Zero-norm vectors
+    * (degenerate corpora) pin to similarity 0 instead of tripping ANSI
+    * divide-by-zero — the [[assignToCentroids]] convention; the driver
+    * tables carry no zero vectors, so the oracle twin is unaffected.
     */
   private def ivfAsim(s: SparkSession): Column = {
     val vd = col("embedding").cast("array<double>")
-    planeDot(s, col("embedding"), col("cvec")) /
-      (sqrt(planeDot(s, vd, vd)) *
-        sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec"))))
+    val denom = sqrt(planeDot(s, vd, vd)) *
+      sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec")))
+    when(denom === 0d, lit(0d))
+      .otherwise(planeDot(s, col("embedding"), col("cvec")) / denom)
   }
 
   /** Build inverted lists: each vector of `vecs` goes to its nearest

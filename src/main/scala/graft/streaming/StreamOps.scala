@@ -454,6 +454,30 @@ object StreamOps {
       graft.ops.VectorOps.ivfProbeCandidates(spark, state, probes), k)
   }
 
+  /** Compact an [[annIngestStream]]-accumulated `batch=N` index into the
+    * clabel-bucketed serving layout
+    * ([[graft.ops.VectorOps.writeIvfBucketedState]]) — the maintenance job
+    * bridging the two layouts' tradeoffs: the streaming sink's layout is
+    * append-only (each micro-batch publishes its own partition, no
+    * read-modify-write), the serving layout is probe-optimal
+    * (exchange-free, bucket-pruned — see `probeIvfBucketedState`). One
+    * rewrite job, run off the ingest path. Replayed vec_ids collapse to
+    * their latest batch's row via a max_by partial aggregation (the sink
+    * overwrites a replayed partition, so earlier duplicates are stale by
+    * construction).
+    */
+  def compactAnnIndex(spark: SparkSession, statePath: String,
+      tableName: String, path: String, nBuckets: Int = 32): Unit = {
+    val latest = spark.read.parquet(statePath)
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("clabel")), col("batch"))
+        .as("t"))
+      .select(col("vec_id"), col("t.embedding").as("embedding"),
+        col("t.clabel").as("clabel"))
+    graft.ops.VectorOps.writeIvfBucketedState(latest, tableName, path,
+      nBuckets)
+  }
+
   /** Atomically publish a completed batch-partition directory staged at
     * `tmp` to its final location `dst` inside a partitioned table root:
     * delete a stale `dst` (a replayed batch), then one FileSystem rename.

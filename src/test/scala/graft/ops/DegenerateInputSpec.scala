@@ -142,4 +142,23 @@ class DegenerateInputSpec extends SparkSpec {
     assert(d92.forall(_.getAs[Boolean]("keeper")))
     CacheRegistry.harness.release()
   }
+
+  test("incremental ANN index builders survive the dirty corpus") {
+    // v120 on two vectors (one all-zero, one normal): the evens-trained
+    // codebook has a single list, both vectors assign to it (a one-row
+    // argmax cannot throw on the zero vector's NaN similarity), and each
+    // query scores exactly the other vector
+    val v120 = VectorOps.v120IncrementalIvf(spark, dirtyDir).collect()
+    assert(v120.length == 2)
+    assert(v120.map(_.getAs[Long]("query_id")).toSet == Set(1L, 2L))
+    CacheRegistry.harness.release()
+    // v121 on dim-2 vectors: subspace slices beyond the array length are
+    // empty lists, whose dot products are 0.0 — assignment degrades to the
+    // cid tiebreak instead of throwing, and the ADC scores still produce
+    // one row per (query, other-vector)
+    val v121 = VectorOps.v121IncrementalPq(spark, dirtyDir).collect()
+    assert(v121.length == 2)
+    assert(v121.map(_.getAs[Long]("query_id")).toSet == Set(1L, 2L))
+    CacheRegistry.harness.release()
+  }
 }

@@ -277,6 +277,17 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(served.nonEmpty)
     assert(served.toSeq == expected.toSeq)
+    // compaction: the streamed batch=N layout rewrites into the bucketed
+    // serving layout, and the served answers are unchanged
+    s.sql("DROP TABLE IF EXISTS g_ann_compact")
+    StreamOps.compactAnnIndex(s, state, "g_ann_compact", s"$dir/compact")
+    val probes = graft.ops.VectorOps.ivfQueryProbes(s, queries, codebook)
+    val compacted = graft.ops.VectorOps.ivfTopK(
+        graft.ops.VectorOps.probeIvfBucketedState(s, "g_ann_compact", probes))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(compacted.toSeq == expected.toSeq)
+    s.sql("DROP TABLE IF EXISTS g_ann_compact")
     graft.ops.CacheRegistry.harness.release()
   }
 
