@@ -252,7 +252,14 @@ object VectorOps {
         state("clabel") === probes("clabel") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(s, col("qv"), col("embedding")).as("sim"))
+        // zero-norm pin, scoring side: a degenerate (all-zero) query or
+        // stored vector makes the cosine 0/0 = NaN, and Spark's descending
+        // sort ranks NaN FIRST — the served top-k would lead with NaN rows.
+        // nanvl pins it to 0.0, matching the assignment path's denom==0
+        // guard (ivfAsim); finite inputs are untouched, so the oracles see
+        // no change. DegenerateInputSpec asserts the served sims are
+        // NaN-free on a corpus with an all-zero vector.
+        nanvl(cosine(s, col("qv"), col("embedding")), lit(0d)).as("sim"))
 
   /** Exact cosines of the (tiny) probe set against the assigned state's
     * probed lists only — probes broadcast, state touched by one equi-join.
@@ -709,11 +716,19 @@ object VectorOps {
     * training mirrors v60 (broadcast codebook, min_by assignment, 4dp
     * rounding each stage for engine-exact parity).
     */
-  def v64PqAnn(s: SparkSession, d: String): DataFrame = {
+  def v64PqAnn(s: SparkSession, d: String): DataFrame =
+    pqTopK(pqCandidates(s, d))
+
+  /** Rank ADC-scored candidates into the final per-query top-k — the PQ
+    * twin of [[ivfTopK]] (`approx_r` is the already-4dp ADC score, not a
+    * re-rounded cosine). The ONE ranking definition for the one-shot v64
+    * and the incremental v121, so the two paths cannot drift.
+    */
+  def pqTopK(cands: DataFrame, k: Int = 3): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    pqCandidates(s, d).withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+    cands.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("sim").as("approx_r"), col("rnk"))
       .orderBy("query_id", "rnk")
@@ -862,14 +877,7 @@ object VectorOps {
     val codes1 = incrementalPqIngest(s, cb, encodePq(s, subs.filter(lit(false)), cb),
       evenSubs)
     val codes2 = incrementalPqIngest(s, cb, codes1, oddSubs)
-    val sc = pqAdcScore(s, codes2, subs.filter(col("vec_id") < 5), cb)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    sc.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("query_id"), col("neighbor_id"),
-        col("sim").as("approx_r"), col("rnk"))
-      .orderBy("query_id", "rnk")
+    pqTopK(pqAdcScore(s, codes2, subs.filter(col("vec_id") < 5), cb))
   }
 
   /** Higher-order array-function scalar library over the embedding column:

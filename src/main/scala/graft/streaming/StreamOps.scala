@@ -447,12 +447,31 @@ object StreamOps {
       codebookPath: String, queries: DataFrame, k: Int = 3, nprobe: Int = 2)
       : DataFrame = {
     val codebook = spark.read.parquet(codebookPath)
-    val state = spark.read.parquet(statePath).drop("batch")
+    // latest-batch collapse BEFORE scoring: an at-least-once source can
+    // deliver the same vec_id in two micro-batches; without the collapse
+    // the duplicate would occupy two top-k slots here while
+    // compactAnnIndex's serving layout holds it once — the two query
+    // paths over the same state must agree (same max_by rule, shared via
+    // latestAnnState).
+    val state = latestAnnState(spark.read.parquet(statePath))
     val probes =
       graft.ops.VectorOps.ivfQueryProbes(spark, queries, codebook, nprobe)
     graft.ops.VectorOps.ivfTopK(
       graft.ops.VectorOps.ivfProbeCandidates(spark, state, probes), k)
   }
+
+  /** Collapse an [[annIngestStream]] `batch=N` index to one row per vec_id
+    * — latest batch wins (the sink overwrites a replayed partition, so
+    * earlier duplicates are stale by construction). The ONE dedup rule
+    * behind both [[annIndexQuery]] and [[compactAnnIndex]]; a max_by
+    * partial aggregation, so the map side reduces before the shuffle.
+    */
+  private def latestAnnState(raw: DataFrame): DataFrame =
+    raw.groupBy("vec_id")
+      .agg(max_by(struct(col("embedding"), col("clabel")), col("batch"))
+        .as("t"))
+      .select(col("vec_id"), col("t.embedding").as("embedding"),
+        col("t.clabel").as("clabel"))
 
   /** Compact an [[annIngestStream]]-accumulated `batch=N` index into the
     * clabel-bucketed serving layout
@@ -467,16 +486,10 @@ object StreamOps {
     * construction).
     */
   def compactAnnIndex(spark: SparkSession, statePath: String,
-      tableName: String, path: String, nBuckets: Int = 32): Unit = {
-    val latest = spark.read.parquet(statePath)
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("embedding"), col("clabel")), col("batch"))
-        .as("t"))
-      .select(col("vec_id"), col("t.embedding").as("embedding"),
-        col("t.clabel").as("clabel"))
-    graft.ops.VectorOps.writeIvfBucketedState(latest, tableName, path,
+      tableName: String, path: String, nBuckets: Int = 32): Unit =
+    graft.ops.VectorOps.writeIvfBucketedState(
+      latestAnnState(spark.read.parquet(statePath)), tableName, path,
       nBuckets)
-  }
 
   /** Atomically publish a completed batch-partition directory staged at
     * `tmp` to its final location `dst` inside a partitioned table root:

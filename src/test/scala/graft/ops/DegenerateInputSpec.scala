@@ -151,6 +151,10 @@ class DegenerateInputSpec extends SparkSpec {
     val v120 = VectorOps.v120IncrementalIvf(spark, dirtyDir).collect()
     assert(v120.length == 2)
     assert(v120.map(_.getAs[Long]("query_id")).toSet == Set(1L, 2L))
+    // the all-zero query's cosines are 0/0 — the scoring path must pin
+    // them to 0.0 (the ivfScore nanvl guard), never serve NaN-ranked rows
+    assert(v120.forall(r => !r.getAs[Double]("sim_r").isNaN),
+      s"NaN sim served for a zero-norm query: ${v120.mkString(",")}")
     CacheRegistry.harness.release()
     // v121 on dim-2 vectors: subspace slices beyond the array length are
     // empty lists, whose dot products are 0.0 — assignment degrades to the
