@@ -525,86 +525,203 @@ object Multimodal {
     if (r == 0) c
     else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
 
-  /** All pairs at Hamming distance ≤ `maxHamming` over a
-    * (doc_id, ahash) table via rotated-prefix bucketing, 64-bit form:
-    * 4 tables keyed by the 16-bit prefix at rotations 0/16/32/48. The
-    * four windows are DISJOINT and cover every bit exactly once, so for
-    * maxHamming ≤ 3 a qualifying pair has at most 3 dirty windows and
-    * is GUARANTEED to share at least one bucket (pigeonhole — exact
-    * recall). Candidates from any table, Hamming-refined map-side BEFORE
-    * the dedup shuffle, then distinct — an equi-join per table, never
-    * all-pairs; cost is bounded by bucket occupancy (2^16 keyspace per
-    * table), quadratic only in duplicate-class size, the irreducible
-    * output. Shared by the image (d98) and audio (d102) near-dup ops.
+  /** Max DISTINCT hash values admitted per rotated-window bucket before
+    * the bucket is declared HOT and excluded from cross-hash candidate
+    * generation — the d25 ShingleDfCap convention applied to the Hamming
+    * family. Occupancy counts distinct hash VALUES, never documents:
+    * exact-duplicate classes (the dominant real-world skew — every
+    * re-upload of one image carries the same 64 bits) collapse to ONE
+    * bucket row and pair through the bucket-free identical-hash path, so
+    * only genuinely-distinct hashes crowding one 16-bit window (near-black
+    * images all hashing ≈0, an adversarial corpus) can trip the cap.
+    * Recall under the cap: a qualifying pair (Hamming ≤ 3) is lost only
+    * if EVERY one of its clean windows is hot — with ≤3 dirty windows it
+    * has ≥1 clean window, and ≥2 clean (both needing to be hot) when
+    * Hamming ≤ 2; HammingCapSpec quantifies the loss on a skewed
+    * synthetic corpus. At 2^16 cells per window, cap 1024 admits up to
+    * ~64M distinct hashes per window table before ANY loss is possible.
     */
-  private def hammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  val HammingBucketCap = 1024
+
+  /** The 4 rotated-window bucket rows of each DISTINCT hash value —
+    * (ahash, tb), tb = window·2^16 + the window's 16 bits (one flat key,
+    * so the 100 TB serving layout buckets and prunes on a single column).
+    * Windows are the 16-bit prefixes at rotations 0/16/32/48: disjoint,
+    * covering every bit exactly once — a Hamming≤3 hash pair has ≥1 clean
+    * window and is guaranteed to share that window's bucket (pigeonhole).
+    */
+  private[graft] def distinctHashBuckets(hashes: DataFrame): DataFrame = {
+    val windows = (0 until 4).map { t =>
+      lit(t * 65536L) +
+        shiftrightunsigned(rot64(col("ahash"), 16 * t), 48)
+    }
+    hashes.select(col("ahash")).distinct()
+      .select(col("ahash"), explode(array(windows: _*)).as("tb"))
+  }
+
+  /** HOT cells of a distinct-hash bucket-row table: buckets holding more
+    * than `cap` distinct hash values. At most |bucket rows|/cap cells —
+    * a small table, so the exclusion anti-join broadcasts (the d25 flip:
+    * join the rare HOT side, not the cold majority).
+    */
+  private def hotBuckets(buckets: DataFrame, cap: Int): DataFrame =
+    buckets.groupBy("tb").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap).select("tb")
+
+  /** All pairs at Hamming distance ≤ `maxHamming` over a (doc_id, ahash)
+    * table. Two disjoint populations, two machineries:
+    *
+    *  1. identical-hash pairs (Hamming 0) — a plain self-equi-join on the
+    *     hash value: exact, bucket-free, and quadratic only in
+    *     duplicate-class size, the irreducible output. A class collapsed
+    *     onto ONE hash value (a billion re-uploads of one image) never
+    *     touches bucket occupancy at all.
+    *  2. cross-hash pairs (Hamming 1..max) — the rotated-window bucket
+    *     join over DISTINCT hash values only ([[distinctHashBuckets]]),
+    *     df-capped per cell ([[HammingBucketCap]]), Hamming-refined
+    *     map-side, deduped at HASH level, then expanded back to doc pairs
+    *     through two member equi-joins (output-sized).
+    *
+    * The candidate join is therefore quadratic in per-cell DISTINCT-hash
+    * occupancy — bounded by the cap — never in document counts; the
+    * pigeonhole exact-recall guarantee holds verbatim whenever no clean
+    * window of a pair is hot (always, below 64M distinct hashes/window at
+    * the default cap). Shared by the image (d98) and audio (d102)
+    * near-dup ops; the DuckDB oracles brute-force ground truth, so recall
+    * is checked, not assumed.
+    */
+  private[multimodal] def hammingPairs(hashes: DataFrame, maxHamming: Int,
+      bucketCap: Int = HammingBucketCap): DataFrame = {
     require(maxHamming <= 3,
       s"exact recall needs maxHamming <= 3 with 4 disjoint windows")
-    val buckets = hashBuckets(hashes)
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+    import graft.ops.CacheRegistry
+    val exact = hashes.as("a")
+      .join(hashes.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0L).as("hamming"))
+    // persist(): the compact bucket-row table (4 rows per DISTINCT hash)
+    // feeds the occupancy aggregation, its anti-join, and both candidate
+    // join sides — without it the distinct shuffle re-runs per consumer
+    val buckets = CacheRegistry.harness.add(
+      distinctHashBuckets(hashes).persist())
+    val cold = buckets.join(hotBuckets(buckets, bucketCap), Seq("tb"),
+      "left_anti")
+    // persist(): the hash-level pair set (output-bound, 3 longs per pair)
+    // feeds both member-expansion joins
+    val hashPairs = CacheRegistry.harness.add(cold.as("a")
+      .join(cold.as("b"),
+        col("a.tb") === col("b.tb") && col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("h1"), col("b.ahash").as("h2"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("d1", "d2")
-  }
-
-  /** The 4 rotated-prefix bucket rows per hash — (doc_id, ahash, tbl,
-    * bucket); the schema the incremental state stores, so later batches
-    * probe stored keys instead of re-bucketing accumulated hashes.
-    */
-  private def hashBuckets(hashes: DataFrame): DataFrame = {
-    val tableStructs = (0 until 4).map { t =>
-      struct(lit(t).as("tbl"),
-        shiftrightunsigned(rot64(col("ahash"), 16 * t), 48).as("bucket"))
-    }
-    hashes
-      .select(col("doc_id"), col("ahash"),
-        explode(array(tableStructs: _*)).as("tb"))
-      .select(col("doc_id"), col("ahash"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist())
+    val cross = hashPairs
+      .join(hashes.select(col("doc_id").as("da"), col("ahash").as("h1")), "h1")
+      .join(hashes.select(col("doc_id").as("db"), col("ahash").as("h2")), "h2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    exact.unionByName(cross).orderBy("d1", "d2")
   }
 
   /** Near-dup pairs of one incremental step over perceptual hashes — the
-    * d84 `pairsFromBands` pattern on the Hamming family: new-vs-prior via
-    * the bucket probe join plus new-vs-new via the batch's own self-join,
-    * identical Hamming semantics to [[hammingPairs]]. `prior` must not
-    * contain the batch's own doc_ids; the `=!=` guard degrades an
-    * accidental overlap to missed cross pairs, never corrupt self-pairs.
-    * Per-batch cost: hash ONLY the batch (one decode each), probe
-    * 4×|batch| bucket rows against the accumulated bucket table — store
-    * it bucketed on (tbl, bucket) (the [[graft.ops.TextOps]]
-    * writeBandBucketedState recipe, bucket cols = join keys) and the
-    * probe never exchanges the accumulated side.
+    * d84 `pairsFromBands` pattern with [[hammingPairs]]' two-population
+    * machinery: identical-hash pairs via plain equi-joins (batch self +
+    * batch-vs-prior — bucket-free, skew-proof), cross-hash pairs via the
+    * df-capped distinct-hash bucket join (batch hashes self-pair and
+    * probe the PRIOR-ONLY hash values), expanded to doc pairs keeping
+    * only pairs with ≥1 batch member (prior-vs-prior pairs were emitted
+    * by earlier steps). `prior` must not contain the batch's own doc_ids;
+    * the `=!=` guard degrades an accidental overlap to missed cross
+    * pairs, never corrupt self-pairs.
+    *
+    * Occupancy is computed over the distinct hashes of prior ∪ batch —
+    * the same cell counts the one-shot sees — so multi-batch == one-shot
+    * holds exactly while no cell crosses the cap mid-stream. A cell that
+    * turns hot in a LATER step stops generating new candidates from then
+    * on but already-emitted pairs are never retracted (the cap is
+    * monotone best-effort, like every append-only dedup state here).
+    *
+    * Per-batch cost: hash ONLY the batch (one decode each); the probe
+    * touches ≤ 4×|batch distinct hashes| cells of the accumulated bucket
+    * table — store it bucketed on tb and the probe side bucket-prunes to
+    * those cells (see the round-11 compaction layout); member expansion
+    * joins are output-sized.
     */
   def incrementalHammingPairs(prior: DataFrame, batch: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Int = HammingBucketCap): DataFrame = {
     require(maxHamming <= 3,
       s"exact recall needs maxHamming <= 3 with 4 disjoint windows")
-    val pb = hashBuckets(prior)
-    val nb = hashBuckets(batch)
-    val cross = nb.as("a")
-      .join(pb.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+    val exactSelf = batch.as("a")
+      .join(batch.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0L).as("hamming"))
+    val exactCross = batch.as("a")
+      .join(prior.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
-          .as("hamming"))
-    val self = nb.as("a")
-      .join(nb.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
-          .as("hamming"))
-    cross.unionByName(self)
+        lit(0L).as("hamming"))
+    import graft.ops.CacheRegistry
+    // ONE pass over both sides' hashes builds the side-flagged distinct
+    // table (in_new = value occurs in the batch, in_old = in prior) and
+    // its 4 bucket rows per hash; persisted (compact — 4 rows per
+    // distinct hash) because it feeds the occupancy aggregation, its
+    // anti-join, and both candidate join sides. min/max over booleans are
+    // AND/OR, so the side flags come out of the same partial aggregation
+    // that dedups the hash values.
+    val windows = (0 until 4).map { t =>
+      lit(t * 65536L) +
+        shiftrightunsigned(rot64(col("ahash"), 16 * t), 48)
+    }
+    val bucketRows = CacheRegistry.harness.add(
+      prior.select(col("ahash"), lit(false).as("nw"))
+        .unionByName(batch.select(col("ahash"), lit(true).as("nw")))
+        .groupBy("ahash")
+        .agg(max(col("nw")).as("in_new"), (!min(col("nw"))).as("in_old"))
+        .select(col("ahash"), col("in_new"), col("in_old"),
+          explode(array(windows: _*)).as("tb"))
+        .persist())
+    val hot = hotBuckets(bucketRows, bucketCap)
+    val cold = bucketRows.join(hot, Seq("tb"), "left_anti")
+    val coldNb = cold.filter(col("in_new"))
+    // prior-ONLY hash values: a value present on both sides pairs through
+    // the batch self-join; keeping it on the prior side too would emit
+    // its hash pairs twice
+    val coldPbOnly = cold.filter(col("in_old") && !col("in_new"))
+    val selfHp = coldNb.as("a")
+      .join(coldNb.as("b"),
+        col("a.tb") === col("b.tb") && col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+    val crossHp = coldNb.as("a")
+      .join(coldPbOnly.as("b"), col("a.tb") === col("b.tb"))
+      .select(least(col("a.ahash"), col("b.ahash")).as("h1"),
+        greatest(col("a.ahash"), col("b.ahash")).as("h2"))
+    // persist(): the hash-level pair set feeds both member-expansion joins
+    val hashPairs = CacheRegistry.harness.add(selfHp.unionByName(crossHp)
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .persist())
+    // expansion with >= 1 batch member: the h1 member from the batch
+    // against members anywhere, plus the h1 member from prior against h2
+    // members in the batch — disjoint by the doc-disjointness contract,
+    // and together exactly the step's new pairs
+    val all = prior.unionByName(batch)
+    val expA = hashPairs
+      .join(batch.select(col("doc_id").as("da"), col("ahash").as("h1")), "h1")
+      .join(all.select(col("doc_id").as("db"), col("ahash").as("h2")), "h2")
+    val expB = hashPairs
+      .join(prior.select(col("doc_id").as("da"), col("ahash").as("h1")), "h1")
+      .join(batch.select(col("doc_id").as("db"), col("ahash").as("h2")), "h2")
+    val cross = expA.unionByName(expB)
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    exactSelf.unionByName(exactCross).unionByName(cross)
   }
 
   /** Two-batch incremental image dedup over the whole corpus — the d104

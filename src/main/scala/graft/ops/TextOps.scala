@@ -2032,8 +2032,21 @@ object TextOps {
     */
   def connectedComponents(edges: DataFrame,
       reg: CacheRegistry = CacheRegistry.harness): DataFrame = {
-    val sym = edges
-      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    // one eager localCheckpoint truncates the caller's edge lineage before
+    // anything else: the edge plan executes exactly ONCE (the symmetric
+    // union below used to evaluate it twice), and every propagation
+    // round's analysis walks a 3-node LogicalRDD tree instead of the full
+    // caller plan — decisive for deep composed edge plans (the round-11
+    // incremental Hamming pairs inflated each CC round ~5× through
+    // optimizer cost alone, measured at sf0.1: 18 s → 4 s for the same
+    // 35k-edge graph)
+    val eck = edges.select(col("d1"), col("d2")).localCheckpoint(true)
+    val eckRdd = eck.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    val e = eck.sparkSession.createDataFrame(eck.rdd, eck.schema)
+    val sym = e
+      .union(e.select(col("d2").as("d1"), col("d1").as("d2")))
       // pre-partition on the per-round join key: each propagation round then
       // reuses the cached hash partitioning instead of re-exchanging the
       // (much larger) edge side
@@ -2099,6 +2112,10 @@ object TextOps {
       rounds += 1
     }
     sym.unpersist()
+    // the edge checkpoint's blocks fed only sym's materialization; sym is
+    // done, so release them (RDD-level blocks — Dataset.unpersist and
+    // clearCache cannot see them)
+    eckRdd.foreach(_.unpersist(false))
     // the last round's checkpoint backs the RETURNED labels table; its
     // blocks live at the RDD level where Dataset.unpersist / clearCache
     // cannot see them, so register the backing RDD in the caller's registry
