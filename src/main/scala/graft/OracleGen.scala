@@ -1004,6 +1004,46 @@ object OracleGen {
      SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
      FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
 
+  /** Filtered IVF ANN (v122) matching
+    * [[graft.ops.VectorOps.v122FilteredAnn]]: the exact one-shot twin —
+    * same full-corpus codebook and nprobe=2 probes as [[ivfAnn]], with the
+    * label-parity predicate applied to the ASSIGNED corpus before scoring
+    * (the filter sits below the rank, so top-k fills from filtered
+    * candidates instead of dropping post-rank survivors).
+    */
+  val filteredIvfAnn: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+       c0 AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+       c1 AS (SELECT label, dim, round(avg(x), 4) AS cv
+              FROM c0 GROUP BY label, dim),
+       c AS (SELECT label AS clabel, list(cv ORDER BY dim) AS cvec
+             FROM c1 GROUP BY label),
+       ranked AS (SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             list_dot_product(v, cvec) / (sqrt(list_dot_product(v, v))
+               * sqrt(list_dot_product(cvec, cvec))) DESC,
+             clabel) AS arn
+         FROM e, c),
+       assigned AS (SELECT r.vec_id, e.v,
+           sqrt(list_dot_product(e.v, e.v)) AS nv, r.clabel
+         FROM ranked r JOIN e ON e.vec_id = r.vec_id
+         WHERE r.arn = 1 AND e.label % 2 = 0),
+       probes AS (SELECT r.vec_id AS query_id, e.v AS qv,
+           sqrt(list_dot_product(e.v, e.v)) AS nq, r.clabel
+         FROM ranked r JOIN e ON e.vec_id = r.vec_id
+         WHERE r.vec_id < 10 AND r.arn <= 2),
+       sims AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_dot_product(p.qv, a.v) / (p.nq * a.nv) AS sim
+         FROM assigned a JOIN probes p ON a.clabel = p.clabel
+           AND a.vec_id <> p.query_id),
+       rk AS (SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+     SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
+     FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
   /** Incremental IVF ANN (v120) matching
     * [[graft.ops.VectorOps.v120IncrementalIvf]] — the one-shot twin of the
     * two-batch index build: the coarse quantizer is per-label centroids of

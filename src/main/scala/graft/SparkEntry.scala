@@ -77,6 +77,7 @@ object SparkEntry {
     "d40_embed_neardup" -> (VectorOps.d40EmbedNearDup _),
     "v41_ivf_ann" -> (VectorOps.v41IvfAnn _),
     "v120_incremental_ivf" -> (VectorOps.v120IncrementalIvf _),
+    "v122_filtered_ann" -> (VectorOps.v122FilteredAnn _),
     "q42_quantile_sketch" -> (Relational.q42QuantileSketch _),
     "q43_cube" -> (Relational.q43Cube _),
     "q44_intersect" -> (Relational.q44Intersect _),
@@ -516,6 +517,7 @@ object SparkEntry {
     "d40_embed_neardup" -> OracleGen.embedNearDup,
     "v41_ivf_ann" -> OracleGen.ivfAnn,
     "v120_incremental_ivf" -> OracleGen.incrementalIvf,
+    "v122_filtered_ann" -> OracleGen.filteredIvfAnn,
     "m31_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5, source

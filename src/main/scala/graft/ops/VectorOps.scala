@@ -215,14 +215,20 @@ object VectorOps {
     * moves one compact struct per vector. (Ties can't flip the result: min
     * of the struct is lexicographic, exactly asim DESC, clabel ASC.)
     */
-  def assignToIvfLists(s: SparkSession, vecs: DataFrame, cent: DataFrame)
-      : DataFrame =
+  def assignToIvfLists(s: SparkSession, vecs: DataFrame, cent: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    // `carry` columns ride the min_by payload struct into the index row —
+    // how serve-time filter attributes (v122) land IN the inverted lists
+    // at ingest, so a filtered probe never joins a side table
+    val payload = struct(
+      (Seq(col("embedding"), col("clabel")) ++ carry.map(col)): _*)
     vecs.crossJoin(broadcast(cent)).withColumn("asim", ivfAsim(s))
       .groupBy("vec_id")
-      .agg(min_by(struct(col("embedding"), col("clabel")),
-        struct(-col("asim"), col("clabel"))).as("t"))
-      .select(col("vec_id"), col("t.embedding").as("embedding"),
-        col("t.clabel").as("clabel"))
+      .agg(min_by(payload, struct(-col("asim"), col("clabel"))).as("t"))
+      .select(Seq(col("vec_id"), col("t.embedding").as("embedding"),
+        col("t.clabel").as("clabel")) ++
+        carry.map(c => col(s"t.$c").as(c)): _*)
+  }
 
   /** The `nprobe` nearest inverted lists per query row — a window, but only
     * over the filtered query rows × |codebook|, never the corpus.
@@ -641,10 +647,17 @@ object VectorOps {
     * properties).
     */
   def probeIvfBucketedState(s: SparkSession, tableName: String,
-      probes: DataFrame): DataFrame = {
+      probes: DataFrame, pred: Column = lit(true)): DataFrame = {
     val probedLists = probes.select("clabel").distinct().collect()
       .map(_.get(0))
+    // `pred` is the serve-time metadata filter (v122): applied to the
+    // state scan BELOW the score join, so it composes with the clabel
+    // bucket pruning and — when it references an ingest-materialized
+    // attribute column — pushes into the parquet scan itself
+    // (FilteredAnnSpec asserts PushedFilters). Applying it after top-k
+    // would under-fill k instead.
     val state = s.table(tableName).filter(col("clabel").isin(probedLists: _*))
+      .filter(pred)
     ivfScore(s, state, probes)
   }
 
@@ -691,6 +704,39 @@ object VectorOps {
     val state2 = incrementalIvfIngest(s, cent, state1, odds)
     val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 10), cent)
     ivfTopK(ivfProbeCandidates(s, state2, probes))
+  }
+
+  /** Filtered ANN — the v122 query: top-k cosine over the IVF index under
+    * a serve-time metadata predicate (label parity as the stand-in
+    * attribute — "even-label documents only", the shape of a license /
+    * language / modality filter in a real vector store). The decisive
+    * design point is WHERE the filter runs: INSIDE the probe, on the index
+    * side BELOW the score/rank — post-filtering a top-k under-fills k
+    * (a query whose 3 nearest overall are odd-labeled would return fewer
+    * than 3 survivors), while pre-filtering the index at ingest would need
+    * one index per predicate. The attribute is carried INTO the inverted
+    * lists at assignment time ([[assignToIvfLists]]'s `carry`), so the
+    * filtered probe touches no side table.
+    *
+    * 100 TB story: with the [[writeIvfBucketedState]] serving layout the
+    * predicate composes with list pruning — the scan reads only the
+    * probed lists' buckets AND pushes the attribute filter into parquet
+    * ([[probeIvfBucketedState]]'s `pred`; FilteredAnnSpec asserts
+    * PushedFilters + SelectedBucketsCount + no state-side Exchange).
+    * Oracle: an exact SQL twin that assigns all vectors to the same
+    * codebook, filters the assigned corpus, and ranks — top-k is exactly
+    * k wherever the filtered lists hold ≥ k candidates.
+    */
+  def v122FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    // persist(): the codebook feeds the assignment and the probe branch
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .persist())
+    val cent = CacheRegistry.harness.add(ivfCodebookOn(emb).persist())
+    val assigned = assignToIvfLists(s, emb, cent, carry = Seq("label"))
+    val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 10), cent)
+    ivfTopK(ivfProbeCandidates(s,
+      assigned.filter(col("label") % 2 === 0), probes))
   }
 
   /** v64 product quantization: number of subspaces (64 dims → 4×16). */
