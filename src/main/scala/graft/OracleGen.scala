@@ -493,6 +493,34 @@ object OracleGen {
        c.doc_id = g.keeper_id AS keeper
      FROM c JOIN g USING (canon_url) ORDER BY c.doc_id"""
 
+  /** Tombstone-delete dedup (d123) matching
+    * [[graft.ops.TextOps.d123TombstoneDedup]]: the one-shot keeper verdict
+    * over the SURVIVING corpus (doc_id % 7 <> 3) for both group keys —
+    * the healed incremental state must be indistinguishable from never
+    * having ingested the deleted docs. Null-text fingerprints join
+    * null-safely (IS NOT DISTINCT FROM), mirroring the Spark `<=>`.
+    */
+  val tombstoneDedup: String =
+    s"""WITH $urlCanonCtes,
+       live AS (
+         SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fp
+         FROM documents WHERE doc_id % 7 <> 3),
+       fk AS (SELECT fp, min(doc_id) AS tkeeper FROM live GROUP BY fp),
+       cu AS (SELECT doc_id, canon_url FROM c WHERE doc_id % 7 <> 3),
+       uk AS (SELECT canon_url, min(doc_id) AS ukeeper
+              FROM cu GROUP BY canon_url)
+     SELECT live.doc_id,
+       live.doc_id = fk.tkeeper AS keep_text,
+       cu.doc_id = uk.ukeeper AS keep_url,
+       (live.doc_id = fk.tkeeper AND cu.doc_id = uk.ukeeper) AS kept
+     FROM live
+     JOIN fk ON live.fp IS NOT DISTINCT FROM fk.fp
+     JOIN cu ON cu.doc_id = live.doc_id
+     JOIN uk USING (canon_url)
+     ORDER BY live.doc_id"""
+
   /** C4 blocklist page filter (t99) matching
     * [[graft.ops.TextOps.t99BlocklistFilter]]: blocked-token count,
     * canonical-domain block verdict, and the page gate composed with

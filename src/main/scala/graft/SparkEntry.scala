@@ -136,6 +136,7 @@ object SparkEntry {
     "t99_blocklist_filter" -> (TextOps.t99BlocklistFilter _),
     "t100_source_cap" -> (TextOps.t100SourceCap _),
     "d101_incremental_url" -> (TextOps.d101IncrementalUrlDedup _),
+    "d123_tombstone_dedup" -> (TextOps.d123TombstoneDedup _),
     "d98_image_neardup" -> (graft.multimodal.Multimodal.d98ImageNearDup _),
     "d102_audio_neardup" -> (graft.multimodal.Multimodal.d102AudioNearDup _),
     "d103_video_overlap" -> (graft.multimodal.Multimodal.d103VideoOverlap _),
@@ -807,6 +808,7 @@ object SparkEntry {
     // state must reproduce the full recompute's verdicts (d84/d91/d92
     // convention)
     "d101_incremental_url" -> OracleGen.urlDedup,
+    "d123_tombstone_dedup" -> OracleGen.tombstoneDedup,
     "d98_image_neardup" -> OracleGen.imageNearDup,
     "d102_audio_neardup" -> OracleGen.audioNearDup,
     "d103_video_overlap" -> OracleGen.videoOverlap,

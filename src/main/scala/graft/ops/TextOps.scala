@@ -1127,6 +1127,94 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tombstone deletes over min-mergeable keeper state — the d123 query,
+    * the LLM-pipeline analog of reference `clean()`
+    * (betfairdatabase/database.py:188-230: stale rows leave, the index
+    * heals in place). Two ingest batches build the text-exact
+    * (fp → keeper) and canonical-URL (canon_url → keeper) keeper states
+    * exactly as d96/d101 do; then a delete batch (doc_id % 7 == 3 — a
+    * takedown/expiry set) applies:
+    *
+    *  1. member rows of deleted docs leave the member state — one
+    *     anti-join (at scale: a tombstone partition anti-joined at
+    *     read/compaction time, the same append-only shape every sink
+    *     here uses);
+    *  2. keeper PROMOTION — the demotion rule's mirror image: ONLY groups
+    *     whose current keeper died recompute, as min over the group's
+    *     surviving members. A deleted non-keeper changes no keeper (min
+    *     over survivors is still the old min), so untouched groups never
+    *     move; the recompute is semi-joined to the affected keys —
+    *     O(affected groups) against an fp-bucketed member state, never a
+    *     corpus rescan. Groups whose every member died leave the state.
+    *
+    * Replay-idempotent: re-applying the same delete batch finds no
+    * affected groups (their keepers already survive) and no member rows
+    * left to remove — TombstoneSpec asserts it. Null-text fingerprints
+    * group and promote null-safely (`<=>`, the d96 convention).
+    *
+    * Oracle: the one-shot keeper SQL over the SURVIVING corpus — the
+    * healed state must be indistinguishable from never having ingested
+    * the deleted docs.
+    */
+  /** Heal a min-keeper state after a tombstone batch — the shared
+    * promotion pass of [[d123TombstoneDedup]]. `keeperState` is a
+    * (key, keeper) table; `liveMembers` the member rows with the deleted
+    * docs already anti-joined out; `deleted` the tombstoned doc_ids.
+    * Only groups whose CURRENT keeper died recompute (min over surviving
+    * members); groups with no survivors leave the state; everything else
+    * passes through untouched. Null keys group and promote null-safely.
+    * IDEMPOTENT: after one heal every keeper is a live doc, so a replayed
+    * tombstone batch finds no affected groups and the state is a fixpoint
+    * (TombstoneSpec asserts it).
+    */
+  def tombstoneHeal(keeperState: DataFrame, liveMembers: DataFrame,
+      deleted: DataFrame, key: String): DataFrame = {
+    val affected = keeperState
+      .join(deleted, keeperState("keeper") === deleted("doc_id"))
+      .select(col(key).as("akey"))
+    val promoted = liveMembers.join(affected, col(key) <=> col("akey"))
+      .groupBy(key).agg(min("doc_id").as("keeper"))
+    keeperState.join(affected, col(key) <=> col("akey"), "left_anti")
+      .unionByName(promoted)
+  }
+
+  def d123TombstoneDedup(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    // persist(): the keyed member table feeds both batch partials, the
+    // deletion anti-join, both promotions, and the final verdict join
+    val docs = CacheRegistry.harness.add(
+      documents(s, d).select(col("doc_id"), md5(canon).as("fp"),
+        canonicalizeUrl(syntheticUrl(col("doc_id"), col("source")))
+          .as("canon_url"))
+        .persist())
+    def half(i: Int): DataFrame = docs.filter(col("doc_id") % 2 === i)
+    val deleted = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val live = docs.join(deleted, Seq("doc_id"), "left_anti")
+
+    // keeper state after ingest (per-batch partials, min-merged — the
+    // d101 shape), healed by the shared promotion pass
+    def healedKeeper(key: String): DataFrame = {
+      def partial(b: DataFrame): DataFrame =
+        b.groupBy(key).agg(min("doc_id").as("keeper"))
+      val ingested = partial(half(0)).unionByName(partial(half(1)))
+        .groupBy(key).agg(min("keeper").as("keeper"))
+      tombstoneHeal(ingested, live, deleted, key)
+    }
+
+    val fpKeeper = healedKeeper("fp")
+      .select(col("fp").as("kfp"), col("keeper").as("tkeeper"))
+    val urlKeeper = healedKeeper("canon_url")
+      .select(col("canon_url"), col("keeper").as("ukeeper"))
+    live
+      .join(fpKeeper, col("fp") <=> col("kfp"))
+      .join(urlKeeper, Seq("canon_url"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("tkeeper")).as("keep_text"),
+        (col("doc_id") === col("ukeeper")).as("keep_url"))
+      .withColumn("kept", col("keep_text") && col("keep_url"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style LM quality bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
     * the head/middle/tail cut): score every document by the average
