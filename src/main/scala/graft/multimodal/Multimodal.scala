@@ -626,6 +626,138 @@ object Multimodal {
     exact.unionByName(cross).orderBy("d1", "d2")
   }
 
+  /** Land a compacted (doc_id, ahash) hash state as the Hamming family's
+    * 100 TB serving layout: TWO bucketed tables — member rows bucketed on
+    * `ahash` (the identical-hash probe's join key) and the distinct-hash
+    * bucket rows bucketed on `tb` (the cross-hash candidate join's key) —
+    * so a batch probe ([[probeHammingBucketedState]]) never exchanges the
+    * accumulated state and bucket-prunes both keyed scans. One compaction
+    * job writes both tables from the same input (a fresh full rewrite —
+    * the `batch=N` sink layout stays the append-only ingest format).
+    */
+  def writeHammingBucketedState(hashes: DataFrame, memberTable: String,
+      memberPath: String, bucketTable: String, bucketPath: String,
+      nBuckets: Int = 32): Unit = {
+    hashes.select(col("doc_id"), col("ahash")).write.mode("append")
+      .bucketBy(nBuckets, "ahash").sortBy("ahash")
+      .option("path", memberPath).saveAsTable(memberTable)
+    distinctHashBuckets(hashes).write.mode("append")
+      .bucketBy(nBuckets, "tb").sortBy("tb")
+      .option("path", bucketPath).saveAsTable(bucketTable)
+  }
+
+  /** Probe a [[writeHammingBucketedState]] pair of tables with a new
+    * (doc_id, ahash) batch — [[incrementalHammingPairs]]' exact semantics
+    * re-keyed onto the serving layout (CompactionSpec asserts output
+    * identity, so the two cannot silently drift):
+    *
+    *  - the identical-hash probe prunes the member scan to the batch's
+    *    own hash values (a literal isin Spark bucket-prunes on);
+    *  - occupancy and cross-hash candidates prune the bucket table to the
+    *    batch's ≤ 4×|batch distinct hashes| touched cells — a cell the
+    *    batch never touches can produce no candidate this step, so its
+    *    occupancy is irrelevant (the cap verdict is identical);
+    *  - member expansion splits per side (batch×state / state×batch /
+    *    batch×batch), so every state-side join is keyed on the bucketed
+    *    column and never exchanges.
+    *
+    * Both driver-side collects are bounded by the batch (the
+    * probeCidBucketedState contract). The state must not contain the
+    * batch's own doc_ids.
+    */
+  def probeHammingBucketedState(s: SparkSession, memberTable: String,
+      bucketTable: String, batch: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = HammingBucketCap): DataFrame = {
+    require(maxHamming <= 3,
+      s"exact recall needs maxHamming <= 3 with 4 disjoint windows")
+    import graft.ops.CacheRegistry
+    val b = CacheRegistry.harness.add(
+      batch.select(col("doc_id"), col("ahash")).persist())
+    val batchHashes = b.select("ahash").distinct().collect()
+      .map(_.getLong(0))
+    val exactState = s.table(memberTable)
+      .filter(col("ahash").isin(batchHashes: _*))
+    val exactSelf = b.as("a")
+      .join(b.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0L).as("hamming"))
+    val exactCross = b.as("a")
+      .join(exactState.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        lit(0L).as("hamming"))
+    val nb = CacheRegistry.harness.add(distinctHashBuckets(b).persist())
+    val touched = nb.select("tb").distinct().collect().map(_.getLong(0))
+    val pbTouched = s.table(bucketTable).filter(col("tb").isin(touched: _*))
+    // occupancy of a touched cell = stored hashes in it + batch hashes NEW
+    // to the state (a value on both sides is one distinct hash, counted
+    // once — via its stored row)
+    val nbNew = nb.join(exactState.select("ahash").distinct(),
+      Seq("ahash"), "left_anti")
+    val hot = hotBuckets(
+      pbTouched.select("ahash", "tb").unionByName(nbNew), bucketCap)
+    val coldNb = nb.join(hot, Seq("tb"), "left_anti")
+    val coldPbOnly = pbTouched
+      .join(nb.select("ahash").distinct(), Seq("ahash"), "left_anti")
+      .join(hot, Seq("tb"), "left_anti")
+    val selfHp = coldNb.as("a")
+      .join(coldNb.as("b"),
+        col("a.tb") === col("b.tb") && col("a.ahash") < col("b.ahash"))
+      .select(col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+    val crossHp = coldNb.as("a")
+      .join(coldPbOnly.as("b"), col("a.tb") === col("b.tb"))
+      .select(least(col("a.ahash"), col("b.ahash")).as("h1"),
+        greatest(col("a.ahash"), col("b.ahash")).as("h2"))
+    val hashPairs = CacheRegistry.harness.add(selfHp.unionByName(crossHp)
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .persist())
+    def bm(h: String, dc: String): DataFrame =
+      b.select(col("doc_id").as(dc), col("ahash").as(h))
+    def sm(h: String, dc: String): DataFrame =
+      s.table(memberTable).select(col("doc_id").as(dc), col("ahash").as(h))
+    val exp = hashPairs.join(bm("h1", "da"), "h1").join(sm("h2", "db"), "h2")
+      .unionByName(
+        hashPairs.join(sm("h1", "da"), "h1").join(bm("h2", "db"), "h2"))
+      .unionByName(
+        hashPairs.join(bm("h1", "da"), "h1").join(bm("h2", "db"), "h2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    exactSelf.unionByName(exactCross).unionByName(exp)
+  }
+
+  /** Land a compacted (doc_id, fp, sz) frame state bucketed on `fp` — the
+    * clip-overlap family's serving layout. `sz` (the doc's total frame
+    * count) is computed ONCE at compaction and stored, so the probe never
+    * windows over the accumulated state.
+    */
+  def writeFrameBucketedState(sized: DataFrame, tableName: String,
+      path: String, nBuckets: Int = 32): Unit =
+    sized.select(col("doc_id"), col("fp"), col("sz")).write.mode("append")
+      .bucketBy(nBuckets, "fp").sortBy("fp")
+      .option("path", path).saveAsTable(tableName)
+
+  /** Probe a [[writeFrameBucketedState]] table with a new batch of
+    * (doc_id, fp) frame rows — [[incrementalClipPairs]]' exact verdict on
+    * the serving layout: the state scan prunes to the batch's own frame
+    * fingerprints (every shared-frame row's fp is by definition in the
+    * batch), sizes come from the stored `sz`, and the fp-keyed join never
+    * exchanges the state side. Same whole-item contract as the sink.
+    */
+  def probeFrameBucketedState(s: SparkSession, tableName: String,
+      batchFrames: DataFrame): DataFrame = {
+    val nb = sizedFrames(batchFrames)
+    val batchFps = batchFrames.select("fp").distinct().collect()
+      .map(_.getString(0))
+    val state = s.table(tableName).filter(col("fp").isin(batchFps: _*))
+    containmentVerdict(
+      selfSharedFrames(nb).unionByName(crossSharedFrames(nb, state)))
+  }
+
   /** Near-dup pairs of one incremental step over perceptual hashes — the
     * d84 `pairsFromBands` pattern with [[hammingPairs]]' two-population
     * machinery: identical-hash pairs via plain equi-joins (batch self +

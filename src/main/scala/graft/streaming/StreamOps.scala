@@ -491,6 +491,85 @@ object StreamOps {
       latestAnnState(spark.read.parquet(statePath)), tableName, path,
       nBuckets)
 
+  /** Collapse a `batch=N` per-item state to one row per `idCol` — latest
+    * batch wins, the [[latestAnnState]] rule generalized over any
+    * per-item schema (every non-id column rides one max_by payload
+    * struct). The shared dedup step of the four compaction jobs below.
+    */
+  private def latestPerId(raw: DataFrame, idCol: String): DataFrame = {
+    val dataCols = raw.columns.filter(c => c != idCol && c != "batch").toSeq
+    raw.groupBy(idCol)
+      .agg(max_by(struct(dataCols.map(col): _*), col("batch")).as("t"))
+      .select(col(idCol) +: dataCols.map(c => col(s"t.$c").as(c)): _*)
+  }
+
+  /** Compact an [[incrementalDedupStream]] `batch=N` signature state into
+    * the (band, bkey)-bucketed serving layout
+    * ([[graft.ops.TextOps.writeBandBucketedState]]) — the minhash member
+    * of the compaction family [[compactAnnIndex]] started: the sink's
+    * layout stays append-only (each micro-batch publishes its own
+    * partition), the serving layout is probe-optimal (exchange-free,
+    * the state never re-hashed). Replayed doc_ids collapse to their
+    * latest batch's signature row.
+    */
+  def compactMinhashState(spark: SparkSession, statePath: String,
+      tableName: String, path: String, nBuckets: Int = 32): Unit =
+    graft.ops.TextOps.writeBandBucketedState(
+      latestPerId(spark.read.parquet(statePath), "doc_id"),
+      tableName, path, nBuckets)
+
+  /** Compact a [[semanticDedupStream]] `batch=N` assignment state into the
+    * cid-bucketed serving layout
+    * ([[graft.ops.VectorOps.writeCidBucketedState]]): exchange-free,
+    * cluster-pruned probes instead of the sink's whole-state read per
+    * batch. Replayed vec_ids collapse to their latest batch's row.
+    */
+  def compactSemanticState(spark: SparkSession, statePath: String,
+      tableName: String, path: String, nBuckets: Int = 32): Unit =
+    graft.ops.VectorOps.writeCidBucketedState(
+      latestPerId(spark.read.parquet(statePath), "vec_id"),
+      tableName, path, nBuckets)
+
+  /** Compact an [[imageDedupStream]]/[[audioDedupStream]] `batch=N` hash
+    * state into the Hamming serving layout
+    * ([[graft.multimodal.Multimodal.writeHammingBucketedState]]): member
+    * rows bucketed on ahash plus the distinct-hash bucket rows bucketed
+    * on tb, so `probeHammingBucketedState` prunes both scans and never
+    * exchanges the state. Replayed doc_ids collapse to their latest
+    * batch's hash.
+    */
+  def compactHammingState(spark: SparkSession, statePath: String,
+      memberTable: String, memberPath: String, bucketTable: String,
+      bucketPath: String, nBuckets: Int = 32): Unit =
+    graft.multimodal.Multimodal.writeHammingBucketedState(
+      latestPerId(spark.read.parquet(statePath), "doc_id"),
+      memberTable, memberPath, bucketTable, bucketPath, nBuckets)
+
+  /** Compact a [[videoDedupStream]] `batch=N` frame state into the
+    * fp-bucketed serving layout
+    * ([[graft.multimodal.Multimodal.writeFrameBucketedState]]). Frame
+    * state is MULTI-row per doc (whole-item contract), so latest-batch-
+    * wins operates per doc: a replayed doc keeps only its latest batch's
+    * complete frame set. Per-doc sizes are computed once here and stored,
+    * so probes never window over the accumulated state.
+    */
+  def compactFrameState(spark: SparkSession, statePath: String,
+      tableName: String, path: String, nBuckets: Int = 32): Unit = {
+    val raw = spark.read.parquet(statePath)
+    // renamed join keys: latestBatch derives from raw, so qualified column
+    // references would trip Spark's ambiguous-self-join check
+    val latestBatch = raw.groupBy("doc_id").agg(max("batch").as("mb"))
+      .withColumnRenamed("doc_id", "mdoc")
+    val latest = raw.join(latestBatch,
+        col("doc_id") === col("mdoc") && col("batch") === col("mb"))
+      .select("doc_id", "fp")
+    val sized = latest.withColumn("sz",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    graft.multimodal.Multimodal.writeFrameBucketedState(sized, tableName,
+      path, nBuckets)
+  }
+
   /** Atomically publish a completed batch-partition directory staged at
     * `tmp` to its final location `dst` inside a partitioned table root:
     * delete a stale `dst` (a replayed batch), then one FileSystem rename.
