@@ -747,6 +747,45 @@ object OracleGen {
      ORDER BY d1, d2"""
   }
 
+  /** MJPEG-AVI clip-overlap dedup (d124) matching
+    * [[graft.multimodal.Multimodal.d124MjpegVideoDedup]]: the Spark side
+    * demuxes real RIFF containers and JPEG-decodes every frame, reading
+    * each frame's 8×8 block pattern back out of the lossy pixels; the
+    * pattern IS the first 64 bits of md5("avi:cls:k") by the generator
+    * contract, so the oracle emits that hex prefix directly and
+    * brute-runs the same integer-exact containment rule — every decoded
+    * fingerprint is therefore oracle-checked bit for bit.
+    */
+  val mjpegVideoDedup: String = {
+    val m = graft.multimodal.Multimodal.AviDupClasses
+    val cap = graft.multimodal.Multimodal.AviDocCap
+    s"""WITH vd AS (
+         SELECT doc_id,
+           doc_id % $m AS cls,
+           ((doc_id // $m) % 4) * 4 AS off,
+           16 + ((doc_id % $m) % 3) * 4 AS n
+         FROM documents WHERE doc_id < $cap),
+       fr AS (
+         SELECT doc_id,
+           substr(md5('avi:' || CAST(cls AS VARCHAR) || ':' ||
+             CAST(k AS VARCHAR)), 1, 16) AS fp
+         FROM vd, unnest(generate_series(off, off + n - 1)) AS t(k)),
+       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         FROM fr GROUP BY 1),
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(count(*) AS BIGINT) AS inter
+         FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+     SELECT d1, d2, inter, sa.sz AS sz1, sb.sz AS sz2,
+       (inter * 10000) // least(sa.sz, sb.sz) AS containment_q
+     FROM pr
+     JOIN sz sa ON sa.doc_id = d1
+     JOIN sz sb ON sb.doc_id = d2
+     WHERE inter * 5 >= least(sa.sz, sb.sz) * 4
+     ORDER BY d1, d2"""
+  }
+
   /** CCNet-style unigram-LM quality bucketing (t94) matching
     * [[graft.ops.TextOps.t94PerplexityBuckets]]: integer-quantized token
     * information averaged per doc, tertile cut via quantile_cont (the q32

@@ -160,6 +160,8 @@ object SparkEntry {
     "q116_group_percentile" -> (Relational.q116GroupPercentile _),
     "d117_incremental_video" ->
       (graft.multimodal.Multimodal.d117IncrementalVideoDedup _),
+    "d124_mjpeg_video_dedup" ->
+      (graft.multimodal.Multimodal.d124MjpegVideoDedup _),
     "d118_full_multimodal_gate" ->
       (graft.multimodal.Multimodal.d118FullMultimodalGate _),
     "d119_incremental_multimodal" ->
@@ -904,6 +906,7 @@ object SparkEntry {
     // state must reproduce the full recompute's pair set (d104/d111
     // convention, third modality)
     "d117_incremental_video" -> OracleGen.videoOverlap,
+    "d124_mjpeg_video_dedup" -> OracleGen.mjpegVideoDedup,
     "d118_full_multimodal_gate" -> OracleGen.fullMultimodalGate,
     // deliberately the ONE-SHOT d118 oracle: the per-batch merged state
     // must reproduce the full five-modality recompute (d96 convention
