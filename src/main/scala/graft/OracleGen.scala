@@ -1582,4 +1582,79 @@ object OracleGen {
      LEFT JOIN acomp ON acomp.doc_id = tv.doc_id
      LEFT JOIN vcomp ON vcomp.doc_id = tv.doc_id
      ORDER BY tv.doc_id"""
+
+  /** Training-manifest capstone (t125) matching
+    * [[graft.ops.TextOps.t125TrainingManifest]]: the five sub-oracles
+    * composed verbatim — the t100 rank-form cap, the d118 gate (nested as
+    * a derived table, recursive CTEs and all), the t72 rate formula over
+    * the gated corpus, the t88 seeded shard/order keys, and the t69
+    * cumsum packing in shuffle order. Window sums cast to BIGINT at the
+    * source (DuckDB widens to HUGEINT otherwise).
+    */
+  val trainingManifest: String =
+    s"""WITH h100 AS (
+         SELECT doc_id, source,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 12))::BIGINT
+             AS h
+         FROM documents),
+       p0 AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           ('0x' || substr(md5(source || ':policy'), 1, 12))::BIGINT % 10
+             AS pdraw
+         FROM documents GROUP BY source),
+       p AS (
+         SELECT source,
+           CASE WHEN pdraw < 2 THEN 'drop'
+                WHEN pdraw < 6 THEN 'cap'
+                ELSE 'keep' END AS policy,
+           CASE WHEN pdraw >= 2 AND pdraw < 6
+                THEN (n_docs * 7) // 10 END AS cap
+         FROM p0),
+       r100 AS (
+         SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY h % 100, h, doc_id) AS BIGINT) AS rk
+         FROM h100),
+       capkeep AS (
+         SELECT r.doc_id FROM r100 r JOIN p USING (source)
+         WHERE CASE p.policy WHEN 'drop' THEN FALSE
+               WHEN 'keep' THEN TRUE
+               ELSE r.rk <= p.cap END),
+       gate AS (SELECT doc_id FROM ($fullMultimodalGate) g WHERE g.kept),
+       s1 AS (
+         SELECT d.doc_id, d.lang,
+           CAST(len(string_split_regex(trim(lower(d.text)), '\\s+'))
+             AS BIGINT) AS n_tokens
+         FROM documents d
+         JOIN capkeep USING (doc_id)
+         JOIN gate USING (doc_id)),
+       lc AS (SELECT lang, count(*) AS n_docs FROM s1 GROUP BY 1),
+       lm AS (SELECT min(n_docs) AS n_min FROM lc),
+       lr AS (
+         SELECT lang,
+           CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1000) AS BIGINT)
+             AS keep_permille
+         FROM lc CROSS JOIN lm),
+       mx AS (
+         SELECT s1.doc_id, s1.n_tokens FROM s1 JOIN lr USING (lang)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 12))::BIGINT
+             % 1000 < lr.keep_permille),
+       sh AS (
+         SELECT doc_id, n_tokens,
+           ('0x' || substr(md5('graft-shuffle-42:'
+             || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS order_key
+         FROM mx),
+       o AS (
+         SELECT doc_id, CAST(order_key % 8 AS INTEGER) AS shard, n_tokens,
+           CAST(row_number() OVER (PARTITION BY order_key % 8
+             ORDER BY order_key, doc_id) AS BIGINT) AS ord,
+           CAST(sum(n_tokens) OVER (PARTITION BY order_key % 8
+             ORDER BY order_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - n_tokens AS start_tok
+         FROM sh)
+     SELECT doc_id, shard, ord, n_tokens,
+       CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
+       CAST(start_tok % 512 AS BIGINT) AS pack_offset
+     FROM o ORDER BY shard, ord"""
 }

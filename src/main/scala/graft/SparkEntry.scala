@@ -166,6 +166,7 @@ object SparkEntry {
       (graft.multimodal.Multimodal.d118FullMultimodalGate _),
     "d119_incremental_multimodal" ->
       (graft.multimodal.Multimodal.d119IncrementalMultimodalGate _),
+    "t125_training_manifest" -> (TextOps.t125TrainingManifest _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -912,6 +913,7 @@ object SparkEntry {
     // must reproduce the full five-modality recompute (d96 convention
     // extended across modalities)
     "d119_incremental_multimodal" -> OracleGen.fullMultimodalGate,
+    "t125_training_manifest" -> OracleGen.trainingManifest,
     "q108_funnel" ->
       """WITH pu AS (
            SELECT user_id,

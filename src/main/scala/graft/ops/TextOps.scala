@@ -2505,6 +2505,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The training-manifest capstone — the t125 query: ONE deterministic
+    * dataflow composing the pipeline a pretraining run actually executes,
+    * each stage the repo's already-audited operator:
+    *
+    *  1. t100 source cap — per-source keep/cap/drop policy verdicts;
+    *  2. d118 full multimodal gate — drop any doc some modality calls a
+    *     duplicate of something kept (text/image/audio/video/URL);
+    *  3. t72 temperature mixture (T=0.5) — rates computed over the GATED
+    *     corpus (the composition point: mixing before dedup would weight
+    *     languages by their duplicate counts), applied per doc with the
+    *     append-stable md5-bucket draw;
+    *  4. t88 shuffle-shard — survivors keyed by the seeded hash, sharded,
+    *     and ranked in shuffle order;
+    *  5. t69 greedy packing — per-shard token cumsum IN SHUFFLE ORDER
+    *     (the order the trainer reads), sliced into 512-token windows.
+    *
+    * Output: the (shard, ord, doc_id) manifest with each doc's pack
+    * coordinates — what a data loader consumes. The oracle composes the
+    * five sub-oracles verbatim (the d118 convention), so this query
+    * proves the WHOLE pipeline, not just dedup, is one reproducible
+    * dataflow.
+    *
+    * Scale: stages 1-3 are the member queries' audited plans joined on
+    * doc_id; stages 4-5 are one window pass per shard over the surviving
+    * (compact) manifest rows — the corpus's text is read once (stage 3's
+    * token counts ride along from the base scan).
+    */
+  def t125TrainingManifest(s: SparkSession, d: String): DataFrame = {
+    val cap = t100SourceCap(s, d).filter(col("kept")).select("doc_id")
+    val gate = graft.multimodal.Multimodal.d118FullMultimodalGate(s, d)
+      .filter(col("kept")).select("doc_id")
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    // persist(): the gated survivor table feeds the rate aggregation and
+    // the mixture join
+    val stage1 = CacheRegistry.harness.add(
+      base.join(cap, "doc_id").join(gate, "doc_id").persist())
+    val counts = stage1.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min("n_docs").as("n_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("keep_permille",
+        floor(sqrt(col("n_min").cast("double") / col("n_docs")) * 1000)
+          .cast("long"))
+      .select("lang", "keep_permille")
+    val mixed = stage1
+      .withColumn("bucket",
+        h48(concat(col("doc_id").cast("string"), lit(":mix"))) % 1000)
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") < col("keep_permille"))
+    val key = h48(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
+    val sharded = mixed.select(col("doc_id"), col("n_tokens"),
+      key.as("order_key"), (key % ShuffleShards).cast("int").as("shard"))
+    val wOrd = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    val wTok = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("ord", row_number().over(wOrd).cast("long"))
+      .withColumn("start_tok", sum("n_tokens").over(wTok) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("ord"), col("n_tokens"),
+        floor(col("start_tok") / 512.0).cast("long").as("pack_id"),
+        (col("start_tok") % 512).as("pack_offset"))
+      .orderBy("shard", "ord")
+  }
+
   /** TF-IDF top-terms per document with an integer-quantized IDF
     * (idf_q = (N*100) div df). Floating-point log() is not IEEE-pinned
     * across engines, so the quantized integer form keeps scores exactly
