@@ -683,6 +683,22 @@ object OracleGen {
        count(*) OVER (PARTITION BY component) AS csize
      FROM comp ORDER BY doc_id"""
 
+  /** Tombstoned image clusters (d126) matching
+    * [[graft.multimodal.Multimodal.d126TombstoneImageClusters]]: the d105
+    * oracle verbatim over the SURVIVING corpus — the one-shot the healed
+    * pair state must be indistinguishable from. The survivor filter is
+    * spliced into the shared d98 hash CTE (its single `FROM documents`
+    * site); pair machinery and CC chain are untouched.
+    */
+  val tombstoneImageClusters: String = {
+    val survivorsNearDup = imageNearDup.replace("FROM documents",
+      "FROM documents WHERE doc_id % 7 <> 3")
+    s"""WITH RECURSIVE ${ccChain(survivorsNearDup)}
+     SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS csize
+     FROM comp ORDER BY doc_id"""
+  }
+
   /** Cross-modal composed dedup verdict (d106) matching
     * [[graft.multimodal.Multimodal.d106MultimodalDedup]]: the d24
     * canonical-text keeper (null-safe fp join), the d105 image component
@@ -1139,6 +1155,47 @@ object OracleGen {
        assigned AS (SELECT r.vec_id, e.v,
            sqrt(list_dot_product(e.v, e.v)) AS nv, r.clabel
          FROM ranked r JOIN e ON e.vec_id = r.vec_id WHERE r.arn = 1),
+       probes AS (SELECT r.vec_id AS query_id, e.v AS qv,
+           sqrt(list_dot_product(e.v, e.v)) AS nq, r.clabel
+         FROM ranked r JOIN e ON e.vec_id = r.vec_id
+         WHERE r.vec_id < 10 AND r.arn <= 2),
+       sims AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_dot_product(p.qv, a.v) / (p.nq * a.nv) AS sim
+         FROM assigned a JOIN probes p ON a.clabel = p.clabel
+           AND a.vec_id <> p.query_id),
+       rk AS (SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM sims)
+     SELECT query_id, neighbor_id, round(sim, 4) AS sim_r, rnk
+     FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+  /** Tombstoned incremental IVF (v127) matching
+    * [[graft.ops.VectorOps.v127TombstoneAnn]]: the v120 one-shot twin
+    * (even-half frozen codebook, all vectors assigned in one shot) with
+    * the delete set removed from the ASSIGNED corpus — queries over the
+    * anti-join-healed index must equal a from-scratch index of the
+    * survivors. Probes stay the standard vec_id < 10 query set.
+    */
+  val tombstoneAnn: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+       c0 AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                unnest(embedding::DOUBLE[]) AS x FROM embeddings
+              WHERE vec_id % 2 = 0),
+       c1 AS (SELECT label, dim, round(avg(x), 4) AS cv
+              FROM c0 GROUP BY label, dim),
+       c AS (SELECT label AS clabel, list(cv ORDER BY dim) AS cvec
+             FROM c1 GROUP BY label),
+       ranked AS (SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             list_dot_product(v, cvec) / (sqrt(list_dot_product(v, v))
+               * sqrt(list_dot_product(cvec, cvec))) DESC,
+             clabel) AS arn
+         FROM e, c),
+       assigned AS (SELECT r.vec_id, e.v,
+           sqrt(list_dot_product(e.v, e.v)) AS nv, r.clabel
+         FROM ranked r JOIN e ON e.vec_id = r.vec_id
+         WHERE r.arn = 1 AND e.vec_id % 7 <> 3),
        probes AS (SELECT r.vec_id AS query_id, e.v AS qv,
            sqrt(list_dot_product(e.v, e.v)) AS nq, r.clabel
          FROM ranked r JOIN e ON e.vec_id = r.vec_id

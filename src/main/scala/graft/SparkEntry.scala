@@ -78,6 +78,7 @@ object SparkEntry {
     "v41_ivf_ann" -> (VectorOps.v41IvfAnn _),
     "v120_incremental_ivf" -> (VectorOps.v120IncrementalIvf _),
     "v122_filtered_ann" -> (VectorOps.v122FilteredAnn _),
+    "v127_tombstone_ann" -> (VectorOps.v127TombstoneAnn _),
     "q42_quantile_sketch" -> (Relational.q42QuantileSketch _),
     "q43_cube" -> (Relational.q43Cube _),
     "q44_intersect" -> (Relational.q44Intersect _),
@@ -162,6 +163,8 @@ object SparkEntry {
       (graft.multimodal.Multimodal.d117IncrementalVideoDedup _),
     "d124_mjpeg_video_dedup" ->
       (graft.multimodal.Multimodal.d124MjpegVideoDedup _),
+    "d126_tombstone_image" ->
+      (graft.multimodal.Multimodal.d126TombstoneImageClusters _),
     "d118_full_multimodal_gate" ->
       (graft.multimodal.Multimodal.d118FullMultimodalGate _),
     "d119_incremental_multimodal" ->
@@ -522,6 +525,7 @@ object SparkEntry {
     "v41_ivf_ann" -> OracleGen.ivfAnn,
     "v120_incremental_ivf" -> OracleGen.incrementalIvf,
     "v122_filtered_ann" -> OracleGen.filteredIvfAnn,
+    "v127_tombstone_ann" -> OracleGen.tombstoneAnn,
     "m31_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5, source
@@ -908,6 +912,7 @@ object SparkEntry {
     // convention, third modality)
     "d117_incremental_video" -> OracleGen.videoOverlap,
     "d124_mjpeg_video_dedup" -> OracleGen.mjpegVideoDedup,
+    "d126_tombstone_image" -> OracleGen.tombstoneImageClusters,
     "d118_full_multimodal_gate" -> OracleGen.fullMultimodalGate,
     // deliberately the ONE-SHOT d118 oracle: the per-batch merged state
     // must reproduce the full five-modality recompute (d96 convention

@@ -1688,6 +1688,46 @@ object Multimodal {
     videoClipOverlap(frames)
   }
 
+  /** Tombstone deletes for the Hamming PAIR state — the d126 query,
+    * d123's lifecycle story carried into the perceptual family. After the
+    * d104 two-batch ingest, the accumulated state is per-doc hashes (8 B)
+    * plus the emitted pair set; a delete batch (doc_id % 7 == 3) heals
+    * BOTH with anti-joins alone: pair rows are independent edge facts, a
+    * pair survives iff both ends survive, and deleting docs cannot create
+    * a new qualifying pair (survivor Hamming distances are unchanged) —
+    * so nothing is ever re-decoded, re-hashed, or re-paired. The cluster
+    * view (d105's CC + component sizes) over the surviving pairs must
+    * equal the one-shot clustering of the surviving corpus; the oracle IS
+    * d105's SQL over the survivors.
+    *
+    * Cap caveat (the monotone note again): the anti-join heal is exact
+    * while no cell was hot at ingest — a cell hot in the full corpus but
+    * cold among survivors could in principle have suppressed a
+    * survivor-survivor candidate, which only a re-probe of that cell
+    * would recover. At the default cap that needs >64M distinct hashes
+    * in one window cell; the brute-force oracle would catch it.
+    */
+  def d126TombstoneImageClusters(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.{CacheRegistry, TextOps}
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"))
+    val hashes = CacheRegistry.harness.add(
+      aHash64(imageDedupPayload(docs)).filter(col("ahash").isNotNull)
+        .persist())
+    val b1 = hashes.filter(col("doc_id") % 2 === 0)
+    val b2 = hashes.filter(col("doc_id") % 2 === 1)
+    val empty = hashes.filter(lit(false))
+    val pairState = incrementalHammingPairs(empty, b1)
+      .unionByName(incrementalHammingPairs(b1, b2))
+    val deleted = docs.filter(col("doc_id") % 7 === 3)
+    val livePairs = pairState
+      .join(deleted.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_anti")
+      .join(deleted.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti")
+    val labels = TextOps.connectedComponents(livePairs.select("d1", "d2"))
+    labels
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("component")))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: up to `k` evenly-spaced frame indices per video row —
     * explode of a bounded sequence, fully codegen'd, no UDF.
     */

@@ -739,6 +739,35 @@ object VectorOps {
       assigned.filter(col("label") % 2 === 0), probes))
   }
 
+  /** Tombstoned incremental IVF — the v127 query, the delete story on the
+    * similarity-search pillar: the v120 two-batch index (frozen even-half
+    * codebook, O(batch) appends) takes a delete set (vec_id % 7 == 3 — an
+    * unlearning/takedown batch) healed by ONE anti-join. Index rows are
+    * independent (vec_id, embedding, clabel) facts — no keeper, no
+    * promotion, no re-assignment: the healed index IS the index that
+    * never ingested the deleted vectors, and the standard queries over it
+    * must serve the one-shot answers over the surviving corpus (the
+    * oracle assigns the SURVIVORS to the same frozen codebook and ranks).
+    * Queries stay the standard vec_id < 10 set — query vectors are
+    * serve-time inputs, not corpus rows, so deleting a doc does not
+    * delete its ability to be asked about.
+    */
+  def v127TombstoneAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .persist())
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val cent = CacheRegistry.harness.add(ivfCodebookOn(evens).persist())
+    val empty = assignToIvfLists(s, emb.filter(lit(false)), cent)
+    val state1 = incrementalIvfIngest(s, cent, empty, evens)
+    val state2 = incrementalIvfIngest(s, cent, state1, odds)
+    val deleted = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val healed = state2.join(deleted, Seq("vec_id"), "left_anti")
+    val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 10), cent)
+    ivfTopK(ivfProbeCandidates(s, healed, probes))
+  }
+
   /** v64 product quantization: number of subspaces (64 dims → 4×16). */
   val PqM = 4
   /** v64 codewords per subspace. */

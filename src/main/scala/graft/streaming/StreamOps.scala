@@ -570,6 +570,48 @@ object StreamOps {
       path, nBuckets)
   }
 
+  /** Streaming tombstone sink — how deletes ARRIVE at an accumulated
+    * `batch=N` state (the batch heals are d123/d126/v127; this is their
+    * feed). Per micro-batch of deleted ids: publish the batch's own
+    * `<statePath>.tombstones/batch=N` partition (sibling-`.tmp` + atomic
+    * rename — the effectively-once layout every graft sink uses; a
+    * replay rewrites an identical partition, and an id tombstoned twice
+    * is one anti-join fact). The state itself is NEVER rewritten on the
+    * ingest path: readers serve through [[liveState]]'s anti-join view,
+    * and the periodic compaction job applies tombstones physically.
+    */
+  def tombstoneStream(spark: SparkSession, deletes: DataFrame,
+      statePath: String, idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", s"$statePath.tombstones.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().select(idCol).distinct()
+          .write.mode("overwrite")
+          .parquet(s"$statePath.tombstones.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tombstones.tmp/batch=$id",
+          s"$statePath.tombstones/batch=$id")
+      }
+      .start()
+
+  /** The live view of an accumulated `batch=N` state under its
+    * [[tombstoneStream]] deletes: one anti-join on the id column (a
+    * missing tombstone table means no deletes yet). The anti-join's
+    * right side is the compact id list, so it broadcasts and rides the
+    * state scan map-side — per-read cost O(tombstones), the state is
+    * never rewritten.
+    */
+  def liveState(spark: SparkSession, statePath: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val state = spark.read.parquet(statePath).drop("batch")
+    val tPath = new org.apache.hadoop.fs.Path(s"$statePath.tombstones")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tPath)) state
+    else state.join(
+      spark.read.parquet(s"$statePath.tombstones").select(idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** Atomically publish a completed batch-partition directory staged at
     * `tmp` to its final location `dst` inside a partitioned table root:
     * delete a stale `dst` (a replayed batch), then one FileSystem rename.

@@ -600,4 +600,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(partials.count() >=
       partials.select("user_id", "wk").distinct().count())
   }
+
+  test("tombstone stream: live view heals the hash state; probes match " +
+      "the surviving-prior incremental pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("tombstream").toString
+    val state = s"$dir/hashes"
+    val hashes = graft.multimodal.Multimodal.aHash64(
+        graft.multimodal.Multimodal.imageDedupPayload(
+          graft.Tables.documents(s, "/root/testdata/sf0.001")
+            .select("doc_id")))
+      .filter(col("ahash").isNotNull).persist()
+    graft.ops.CacheRegistry.harness.add(hashes)
+    val rows = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (prior, batch) = rows.partition(_._1 < 250)
+    // ingest the prior half as two state partitions (the sink layout)
+    prior.filter(_._1 % 2 == 0).toSeq.toDF("doc_id", "ahash")
+      .write.parquet(s"$state/batch=0")
+    prior.filter(_._1 % 2 == 1).toSeq.toDF("doc_id", "ahash")
+      .write.parquet(s"$state/batch=1")
+    // no tombstones yet: the live view IS the state
+    assert(StreamOps.liveState(s, state).count() == prior.length)
+    // stream two delete batches (with an overlap — re-deleting an id is
+    // one anti-join fact, not an error)
+    val mem = MemoryStream[Long]
+    val q = StreamOps.tombstoneStream(s, mem.toDF().toDF("doc_id"), state)
+    val dels = prior.map(_._1).filter(_ % 7 == 3)
+    val (d1, d2) = dels.splitAt(dels.length / 2)
+    mem.addData(d1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData((d2 ++ d1.take(2)).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val live = StreamOps.liveState(s, state)
+    assert(live.count() == prior.length - dels.length)
+    assert(live.filter(col("doc_id") % 7 === 3).count() == 0)
+    // a new batch probing the healed view sees exactly the pairs of the
+    // surviving prior — deleted docs are gone from candidate generation
+    val batchDf = batch.toSeq.toDF("doc_id", "ahash")
+    val survivingPrior = prior.filterNot(p => dels.contains(p._1)).toSeq
+      .toDF("doc_id", "ahash")
+    val got = graft.multimodal.Multimodal
+      .incrementalHammingPairs(live, batchDf)
+    val expected = graft.multimodal.Multimodal
+      .incrementalHammingPairs(survivingPrior, batchDf)
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0)
+    graft.ops.CacheRegistry.harness.release()
+  }
 }
