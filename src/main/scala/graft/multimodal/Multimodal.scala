@@ -562,11 +562,17 @@ object Multimodal {
   /** HOT cells of a distinct-hash bucket-row table: buckets holding more
     * than `cap` distinct hash values. At most |bucket rows|/cap cells —
     * a small table, so the exclusion anti-join broadcasts (the d25 flip:
-    * join the rare HOT side, not the cold majority).
+    * join the rare HOT side, not the cold majority). The table carries a
+    * [[HotCellSignal]] observation: capped candidate generation is
+    * DETECTABLE (warn log + process counters) without the oracle harness,
+    * at zero extra scan cost — the metric rides the exclusion anti-join's
+    * own execution.
     */
   private def hotBuckets(buckets: DataFrame, cap: Int): DataFrame =
-    buckets.groupBy("tb").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > cap).select("tb")
+    HotCellSignal.attach(
+      buckets.groupBy("tb").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > cap))
+      .select("tb")
 
   /** All pairs at Hamming distance ≤ `maxHamming` over a (doc_id, ahash)
     * table. Two disjoint populations, two machineries:
@@ -632,16 +638,22 @@ object Multimodal {
     * bucket rows bucketed on `tb` (the cross-hash candidate join's key) —
     * so a batch probe ([[probeHammingBucketedState]]) never exchanges the
     * accumulated state and bucket-prunes both keyed scans. One compaction
-    * job writes both tables from the same input (a fresh full rewrite —
-    * the `batch=N` sink layout stays the append-only ingest format).
+    * job writes both tables from the same input, in OVERWRITE mode — this
+    * is a fresh full rewrite by contract, so a re-run maintenance job
+    * REPLACES the serving tables instead of doubling member rows and
+    * occupancy counts (append here would silently inflate every
+    * [[probeHammingBucketedState]] cap verdict on the second run). The
+    * `batch=N` sink layout stays the append-only source of truth; a
+    * compaction that crashes between the two table writes is healed by
+    * re-running it.
     */
   def writeHammingBucketedState(hashes: DataFrame, memberTable: String,
       memberPath: String, bucketTable: String, bucketPath: String,
       nBuckets: Int = 32): Unit = {
-    hashes.select(col("doc_id"), col("ahash")).write.mode("append")
+    hashes.select(col("doc_id"), col("ahash")).write.mode("overwrite")
       .bucketBy(nBuckets, "ahash").sortBy("ahash")
       .option("path", memberPath).saveAsTable(memberTable)
-    distinctHashBuckets(hashes).write.mode("append")
+    distinctHashBuckets(hashes).write.mode("overwrite")
       .bucketBy(nBuckets, "tb").sortBy("tb")
       .option("path", bucketPath).saveAsTable(bucketTable)
   }
@@ -664,18 +676,31 @@ object Multimodal {
     * Both driver-side collects are bounded by the batch (the
     * probeCidBucketedState contract). The state must not contain the
     * batch's own doc_ids.
+    *
+    * `tombstones` carries doc_ids deleted SINCE the last compaction: the
+    * broadcast anti-join runs on every member-table read, so a deleted
+    * doc can never appear in a pair. The BUCKET table is left as written
+    * — its rows are per distinct hash, not per doc, so a dead doc's hash
+    * can only make occupancy conservative (a cell may look hot and
+    * suppress candidates, never resurrect a deleted doc); the periodic
+    * [[graft.streaming.StreamOps.compactHammingState]] rebuilds both
+    * tables from survivors and restores exact occupancy.
     */
   def probeHammingBucketedState(s: SparkSession, memberTable: String,
       bucketTable: String, batch: DataFrame, maxHamming: Int = 3,
-      bucketCap: Int = HammingBucketCap): DataFrame = {
+      bucketCap: Int = HammingBucketCap,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     require(maxHamming <= 3,
       s"exact recall needs maxHamming <= 3 with 4 disjoint windows")
     import graft.ops.CacheRegistry
+    def liveMembers: DataFrame = tombstones.fold(s.table(memberTable))(t =>
+      s.table(memberTable)
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
     val b = CacheRegistry.harness.add(
       batch.select(col("doc_id"), col("ahash")).persist())
     val batchHashes = b.select("ahash").distinct().collect()
       .map(_.getLong(0))
-    val exactState = s.table(memberTable)
+    val exactState = liveMembers
       .filter(col("ahash").isin(batchHashes: _*))
     val exactSelf = b.as("a")
       .join(b.as("b"),
@@ -719,7 +744,7 @@ object Multimodal {
     def bm(h: String, dc: String): DataFrame =
       b.select(col("doc_id").as(dc), col("ahash").as(h))
     def sm(h: String, dc: String): DataFrame =
-      s.table(memberTable).select(col("doc_id").as(dc), col("ahash").as(h))
+      liveMembers.select(col("doc_id").as(dc), col("ahash").as(h))
     val exp = hashPairs.join(bm("h1", "da"), "h1").join(sm("h2", "db"), "h2")
       .unionByName(
         hashPairs.join(sm("h1", "da"), "h1").join(bm("h2", "db"), "h2"))
@@ -733,11 +758,14 @@ object Multimodal {
   /** Land a compacted (doc_id, fp, sz) frame state bucketed on `fp` — the
     * clip-overlap family's serving layout. `sz` (the doc's total frame
     * count) is computed ONCE at compaction and stored, so the probe never
-    * windows over the accumulated state.
+    * windows over the accumulated state. Overwrite by contract (a fresh
+    * full rewrite): a re-run compaction replaces the table — appended
+    * duplicate frame rows would inflate shared-frame counts and flip
+    * d103-family containment verdicts.
     */
   def writeFrameBucketedState(sized: DataFrame, tableName: String,
       path: String, nBuckets: Int = 32): Unit =
-    sized.select(col("doc_id"), col("fp"), col("sz")).write.mode("append")
+    sized.select(col("doc_id"), col("fp"), col("sz")).write.mode("overwrite")
       .bucketBy(nBuckets, "fp").sortBy("fp")
       .option("path", path).saveAsTable(tableName)
 
@@ -747,13 +775,20 @@ object Multimodal {
     * fingerprints (every shared-frame row's fp is by definition in the
     * batch), sizes come from the stored `sz`, and the fp-keyed join never
     * exchanges the state side. Same whole-item contract as the sink.
+    * `tombstones` carries doc_ids deleted since the last compaction
+    * (broadcast anti-join on the pruned scan — stored `sz` values of
+    * SURVIVING docs are per-doc facts, unaffected by other docs'
+    * deletes); compaction applies the same deletes physically.
     */
   def probeFrameBucketedState(s: SparkSession, tableName: String,
-      batchFrames: DataFrame): DataFrame = {
+      batchFrames: DataFrame, tombstones: Option[DataFrame] = None)
+      : DataFrame = {
     val nb = sizedFrames(batchFrames)
     val batchFps = batchFrames.select("fp").distinct().collect()
       .map(_.getString(0))
-    val state = s.table(tableName).filter(col("fp").isin(batchFps: _*))
+    val pruned = s.table(tableName).filter(col("fp").isin(batchFps: _*))
+    val state = tombstones.fold(pruned)(t =>
+      pruned.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
     containmentVerdict(
       selfSharedFrames(nb).unionByName(crossSharedFrames(nb, state)))
   }

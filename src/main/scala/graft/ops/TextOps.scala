@@ -466,12 +466,16 @@ object TextOps {
     * corpus-scale state per batch. Per-batch I/O: the state is READ
     * (sequential bucket scan) but never SHUFFLED — the exchange, its
     * network transfer, and its spill are paid only by the 4×|batch| probe
-    * rows. Appends accumulate batches; Spark validates the bucket spec on
-    * append.
+    * rows. Default mode is append (the ingest layout: batches accumulate,
+    * Spark validates the bucket spec); compaction jobs pass
+    * `overwrite = true` — a full rewrite that REPLACES the table, so a
+    * re-run maintenance job cannot double state rows (the `batch=N` sink
+    * layout stays the source of truth; a crashed compaction is healed by
+    * re-running it).
     */
   def writeBandBucketedState(sigsWithKeys: DataFrame, tableName: String,
-      path: String, nBuckets: Int = 32): Unit =
-    bandsFromKeys(sigsWithKeys).write.mode("append")
+      path: String, nBuckets: Int = 32, overwrite: Boolean = false): Unit =
+    bandsFromKeys(sigsWithKeys).write.mode(if (overwrite) "overwrite" else "append")
       .bucketBy(nBuckets, "band", "bkey").sortBy("band", "bkey")
       .option("path", path).saveAsTable(tableName)
 
@@ -480,12 +484,19 @@ object TextOps {
     * state — identical pair semantics to [[incrementalMinhashDedup]], but
     * the accumulated side needs no exchange (BucketedStateSpec asserts
     * the plan). The state must not contain the batch's own doc_ids (the
-    * same disjointness contract as the streaming sink).
+    * same disjointness contract as the streaming sink). `tombstones`
+    * carries doc_ids deleted since the last compaction: the broadcast
+    * anti-join runs on the state side below the pair join, so a deleted
+    * doc can never pair — compaction applies the same deletes physically,
+    * after which the parameter is redundant.
     */
   def probeBandBucketedState(s: SparkSession, tableName: String,
-      batch: DataFrame): DataFrame =
-    pairsFromBands(s.table(tableName),
-      bandsFromKeys(minhashSignaturesWithKeys(batch)))
+      batch: DataFrame, tombstones: Option[DataFrame] = None): DataFrame = {
+    val state = tombstones.fold(s.table(tableName))(t =>
+      s.table(tableName)
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    pairsFromBands(state, bandsFromKeys(minhashSignaturesWithKeys(batch)))
+  }
 
   /** Incremental near-dup detection — the q78 mergeable-state story applied
     * to dedup: deduplicating batch N+1 against the accumulated corpus costs
@@ -2347,6 +2358,98 @@ object TextOps {
     val labels2 =
       incrementalConnectedComponents(labels1, pairs2.select("d1", "d2"))
     labels2
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("component")))
+      .orderBy("doc_id")
+  }
+
+  /** Heal incremental CC label state after a tombstone batch — the ONE
+    * delete an anti-join cannot perform: removing a doc that bridges two
+    * sub-clusters must SPLIT its component, and monotone min-label
+    * propagation can never raise a label, so the accumulated labeling
+    * holds no trace of where a component would come apart. The fix is the
+    * condensation idea ([[condenseEdges]]) run in reverse:
+    *
+    *  - `touched` = the components holding at least one deleted doc — the
+    *    ONLY components whose labeling can change (deleting a doc removes
+    *    edges strictly inside its own component; no other component gains
+    *    or loses an edge). At most one label per deleted doc: a compact,
+    *    broadcastable set.
+    *  - those components' SURVIVING edges re-run the pointer-jumping
+    *    fixpoint from scratch — O(touched-component edges), never the
+    *    corpus. Both endpoint semi-joins key on the (broadcast)
+    *    surviving-touched-member set, so the accumulated pair state is
+    *    scanned map-side and never shuffled; an edge's endpoints share a
+    *    component by the fixpoint invariant, so one membership test per
+    *    endpoint both scopes the edge AND drops edges with a dead end.
+    *  - rows of untouched components pass through one broadcast anti-join
+    *    on the label; survivors of touched components take the re-run's
+    *    labels, and survivors left edge-less drop out of the clustered
+    *    set (the one-shot semantics — clusters exist only where pairs do).
+    *
+    * REPLAY FIXPOINT: after one heal no deleted doc remains labeled, so
+    * re-applying the same tombstone batch finds `touched` empty and the
+    * heal is the identity (TombstoneCcSpec asserts it, plus a designed
+    * bridge-delete split case). The reference's `clean()` analog
+    * (betfairdatabase/database.py:188-230) for graph-shaped state: stale
+    * rows leave, and the index heals — here by re-deriving exactly the
+    * affected fragment labels.
+    */
+  def ccTombstoneHeal(priorLabels: DataFrame, edges: DataFrame,
+      deleted: DataFrame, reg: CacheRegistry = CacheRegistry.harness)
+      : DataFrame = {
+    // persist(): the label table feeds the touched semi-join, the member
+    // scoping join, and the final pass-through anti-join
+    val lbl = reg.add(
+      priorLabels.select(col("doc_id"), col("component")).persist())
+    val del = deleted.select("doc_id")
+    val touched = lbl.join(del, Seq("doc_id"), "left_semi")
+      .select("component").distinct()
+    val touchedMembers = lbl.join(broadcast(touched), Seq("component"))
+      .join(del, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val touchedEdges = edges.select(col("d1"), col("d2"))
+      .join(broadcast(touchedMembers.withColumnRenamed("doc_id", "d1")),
+        Seq("d1"), "left_semi")
+      .join(broadcast(touchedMembers.withColumnRenamed("doc_id", "d2")),
+        Seq("d2"), "left_semi")
+    val relabeled = connectedComponents(touchedEdges, reg)
+    lbl.join(broadcast(touched), Seq("component"), "left_anti")
+      .select(col("doc_id"), col("component"))
+      .unionByName(relabeled.select(col("doc_id"), col("component")))
+  }
+
+  /** Tombstoned incremental CC — the d128 query, completing the delete
+    * matrix across every stateful family (d123 keeper states, d126 pair
+    * states, v127 index states, and now the LABEL state — the one whose
+    * deletes are algorithmically hard, see [[ccTombstoneHeal]]): the d91
+    * two-batch incremental labeling takes a tombstone batch
+    * (doc_id % 7 == 3), and the healed labeling (plus component sizes)
+    * must equal the full-recompute clustering of the SURVIVING pair set —
+    * the oracle is the d46 reachability SQL over pairs with both ends
+    * surviving. A deleted bridge doc genuinely splits its component here
+    * (the sf corpus has multi-doc near-dup chains), so the query runs the
+    * split machinery through the driver's correctness gate, not only the
+    * spec.
+    */
+  def d128TombstoneCc(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text")).persist()
+    CacheRegistry.harness.add(docs)
+    val empty = minhashSignatures(docs.filter(lit(false)))
+    val (sigs1, pairs1raw) =
+      incrementalMinhashDedup(empty, docs.filter(col("doc_id") % 2 === 0))
+    // persist(): each batch's pairs feed BOTH the label build and the
+    // accumulated pair state the heal scans
+    val pairs1 = CacheRegistry.harness.add(
+      pairs1raw.select("d1", "d2").persist())
+    val labels1 = connectedComponents(pairs1)
+    val (_, pairs2raw) =
+      incrementalMinhashDedup(sigs1, docs.filter(col("doc_id") % 2 === 1))
+    val pairs2 = CacheRegistry.harness.add(
+      pairs2raw.select("d1", "d2").persist())
+    val labels2 = incrementalConnectedComponents(labels1, pairs2)
+    val pairState = pairs1.unionByName(pairs2)
+    val deleted = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    ccTombstoneHeal(labels2, pairState, deleted)
       .withColumn("csize", count(lit(1)).over(Window.partitionBy("component")))
       .orderBy("doc_id")
   }

@@ -534,12 +534,16 @@ object VectorOps {
     * whole state per batch; this layout is what the O(touched clusters)
     * claim requires). Bucketing on cid means the probe join's accumulated
     * side arrives pre-partitioned on the join key — NO Exchange of the
-    * corpus-scale state per batch. Appends accumulate batches; Spark
-    * validates the bucket spec on append.
+    * corpus-scale state per batch. Default mode is append (the ingest
+    * layout: batches accumulate, Spark validates the bucket spec);
+    * compaction jobs pass `overwrite = true` — a full rewrite that
+    * REPLACES the table, so a re-run maintenance job cannot double state
+    * rows. (The `batch=N` sink layout stays the source of truth; a
+    * compaction that crashes mid-overwrite is healed by re-running it.)
     */
   def writeCidBucketedState(assignments: DataFrame, tableName: String,
-      path: String, nBuckets: Int = 32): Unit =
-    assignments.write.mode("append")
+      path: String, nBuckets: Int = 32, overwrite: Boolean = false): Unit =
+    assignments.write.mode(if (overwrite) "overwrite" else "append")
       .bucketBy(nBuckets, "cid").sortBy("cid")
       .option("path", path).saveAsTable(tableName)
 
@@ -552,13 +556,20 @@ object VectorOps {
     * O(touched clusters), and what IS read is never exchanged
     * (BucketedStateSpec asserts both plan properties). The state must not
     * contain the batch's own vec_ids (the streaming sink's disjointness
-    * contract).
+    * contract). `tombstones` carries vec_ids deleted SINCE the last
+    * compaction (`StreamOps.liveState` of the tombstone table): the
+    * anti-join runs on the pruned state side (broadcast, map-side), so a
+    * deleted vector can never pair — compaction applies the same deletes
+    * physically, after which the parameter is redundant.
     */
   def probeCidBucketedState(s: SparkSession, tableName: String,
-      newAssigned: DataFrame): DataFrame = {
+      newAssigned: DataFrame, tombstones: Option[DataFrame] = None)
+      : DataFrame = {
     val batchCids = newAssigned.select("cid").distinct().collect()
       .map(_.get(0))
-    val prior = s.table(tableName).filter(col("cid").isin(batchCids: _*))
+    val pruned = s.table(tableName).filter(col("cid").isin(batchCids: _*))
+    val prior = tombstones.fold(pruned)(t =>
+      pruned.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
     semanticPairs(s, prior, newAssigned)
   }
 
@@ -627,12 +638,14 @@ object VectorOps {
     * serving layout for [[probeIvfBucketedState]]: the query-time probe
     * join's corpus-scale side arrives pre-partitioned on the join key (no
     * Exchange of the index per query batch), and the probed-list filter
-    * bucket-prunes so only nprobe lists' buckets are ever read. Appends
-    * accumulate ingest batches; Spark validates the bucket spec on append.
+    * bucket-prunes so only nprobe lists' buckets are ever read. Default
+    * mode is append (ingest batches accumulate; Spark validates the
+    * bucket spec on append); compaction passes `overwrite = true` for a
+    * full replace — see [[writeCidBucketedState]]'s re-run contract.
     */
   def writeIvfBucketedState(assignments: DataFrame, tableName: String,
-      path: String, nBuckets: Int = 32): Unit =
-    assignments.write.mode("append")
+      path: String, nBuckets: Int = 32, overwrite: Boolean = false): Unit =
+    assignments.write.mode(if (overwrite) "overwrite" else "append")
       .bucketBy(nBuckets, "clabel").sortBy("clabel")
       .option("path", path).saveAsTable(tableName)
 
@@ -647,7 +660,8 @@ object VectorOps {
     * properties).
     */
   def probeIvfBucketedState(s: SparkSession, tableName: String,
-      probes: DataFrame, pred: Column = lit(true)): DataFrame = {
+      probes: DataFrame, pred: Column = lit(true),
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val probedLists = probes.select("clabel").distinct().collect()
       .map(_.get(0))
     // `pred` is the serve-time metadata filter (v122): applied to the
@@ -655,9 +669,14 @@ object VectorOps {
     // bucket pruning and — when it references an ingest-materialized
     // attribute column — pushes into the parquet scan itself
     // (FilteredAnnSpec asserts PushedFilters). Applying it after top-k
-    // would under-fill k instead.
-    val state = s.table(tableName).filter(col("clabel").isin(probedLists: _*))
+    // would under-fill k instead. `tombstones` (vec_ids deleted since the
+    // last compaction) anti-joins the same pruned scan — below the
+    // score/rank for the same reason the filter is: a post-top-k delete
+    // would under-fill k.
+    val pruned = s.table(tableName).filter(col("clabel").isin(probedLists: _*))
       .filter(pred)
+    val state = tombstones.fold(pruned)(t =>
+      pruned.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
     ivfScore(s, state, probes)
   }
 

@@ -442,6 +442,8 @@ object StreamOps {
     * ([[graft.ops.VectorOps.ivfQueryProbes]] /
     * `ivfProbeCandidates` / `ivfTopK`) — the served answer is the one-shot
     * answer by construction. `queries` carries (vec_id, embedding).
+    * Reads through the tombstone heal ([[liveRaw]]): a vec_id deleted via
+    * [[tombstoneStream]] can never occupy a served top-k slot.
     */
   def annIndexQuery(spark: SparkSession, statePath: String,
       codebookPath: String, queries: DataFrame, k: Int = 3, nprobe: Int = 2)
@@ -453,7 +455,7 @@ object StreamOps {
     // compactAnnIndex's serving layout holds it once — the two query
     // paths over the same state must agree (same max_by rule, shared via
     // latestAnnState).
-    val state = latestAnnState(spark.read.parquet(statePath))
+    val state = latestAnnState(liveRaw(spark, statePath, "vec_id"))
     val probes =
       graft.ops.VectorOps.ivfQueryProbes(spark, queries, codebook, nprobe)
     graft.ops.VectorOps.ivfTopK(
@@ -483,13 +485,16 @@ object StreamOps {
     * rewrite job, run off the ingest path. Replayed vec_ids collapse to
     * their latest batch's row via a max_by partial aggregation (the sink
     * overwrites a replayed partition, so earlier duplicates are stale by
-    * construction).
+    * construction). Compacts from [[liveRaw]], so [[tombstoneStream]]
+    * deletes are applied PHYSICALLY here — a deleted vec_id never reaches
+    * the serving table — and the write is a full overwrite (a re-run
+    * compaction replaces, never doubles, the serving rows).
     */
   def compactAnnIndex(spark: SparkSession, statePath: String,
       tableName: String, path: String, nBuckets: Int = 32): Unit =
     graft.ops.VectorOps.writeIvfBucketedState(
-      latestAnnState(spark.read.parquet(statePath)), tableName, path,
-      nBuckets)
+      latestAnnState(liveRaw(spark, statePath, "vec_id")), tableName, path,
+      nBuckets, overwrite = true)
 
   /** Collapse a `batch=N` per-item state to one row per `idCol` — latest
     * batch wins, the [[latestAnnState]] rule generalized over any
@@ -510,25 +515,28 @@ object StreamOps {
     * layout stays append-only (each micro-batch publishes its own
     * partition), the serving layout is probe-optimal (exchange-free,
     * the state never re-hashed). Replayed doc_ids collapse to their
-    * latest batch's signature row.
+    * latest batch's signature row. Compacts from [[liveRaw]] (tombstones
+    * applied physically) and overwrites the serving table (a re-run
+    * replaces, never doubles).
     */
   def compactMinhashState(spark: SparkSession, statePath: String,
       tableName: String, path: String, nBuckets: Int = 32): Unit =
     graft.ops.TextOps.writeBandBucketedState(
-      latestPerId(spark.read.parquet(statePath), "doc_id"),
-      tableName, path, nBuckets)
+      latestPerId(liveRaw(spark, statePath, "doc_id"), "doc_id"),
+      tableName, path, nBuckets, overwrite = true)
 
   /** Compact a [[semanticDedupStream]] `batch=N` assignment state into the
     * cid-bucketed serving layout
     * ([[graft.ops.VectorOps.writeCidBucketedState]]): exchange-free,
     * cluster-pruned probes instead of the sink's whole-state read per
     * batch. Replayed vec_ids collapse to their latest batch's row.
+    * Tombstones applied physically ([[liveRaw]]); full overwrite.
     */
   def compactSemanticState(spark: SparkSession, statePath: String,
       tableName: String, path: String, nBuckets: Int = 32): Unit =
     graft.ops.VectorOps.writeCidBucketedState(
-      latestPerId(spark.read.parquet(statePath), "vec_id"),
-      tableName, path, nBuckets)
+      latestPerId(liveRaw(spark, statePath, "vec_id"), "vec_id"),
+      tableName, path, nBuckets, overwrite = true)
 
   /** Compact an [[imageDedupStream]]/[[audioDedupStream]] `batch=N` hash
     * state into the Hamming serving layout
@@ -536,13 +544,18 @@ object StreamOps {
     * rows bucketed on ahash plus the distinct-hash bucket rows bucketed
     * on tb, so `probeHammingBucketedState` prunes both scans and never
     * exchanges the state. Replayed doc_ids collapse to their latest
-    * batch's hash.
+    * batch's hash. Tombstones applied physically ([[liveRaw]]): deleted
+    * docs leave BOTH tables — member rows by the anti-join, their hash's
+    * bucket rows because [[graft.multimodal.Multimodal.distinctHashBuckets]]
+    * rebuilds from the surviving members — so post-compaction occupancy
+    * counts are exact over the survivors (the between-compactions read
+    * path, [[liveState]], is conservative only).
     */
   def compactHammingState(spark: SparkSession, statePath: String,
       memberTable: String, memberPath: String, bucketTable: String,
       bucketPath: String, nBuckets: Int = 32): Unit =
     graft.multimodal.Multimodal.writeHammingBucketedState(
-      latestPerId(spark.read.parquet(statePath), "doc_id"),
+      latestPerId(liveRaw(spark, statePath, "doc_id"), "doc_id"),
       memberTable, memberPath, bucketTable, bucketPath, nBuckets)
 
   /** Compact a [[videoDedupStream]] `batch=N` frame state into the
@@ -551,11 +564,12 @@ object StreamOps {
     * state is MULTI-row per doc (whole-item contract), so latest-batch-
     * wins operates per doc: a replayed doc keeps only its latest batch's
     * complete frame set. Per-doc sizes are computed once here and stored,
-    * so probes never window over the accumulated state.
+    * so probes never window over the accumulated state. Tombstones
+    * applied physically ([[liveRaw]]); full overwrite.
     */
   def compactFrameState(spark: SparkSession, statePath: String,
       tableName: String, path: String, nBuckets: Int = 32): Unit = {
-    val raw = spark.read.parquet(statePath)
+    val raw = liveRaw(spark, statePath, "doc_id")
     // renamed join keys: latestBatch derives from raw, so qualified column
     // references would trip Spark's ambiguous-self-join check
     val latestBatch = raw.groupBy("doc_id").agg(max("batch").as("mb"))
@@ -578,7 +592,12 @@ object StreamOps {
     * replay rewrites an identical partition, and an id tombstoned twice
     * is one anti-join fact). The state itself is NEVER rewritten on the
     * ingest path: readers serve through [[liveState]]'s anti-join view,
-    * and the periodic compaction job applies tombstones physically.
+    * and the periodic compaction jobs ([[compactMinhashState]] /
+    * [[compactSemanticState]] / [[compactHammingState]] /
+    * [[compactFrameState]] / [[compactAnnIndex]]) apply tombstones
+    * physically — each compacts from [[liveRaw]], so a deleted id never
+    * reaches a serving layout (CompactionSpec proves
+    * tombstone → compact → probe ≡ the survivor-only probe per schema).
     */
   def tombstoneStream(spark: SparkSession, deletes: DataFrame,
       statePath: String, idCol: String = "doc_id")
@@ -602,13 +621,26 @@ object StreamOps {
     * never rewritten.
     */
   def liveState(spark: SparkSession, statePath: String,
-      idCol: String = "doc_id"): DataFrame = {
-    val state = spark.read.parquet(statePath).drop("batch")
+      idCol: String = "doc_id"): DataFrame =
+    liveRaw(spark, statePath, idCol).drop("batch")
+
+  /** The tombstone-healed accumulated state with the `batch` column KEPT —
+    * the compaction jobs' shared input (their latest-batch-wins collapse
+    * needs `batch`; [[liveState]] is this view minus it). One broadcast
+    * anti-join on the id column when a tombstone table exists; a missing
+    * table means no deletes yet. Compacting from here is what makes
+    * [[tombstoneStream]]'s contract physically true: the serving layouts
+    * are rebuilt from survivors only, so a delete needs no state rewrite
+    * at ingest time yet cannot be resurrected by maintenance.
+    */
+  private def liveRaw(spark: SparkSession, statePath: String,
+      idCol: String): DataFrame = {
+    val state = spark.read.parquet(statePath)
     val tPath = new org.apache.hadoop.fs.Path(s"$statePath.tombstones")
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tPath)) state
     else state.join(
-      spark.read.parquet(s"$statePath.tombstones").select(idCol),
+      broadcast(spark.read.parquet(s"$statePath.tombstones").select(idCol)),
       Seq(idCol), "left_anti")
   }
 

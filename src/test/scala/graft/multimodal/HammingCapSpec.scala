@@ -133,6 +133,24 @@ class HammingCapSpec extends SparkSpec {
       hm == 1L && Set(h(d1), h(d2)) == Set(cHash, cHash ^ (1L << 6)) })
   }
 
+  test("capped candidate generation emits an observable hot-cell signal") {
+    // the skewed corpus at cap 4 heats the shared window-0 cells — the
+    // run itself must raise the HotCellSignal counters (warn log + named
+    // observation riding the exclusion anti-join, no extra scan), so a
+    // production deployment can detect recall-losing caps without the
+    // oracle harness. The listener bus is async: poll with a deadline.
+    val q0 = HotCellSignal.hotQueries.get()
+    collected(Multimodal.hammingPairs(df(skewed), 3, bucketCap = 4))
+    val deadline = System.currentTimeMillis() + 30000
+    while (HotCellSignal.hotQueries.get() == q0 &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(HotCellSignal.hotQueries.get() > q0,
+      "no hot-cell signal observed for a capped run")
+    assert(HotCellSignal.hotCells.get() > 0)
+    assert(HotCellSignal.excludedHashes.get() > 0)
+  }
+
   test("two-batch incremental equals one-shot on a degenerate-class corpus") {
     val corpus = degenerate
     val base = df(corpus)

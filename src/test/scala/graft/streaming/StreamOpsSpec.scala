@@ -648,6 +648,23 @@ class StreamOpsSpec extends SparkSpec {
       .incrementalHammingPairs(survivingPrior, batchDf)
     assert(got.exceptAll(expected).count() == 0 &&
       expected.exceptAll(got).count() == 0)
+    // the docstring's full lifecycle, end to end: sink partitions →
+    // tombstoneStream → compaction → bucketed serving probe. Compaction
+    // applies the streamed tombstones PHYSICALLY (no deleted id reaches
+    // the serving tables), and the probe over the compacted layout serves
+    // the same survivor-only pairs as the in-memory probe above.
+    Seq("g_ts_ham_m", "g_ts_ham_b")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    StreamOps.compactHammingState(s, state, "g_ts_ham_m", s"$dir/m",
+      "g_ts_ham_b", s"$dir/b")
+    assert(s.table("g_ts_ham_m").filter(col("doc_id") % 7 === 3)
+      .count() == 0, "a streamed tombstone was resurrected by compaction")
+    val served = graft.multimodal.Multimodal.probeHammingBucketedState(
+      s, "g_ts_ham_m", "g_ts_ham_b", batchDf)
+    assert(served.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(served).count() == 0)
+    Seq("g_ts_ham_m", "g_ts_ham_b")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     graft.ops.CacheRegistry.harness.release()
   }
 }
