@@ -932,6 +932,21 @@ object OracleGen {
        count(*) OVER (PARTITION BY component) AS csize
      FROM comp ORDER BY doc_id"""
 
+  /** Tombstoned incremental CC (d128) matching
+    * [[graft.ops.TextOps.d128TombstoneCc]]: full-recompute reachability
+    * over the minhash pairs with BOTH ends surviving the delete set
+    * (doc_id % 7 <> 3) — the healed incremental labeling must be
+    * indistinguishable from a one-shot clustering that never saw the
+    * deleted docs' edges. Docs left edge-less by the delete drop out of
+    * the clustered set, exactly the one-shot d46 semantics.
+    */
+  val tombstoneCc: String =
+    s"""WITH RECURSIVE ${ccChain(
+        s"SELECT d1, d2 FROM ($minhashLsh) mp WHERE d1 % 7 <> 3 AND d2 % 7 <> 3")}
+     SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS csize
+     FROM comp ORDER BY doc_id"""
+
   /** Composed cleaning pipeline matching [[graft.ops.TextOps.t65CleanPipeline]]:
     * Gopher quality keep + exact-dup keeper + near-dup cluster
     * representative, all from the same sub-oracles the individual queries

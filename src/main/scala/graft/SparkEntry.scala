@@ -170,6 +170,7 @@ object SparkEntry {
     "d119_incremental_multimodal" ->
       (graft.multimodal.Multimodal.d119IncrementalMultimodalGate _),
     "t125_training_manifest" -> (TextOps.t125TrainingManifest _),
+    "d128_tombstone_cc" -> (TextOps.d128TombstoneCc _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -816,6 +817,10 @@ object SparkEntry {
     // convention)
     "d101_incremental_url" -> OracleGen.urlDedup,
     "d123_tombstone_dedup" -> OracleGen.tombstoneDedup,
+    // the SURVIVOR-ONLY full recompute: reachability over minhash pairs
+    // with both ends surviving — the healed incremental labeling must be
+    // indistinguishable from never having ingested the deleted edges
+    "d128_tombstone_cc" -> OracleGen.tombstoneCc,
     "d98_image_neardup" -> OracleGen.imageNearDup,
     "d102_audio_neardup" -> OracleGen.audioNearDup,
     "d103_video_overlap" -> OracleGen.videoOverlap,
