@@ -1435,6 +1435,68 @@ object OracleGen {
      SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
      ORDER BY query_id, rnk"""
 
+  /** Filtered PQ ANN (v129) matching
+    * [[graft.ops.VectorOps.v129FilteredPq]]: the v64 one-shot chain with
+    * the label carried onto the code rows and the predicate
+    * (label % 2 = 0) applied to the CODE table below the ADC ranking —
+    * exactly where the Spark side filters, so top-k fills wherever the
+    * filtered corpus holds ≥ k candidates.
+    */
+  val filteredPq: String = {
+    val m = VectorOps.PqM
+    val k = VectorOps.PqK
+    val sub = VectorOps.Dim / m
+    val dist = "list_dot_product(s.sub, s.sub) " +
+      "- 2 * list_dot_product(s.sub, c.cvec) " +
+      "+ list_dot_product(c.cvec, c.cvec)"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+       subs AS (
+         SELECT vec_id, label, CAST(t.m AS INTEGER) AS m,
+           list_slice(v, t.m * $sub + 1, (t.m + 1) * $sub) AS sub
+         FROM e, unnest(generate_series(0, ${m - 1})) AS t(m)),
+       c0 AS (
+         SELECT m, CAST(vec_id AS INTEGER) AS cid,
+           list_transform(sub, x -> round(x, 4)) AS cvec
+         FROM subs WHERE vec_id < $k),
+       a1 AS (
+         SELECT vec_id, m, sub, cid FROM (
+           SELECT s.vec_id, s.m, s.sub, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subs s JOIN c0 c ON s.m = c.m) t WHERE arn = 1),
+       cg AS (
+         SELECT m, cid, dim, round(avg(x), 4) AS cv FROM (
+           SELECT m, cid,
+             CAST(generate_subscripts(sub, 1) - 1 AS INTEGER) AS dim,
+             unnest(sub) AS x
+           FROM a1) u
+         GROUP BY m, cid, dim),
+       c1 AS (SELECT m, cid, list(cv ORDER BY dim) AS cvec FROM cg
+              GROUP BY m, cid),
+       codes AS (
+         SELECT vec_id, label, m, cid FROM (
+           SELECT s.vec_id, s.label, s.m, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subs s JOIN c1 c ON s.m = c.m) t WHERE arn = 1),
+       lut AS (
+         SELECT s.vec_id AS query_id, s.m, c.cid,
+           round(list_dot_product(s.sub, c.cvec), 4) AS pd
+         FROM subs s JOIN c1 c ON s.m = c.m WHERE s.vec_id < 5),
+       sc AS (
+         SELECT l.query_id, co.vec_id, round(sum(l.pd), 4) AS approx_r
+         FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
+         WHERE co.vec_id <> l.query_id AND co.label % 2 = 0
+         GROUP BY l.query_id, co.vec_id),
+       rk AS (
+         SELECT query_id, vec_id AS neighbor_id, approx_r,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_r DESC, vec_id) AS rnk FROM sc)
+     SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
+     ORDER BY query_id, rnk"""
+  }
+
   /** Incremental PQ ANN (v121) matching
     * [[graft.ops.VectorOps.v121IncrementalPq]] — the one-shot twin of the
     * two-batch code-table build: PQ codebooks train on the EVEN-vec_id
@@ -1482,6 +1544,69 @@ object OracleGen {
              row_number() OVER (PARTITION BY s.vec_id, s.m
                ORDER BY $dist, c.cid) AS arn
            FROM subs s JOIN c1 c ON s.m = c.m) t WHERE arn = 1),
+       lut AS (
+         SELECT s.vec_id AS query_id, s.m, c.cid,
+           round(list_dot_product(s.sub, c.cvec), 4) AS pd
+         FROM subs s JOIN c1 c ON s.m = c.m WHERE s.vec_id < 5),
+       sc AS (
+         SELECT l.query_id, co.vec_id, round(sum(l.pd), 4) AS approx_r
+         FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
+         WHERE co.vec_id <> l.query_id
+         GROUP BY l.query_id, co.vec_id),
+       rk AS (
+         SELECT query_id, vec_id AS neighbor_id, approx_r,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_r DESC, vec_id) AS rnk FROM sc)
+     SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
+     ORDER BY query_id, rnk"""
+  }
+
+  /** Tombstoned incremental PQ (v130) matching
+    * [[graft.ops.VectorOps.v130TombstonePq]]: the v121 one-shot twin
+    * (even-half frozen codebooks) with the delete set removed from the
+    * CODE table — queries over the anti-join-healed compressed index
+    * must equal a from-scratch encode of the survivors at the same
+    * frozen codebooks. Probes stay the standard vec_id < 5 query set.
+    */
+  val tombstonePq: String = {
+    val m = VectorOps.PqM
+    val k = VectorOps.PqK
+    val sub = VectorOps.Dim / m
+    val dist = "list_dot_product(s.sub, s.sub) " +
+      "- 2 * list_dot_product(s.sub, c.cvec) " +
+      "+ list_dot_product(c.cvec, c.cvec)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       subs AS (
+         SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+           list_slice(v, t.m * $sub + 1, (t.m + 1) * $sub) AS sub
+         FROM e, unnest(generate_series(0, ${m - 1})) AS t(m)),
+       c0 AS (
+         SELECT m, CAST(vec_id AS INTEGER) AS cid,
+           list_transform(sub, x -> round(x, 4)) AS cvec
+         FROM subs WHERE vec_id % 2 = 0 AND vec_id < ${2 * k}),
+       a1 AS (
+         SELECT vec_id, m, sub, cid FROM (
+           SELECT s.vec_id, s.m, s.sub, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subs s JOIN c0 c ON s.m = c.m
+           WHERE s.vec_id % 2 = 0) t WHERE arn = 1),
+       cg AS (
+         SELECT m, cid, dim, round(avg(x), 4) AS cv FROM (
+           SELECT m, cid,
+             CAST(generate_subscripts(sub, 1) - 1 AS INTEGER) AS dim,
+             unnest(sub) AS x
+           FROM a1) u
+         GROUP BY m, cid, dim),
+       c1 AS (SELECT m, cid, list(cv ORDER BY dim) AS cvec FROM cg
+              GROUP BY m, cid),
+       codes AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subs s JOIN c1 c ON s.m = c.m
+           WHERE s.vec_id % 7 <> 3) t WHERE arn = 1),
        lut AS (
          SELECT s.vec_id AS query_id, s.m, c.cid,
            round(list_dot_product(s.sub, c.cvec), 4) AS pd

@@ -171,6 +171,8 @@ object SparkEntry {
       (graft.multimodal.Multimodal.d119IncrementalMultimodalGate _),
     "t125_training_manifest" -> (TextOps.t125TrainingManifest _),
     "d128_tombstone_cc" -> (TextOps.d128TombstoneCc _),
+    "v129_filtered_pq" -> (VectorOps.v129FilteredPq _),
+    "v130_tombstone_pq" -> (VectorOps.v130TombstonePq _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -606,6 +608,10 @@ object SparkEntry {
          ORDER BY week_start, iso_dow""",
     "v64_pq_ann" -> OracleGen.pqAnn,
     "v121_incremental_pq" -> OracleGen.incrementalPq,
+    "v129_filtered_pq" -> OracleGen.filteredPq,
+    // the SURVIVOR-ONLY one-shot encode at the same frozen codebooks:
+    // the anti-join-healed code table must serve identical answers
+    "v130_tombstone_pq" -> OracleGen.tombstonePq,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -848,13 +848,17 @@ object VectorOps {
 
   /** (vec_id, m, sub): each vector's [[PqM]] subvectors, built map-side —
     * the input shape for PQ training, encoding and query LUTs. Shared by
-    * the one-shot v64 and the incremental [[v121IncrementalPq]].
+    * the one-shot v64 and the incremental [[v121IncrementalPq]]. `carry`
+    * columns of `vecs` ride every subvector row — how serve-time filter
+    * attributes reach the code rows at encode time (the
+    * [[assignToIvfLists]] `carry` pattern on the compressed index; see
+    * [[v129FilteredPq]]).
     */
-  def pqSubvectors(vecs: DataFrame): DataFrame = {
+  def pqSubvectors(vecs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val vd = col("embedding").cast("array<double>")
-    vecs.select(col("vec_id"),
+    vecs.select(col("vec_id") +: carry.map(col) :+
       posexplode(transform(sequence(lit(0), lit(PqM - 1)),
-        m => slice(vd, m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("m", "sub")))
+        m => slice(vd, m * PqSubDim + 1, lit(PqSubDim)))).as(Seq("m", "sub")): _*)
   }
 
   /** Squared-L2 to a codeword — same accumulation order as the oracle.
@@ -867,16 +871,17 @@ object VectorOps {
 
   /** Nearest-codeword assignment per (vector, subspace) — min_by over a
     * (dist, cid) ordering struct: map-side partial aggregation, never a
-    * corpus×k window.
+    * corpus×k window. `carry` columns ride the min_by payload into the
+    * assignment row (the [[assignToIvfLists]] convention).
     */
-  private def pqAssign(s: SparkSession, subs: DataFrame, cb: DataFrame)
-      : DataFrame =
+  private def pqAssign(s: SparkSession, subs: DataFrame, cb: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
     subs.join(broadcast(cb), "m").withColumn("dst", pqDist(s))
       .groupBy("vec_id", "m")
-      .agg(min_by(struct(col("sub"), col("cid")),
+      .agg(min_by(struct((Seq(col("sub"), col("cid")) ++ carry.map(col)): _*),
         struct(col("dst"), col("cid"))).as("t"))
-      .select(col("vec_id"), col("m"), col("t.sub").as("sub"),
-        col("t.cid").as("cid"))
+      .select(Seq(col("vec_id"), col("m"), col("t.sub").as("sub"),
+        col("t.cid").as("cid")) ++ carry.map(c => col(s"t.$c").as(c)): _*)
 
   /** Train the per-subspace PQ codebooks on `trainSubs` ([[pqSubvectors]]
     * rows): init = the subvectors selected by `initPred` (4dp-rounded), one
@@ -903,9 +908,15 @@ object VectorOps {
   /** Encode vectors against a (frozen) codebook: the corpus compresses to
     * (vec_id, m, code) — M bytes-scale ids per vector instead of the raw
     * floats. O(batch)×|codebook| map work + one compact-struct shuffle.
+    * `carry` columns (present on `subs` via [[pqSubvectors]]' carry) land
+    * ON the code rows, so a filtered ADC ranking never joins a side
+    * table ([[v129FilteredPq]]).
     */
-  def encodePq(s: SparkSession, subs: DataFrame, cb: DataFrame): DataFrame =
-    pqAssign(s, subs, cb).select(col("vec_id"), col("m"), col("cid"))
+  def encodePq(s: SparkSession, subs: DataFrame, cb: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    pqAssign(s, subs, cb, carry)
+      .select(Seq(col("vec_id"), col("m"), col("cid")) ++
+        carry.map(col): _*)
 
   /** ADC scoring of queries against a code table.
     * pd is rounded to 4dp BEFORE the sum: vectors sharing a code tuple get
@@ -972,6 +983,61 @@ object VectorOps {
       evenSubs)
     val codes2 = incrementalPqIngest(s, cb, codes1, oddSubs)
     pqTopK(pqAdcScore(s, codes2, subs.filter(col("vec_id") < 5), cb))
+  }
+
+  /** Filtered PQ ANN — the v129 query: v122's serve-time metadata
+    * predicate carried onto the COMPRESSED index (the index a 100 TB
+    * deployment actually holds in memory). The attribute lands ON the
+    * code rows at encode time ([[pqSubvectors]]/[[encodePq]] `carry` —
+    * the [[assignToIvfLists]] pattern), so the filtered ranking touches
+    * no side table and no raw floats; the predicate runs on the code
+    * table BELOW the ADC score/rank — post-filtering a top-k would
+    * under-fill k, pre-filtering at encode would need one index per
+    * predicate. PQ scores every surviving code row (its honest cost, as
+    * v82 reports), so the filtered candidate pool is the whole filtered
+    * corpus and k always fills where ≥ k attribute-matching vectors
+    * exist (PqLifecycleSpec asserts the exact-k fill). Oracle: an exact
+    * SQL twin encoding ALL vectors against the same codebooks, filtering
+    * the code table, and ranking.
+    */
+  def v129FilteredPq(s: SparkSession, d: String): DataFrame = {
+    // persist(): train, the encode, and the query LUT all read subs
+    val subs = CacheRegistry.harness.add(pqSubvectors(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding")),
+      carry = Seq("label")).persist())
+    val cb = CacheRegistry.harness.add(
+      trainPqCodebooksOn(s, subs, col("vec_id") < PqK).persist())
+    val codes = encodePq(s, subs, cb, carry = Seq("label"))
+    pqTopK(pqAdcScore(s, codes.filter(col("label") % 2 === 0),
+      subs.filter(col("vec_id") < 5), cb))
+  }
+
+  /** Tombstoned incremental PQ — the v130 query, v127's unlearning story
+    * on the compressed index: the v121 two-batch code table (frozen
+    * even-half codebooks, O(batch) appends) takes a delete set
+    * (vec_id % 7 == 3) healed by ONE anti-join on the code table — code
+    * rows are independent (vec_id, m, code) facts, nothing re-encoded.
+    * The v64 queries over the healed table must serve the answers of a
+    * from-scratch encode of the SURVIVORS at the same frozen codebooks
+    * (the oracle encodes survivors only and ranks). Queries stay the
+    * standard vec_id < 5 set — query vectors are serve-time inputs, so a
+    * deleted doc can still be asked about, it just can no longer be
+    * served.
+    */
+  def v130TombstonePq(s: SparkSession, d: String): DataFrame = {
+    val subs = CacheRegistry.harness.add(pqSubvectors(
+      embeddings(s, d).select(col("vec_id"), col("embedding"))).persist())
+    val evenSubs = subs.filter(col("vec_id") % 2 === 0)
+    val oddSubs = subs.filter(col("vec_id") % 2 === 1)
+    val cb = CacheRegistry.harness.add(
+      trainPqCodebooksOn(s, evenSubs, col("vec_id") < 2 * PqK).persist())
+    val codes1 = incrementalPqIngest(s, cb,
+      encodePq(s, subs.filter(lit(false)), cb), evenSubs)
+    val codes2 = incrementalPqIngest(s, cb, codes1, oddSubs)
+    val deleted = subs.select("vec_id").distinct()
+      .filter(col("vec_id") % 7 === 3)
+    val healed = codes2.join(deleted, Seq("vec_id"), "left_anti")
+    pqTopK(pqAdcScore(s, healed, subs.filter(col("vec_id") < 5), cb))
   }
 
   /** Higher-order array-function scalar library over the embedding column:
