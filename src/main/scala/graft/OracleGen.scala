@@ -8,15 +8,22 @@ import graft.ops.VectorOps
   */
 object OracleGen {
 
-  private val shingleCte =
-    """WITH w AS (
-         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-         FROM documents
-         WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 3),
+  /** The 3-gram shingle CTE chain over an arbitrary (doc_id, text)
+    * source — `documents` everywhere except the d131 update oracle,
+    * which shingles the REVISED corpus. One definition, so the shingle
+    * universe cannot drift between the one-shot and update twins.
+    */
+  private def shingleCteOn(src: String): String =
+    s"""w AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         FROM $src
+         WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3),
        sh0 AS (
          SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS sh
          FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
        sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
+
+  private val shingleCte = "WITH " + shingleCteOn("documents")
 
   /** The capped-Jaccard CTE chain (rare/shc/sizes/inter — assumes the
     * `sh` CTE is already in scope): ONE definition of the capped shingle
@@ -520,6 +527,50 @@ object OracleGen {
      JOIN cu ON cu.doc_id = live.doc_id
      JOIN uk USING (canon_url)
      ORDER BY live.doc_id"""
+
+  /** Update-as-delete+reingest (d131) matching
+    * [[graft.ops.TextOps.d131UpdateReingest]]: the one-shot verdicts over
+    * the UPDATED corpus (docs with doc_id % 5 = 2 carry revised text) —
+    * the healed+re-ingested keeper and pair states must be
+    * indistinguishable from a corpus that always had the revisions.
+    * `kept_text` is the min-doc_id keeper verdict per exact-text
+    * fingerprint group; `n_pairs` counts the minhash candidate pairs the
+    * doc participates in. Null-text docs keep null fps (grouped
+    * null-safely) and drop out of the shingle universe — both exactly as
+    * the original-corpus twins do.
+    */
+  val updateReingest: String =
+    s"""WITH docs2 AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 5 = 2
+                THEN text || ' u' || CAST(doc_id % 3 AS VARCHAR)
+                ELSE text END AS text
+         FROM documents),
+       ${shingleCteOn("docs2")},
+       $sigBandCtes,
+       mp AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+           AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       np AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+           SELECT d1 AS doc_id FROM mp
+           UNION ALL SELECT d2 AS doc_id FROM mp) u
+         GROUP BY doc_id),
+       f AS (
+         SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fp
+         FROM docs2),
+       fk AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY fp)
+     SELECT f.doc_id, f.doc_id = fk.keeper AS kept_text,
+       COALESCE(np.n_pairs, 0) AS n_pairs
+     FROM f
+     JOIN fk ON f.fp IS NOT DISTINCT FROM fk.fp
+     LEFT JOIN np USING (doc_id)
+     ORDER BY f.doc_id"""
 
   /** C4 blocklist page filter (t99) matching
     * [[graft.ops.TextOps.t99BlocklistFilter]]: blocked-token count,

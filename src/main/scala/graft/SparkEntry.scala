@@ -173,6 +173,7 @@ object SparkEntry {
     "d128_tombstone_cc" -> (TextOps.d128TombstoneCc _),
     "v129_filtered_pq" -> (VectorOps.v129FilteredPq _),
     "v130_tombstone_pq" -> (VectorOps.v130TombstonePq _),
+    "d131_update_reingest" -> (TextOps.d131UpdateReingest _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -827,6 +828,9 @@ object SparkEntry {
     // with both ends surviving — the healed incremental labeling must be
     // indistinguishable from never having ingested the deleted edges
     "d128_tombstone_cc" -> OracleGen.tombstoneCc,
+    // the ONE-SHOT twin over the UPDATED corpus: healed + re-ingested
+    // keeper/pair states ≡ a corpus that always had the revisions
+    "d131_update_reingest" -> OracleGen.updateReingest,
     "d98_image_neardup" -> OracleGen.imageNearDup,
     "d102_audio_neardup" -> OracleGen.audioNearDup,
     "d103_video_overlap" -> OracleGen.videoOverlap,

@@ -1226,6 +1226,92 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Update-as-delete+reingest — the d131 query, the CDC/re-crawl story
+    * that composes the round-11/12 lifecycle pieces and proves them AS a
+    * composition (the repo convention: d96/d118/t125 — compositions get
+    * their own oracle). A batch of doc_ids is REVISED (doc_id % 5 == 2
+    * gets new text — a re-crawl that changed the page), implemented
+    * against two stateful families without any corpus recompute:
+    *
+    *  - keeper state (text-exact fp → min-doc_id keeper, the d101
+    *    mergeable shape): the update is tombstone heal + re-ingest —
+    *    member rows of updated docs anti-join out, [[tombstoneHeal]]
+    *    promotes only groups whose keeper was updated (O(affected
+    *    groups)), and the revised rows' O(batch) partial min-merges in.
+    *    A revision can both DEMOTE (the updated doc leaves its old
+    *    group; the next-min survivor promotes) and PROMOTE (the revised
+    *    doc becomes min of its new group) — UpdateReingestSpec pins both
+    *    directions;
+    *  - pair state (minhash near-dup): stale signatures and pairs of
+    *    updated docs anti-join out (pair rows are independent edge
+    *    facts), then the revised batch re-ingests through
+    *    [[incrementalMinhashDedup]] — only the batch is re-shingled,
+    *    unchanged docs' text is never re-read.
+    *
+    * Output per doc of the updated corpus: the keeper verdict and the
+    * doc's minhash-pair participation count. Oracle: the ONE-SHOT SQL
+    * over the updated corpus — the healed+re-ingested states must be
+    * indistinguishable from a corpus that always had the revisions.
+    */
+  def d131UpdateReingest(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    // persist(): the doc scan feeds both ingest batches, the update
+    // split, and the member table
+    val docs = CacheRegistry.harness.add(
+      documents(s, d).select(col("doc_id"), col("text")).persist())
+    val updatedIds = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
+    val revised = CacheRegistry.harness.add(
+      docs.filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" u"),
+            (col("doc_id") % 3).cast("string")).as("text"))
+        .persist())
+
+    // keeper state: two-batch ingest (d101 shape) → heal → re-ingest
+    val members = docs.select(col("doc_id"), md5(canon).as("fp"))
+    def partial(b: DataFrame): DataFrame =
+      b.groupBy("fp").agg(min("doc_id").as("keeper"))
+    val ingested = partial(members.filter(col("doc_id") % 2 === 0))
+      .unionByName(partial(members.filter(col("doc_id") % 2 === 1)))
+      .groupBy("fp").agg(min("keeper").as("keeper"))
+    val liveMembers = members.join(updatedIds, Seq("doc_id"), "left_anti")
+    val healed = tombstoneHeal(ingested, liveMembers, updatedIds, "fp")
+    val revisedMembers = revised.select(col("doc_id"), md5(canon).as("fp"))
+    val newState = healed.unionByName(partial(revisedMembers))
+      .groupBy("fp").agg(min("keeper").as("keeper"))
+    val finalMembers = liveMembers.unionByName(revisedMembers)
+
+    // pair state: two-batch ingest → heal (anti-joins) → re-probe the
+    // revised batch against the surviving signatures
+    val empty = minhashSignatures(docs.filter(lit(false)))
+    val (sigs1, p1) =
+      incrementalMinhashDedup(empty, docs.filter(col("doc_id") % 2 === 0))
+    val (sigs2, p2) =
+      incrementalMinhashDedup(sigs1, docs.filter(col("doc_id") % 2 === 1))
+    val sigsLive = sigs2.join(updatedIds, Seq("doc_id"), "left_anti")
+    val pairsLive = p1.select("d1", "d2").unionByName(p2.select("d1", "d2"))
+      .join(updatedIds.withColumnRenamed("doc_id", "d1"), Seq("d1"),
+        "left_anti")
+      .join(updatedIds.withColumnRenamed("doc_id", "d2"), Seq("d2"),
+        "left_anti")
+    val (_, pNew) = incrementalMinhashDedup(sigsLive, revised)
+    // persist(): the healed pair set feeds both sides of the per-doc count
+    val finalPairs = CacheRegistry.harness.add(
+      pairsLive.unionByName(pNew.select("d1", "d2")).persist())
+    val np = finalPairs.select(col("d1").as("doc_id"))
+      .unionByName(finalPairs.select(col("d2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+
+    finalMembers
+      .join(newState.withColumnRenamed("fp", "kfp"),
+        col("fp") <=> col("kfp"))
+      .join(np, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") === col("keeper")).as("kept_text"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style LM quality bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
     * the head/middle/tail cut): score every document by the average
