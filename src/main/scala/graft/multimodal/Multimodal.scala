@@ -1735,12 +1735,17 @@ object Multimodal {
     * equal the one-shot clustering of the surviving corpus; the oracle IS
     * d105's SQL over the survivors.
     *
-    * Cap caveat (the monotone note again): the anti-join heal is exact
-    * while no cell was hot at ingest — a cell hot in the full corpus but
-    * cold among survivors could in principle have suppressed a
-    * survivor-survivor candidate, which only a re-probe of that cell
-    * would recover. At the default cap that needs >64M distinct hashes
-    * in one window cell; the brute-force oracle would catch it.
+    * Cap caveat (the monotone note again), now EXECUTABLE: the anti-join
+    * heal is exact while no cell was hot at ingest — a cell hot in the
+    * full corpus but cold among survivors could have suppressed a
+    * survivor-survivor candidate that only a re-probe of that cell
+    * recovers. HammingCapSpec's d126-caveat test constructs exactly that
+    * corpus and asserts the heal equals survivor-brute-force MINUS the
+    * first-principles-predicted unrecoverable pairs — and that the
+    * periodic compaction (which rebuilds the bucket table from surviving
+    * members, tombstones applied physically) re-probes the now-cold cell
+    * and recovers them. At the default cap the loss needs >64M distinct
+    * hashes in one window cell; the brute-force oracle would catch it.
     */
   def d126TombstoneImageClusters(s: SparkSession, d: String): DataFrame = {
     import graft.ops.{CacheRegistry, TextOps}

@@ -151,6 +151,60 @@ class HammingCapSpec extends SparkSpec {
     assert(HotCellSignal.excludedHashes.get() > 0)
   }
 
+  test("d126 heal caveat, executable: an ingest-hot cell gone " +
+      "survivor-cold loses exactly the predicted pairs — and a " +
+      "compaction-time re-probe recovers them") {
+    // the d126 scaladoc documents the anti-join heal's one blind spot in
+    // prose; this makes it a predicate (the HammingCapSpec bar): the
+    // crowd heats the shared window-0 cell at ingest (20 distinct hashes
+    // > cap 4), suppressing the victim pair whose ONLY clean window is
+    // that cell. Deleting every crowd doc leaves 4 distinct survivor
+    // hashes — the cell is COLD among survivors, yet the anti-join heal
+    // cannot recover the never-emitted victim.
+    val crowdIds = skewed.filter(_._2 != 0L).map(_._1)
+      .take(16) // ids 0..15 = the crowd (0L/a/c/d zip in after them)
+    val deleted = skewed.map(_._1).toSet
+      .intersect((0L until 16L).toSet)
+    val survivors = skewed.filterNot(d => deleted(d._1))
+    assert(crowdIds.forall(deleted), "designed delete set must be the crowd")
+    // ingest pair state at cap 4 via the d126 two-batch incremental path
+    val base = df(skewed)
+    val b1 = base.filter(col("doc_id") % 2 === 0)
+    val b2 = base.filter(col("doc_id") % 2 === 1)
+    val statePairs = collected(
+      Multimodal.incrementalHammingPairs(base.filter(lit(false)), b1,
+          bucketCap = 4)
+        .unionByName(Multimodal.incrementalHammingPairs(b1, b2,
+          bucketCap = 4)))
+    // the heal: pairs survive iff both ends survive (pure anti-join)
+    val healed = statePairs.filterNot(p => deleted(p._1) || deleted(p._2))
+    // predicted-unrecoverable = survivor pairs whose every clean window
+    // was hot AT INGEST (recomputed from first principles)
+    val fullSurvivor = expectedPairs(survivors, cap = Int.MaxValue)
+    val ingestCapped = expectedPairs(skewed, cap = 4)
+      .filterNot(p => deleted(p._1) || deleted(p._2))
+    val predicted = fullSurvivor -- ingestCapped
+    assert(healed == fullSurvivor -- predicted,
+      s"heal != survivor-brute-force minus predicted: " +
+        s"missing=${(fullSurvivor -- predicted) -- healed} " +
+        s"extra=${healed -- (fullSurvivor -- predicted)}")
+    // the designed victim really is among the unrecoverable pairs
+    val idOf = skewed.toMap
+    val victim = predicted.find { case (d1, d2, _) =>
+      Set(idOf(d1), idOf(d2)) ==
+        Set(0L, (1L << 33) | (1L << 17) | (1L << 1)) }
+    assert(victim.isDefined, s"victim not among predicted: $predicted")
+    // compaction-time recovery: rebuilding state from survivors (what
+    // compactHammingState now does — tombstones applied physically, the
+    // bucket table re-derived from surviving members) sees the COLD cell
+    // and a re-probe emits the full survivor pair set, victim included
+    val reprobed = collected(
+      Multimodal.hammingPairs(df(survivors), 3, bucketCap = 4))
+    assert(reprobed == fullSurvivor,
+      "re-probe over the compacted survivor state must recover the loss")
+    assert(reprobed.contains(victim.get))
+  }
+
   test("two-batch incremental equals one-shot on a degenerate-class corpus") {
     val corpus = degenerate
     val base = df(corpus)
