@@ -613,6 +613,110 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming UPDATE sink — d131's tombstone+re-ingest semantics in ONE
+    * micro-batch through the sink layout, completing the CDC story: a
+    * re-crawl delivers changed text under the SAME doc_id, and the sink
+    * must supersede the stored version without rewriting state and
+    * without a correctness gap between the delete and the re-ingest.
+    *
+    * Three publishes per micro-batch (each sibling-`.tmp` + atomic
+    * rename, the effectively-once layout):
+    *
+    *  1. the batch's signatures as an ordinary `batch=N` partition —
+    *     readers collapse latest-batch-wins ([[updatedState]] /
+    *     `latestPerId`), so the newest row IS the doc and the old
+    *     version needs no tombstone at all on the doc-state axis;
+    *  2. a SUPERSEDE marker `(doc_id, upto=N)` — stale PAIRS need
+    *     retraction (the old text's near-dup edges no longer hold), but
+    *     a plain tombstone would also kill the pairs this very batch
+    *     emits for the new text. The marker carries the batch id, and
+    *     [[updatedPairs]] kills only pair rows from batches < upto: the
+    *     revision invalidates strictly-older facts, never its own;
+    *  3. the batch's pairs, probed against the LIVE prior view: other
+    *     batches' rows collapsed latest-wins MINUS the batch's own ids
+    *     (their stored versions are superseded this instant, so probing
+    *     them would emit pairs against dead text).
+    *
+    * A doc revised twice supersedes twice — max(upto) wins; the probe
+    * cost stays O(batch) against the accumulated state ([[liveRaw]]'s
+    * read + one compact collapse), old text never re-shingled. Works for
+    * first-time ingest too (an insert is an update with no prior row),
+    * so ONE sink serves the whole CDC feed. Terminal deletes stay on
+    * [[tombstoneStream]]; both views compose it.
+    */
+  def updateDedupStream(spark: SparkSession, docs: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.TextOps.minhashSignaturesWithKeys(batch.toDF())
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+        batch.toDF().select("doc_id").distinct()
+          .withColumn("upto", lit(id))
+          .write.mode("overwrite")
+          .parquet(s"$statePath.supersede.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.supersede.tmp/batch=$id",
+          s"$statePath.supersede/batch=$id")
+        val all = spark.read.parquet(statePath)
+        val mine = all.filter(col("batch") === id).drop("batch")
+        val prior = latestPerId(all.filter(col("batch") =!= id), "doc_id")
+          .join(mine.select("doc_id"), Seq("doc_id"), "left_anti")
+        graft.ops.TextOps.incrementalPairsFromKeyed(prior, mine)
+          .write.mode("overwrite").parquet(s"$statePath.pairs.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.pairs.tmp/batch=$id",
+          s"$statePath.pairs/batch=$id")
+      }
+      .start()
+
+  /** The current doc-state view of an [[updateDedupStream]] state: latest
+    * batch wins per doc (a revision supersedes by writing a newer row),
+    * then [[tombstoneStream]] terminal deletes anti-join out. O(state
+    * read + one compact max_by collapse); nothing is ever rewritten.
+    */
+  def updatedState(spark: SparkSession, statePath: String): DataFrame =
+    latestPerId(liveRaw(spark, statePath, "doc_id"), "doc_id")
+
+  /** The currently-valid pair view of an [[updateDedupStream]] state:
+    * a pair row is alive iff NEITHER end was superseded by a LATER batch
+    * (upto > the pair's emitting batch) and neither end is terminally
+    * tombstoned. The supersede side collapses to one (doc_id, max upto)
+    * row per revised doc and broadcasts; both anti-joins ride the pair
+    * scan map-side.
+    */
+  def updatedPairs(spark: SparkSession, statePath: String): DataFrame = {
+    val pairs = spark.read.parquet(s"$statePath.pairs")
+    val supPath = new org.apache.hadoop.fs.Path(s"$statePath.supersede")
+    val fs = supPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val superseded =
+      if (!fs.exists(supPath)) pairs
+      else {
+        val sup = spark.read.parquet(s"$statePath.supersede")
+          .groupBy("doc_id").agg(max("upto").as("upto"))
+        pairs
+          .join(broadcast(sup.withColumnRenamed("doc_id", "sd1")),
+            col("d1") === col("sd1") && col("batch") < col("upto"),
+            "left_anti")
+          .join(broadcast(sup.withColumnRenamed("doc_id", "sd2")),
+            col("d2") === col("sd2") && col("batch") < col("upto"),
+            "left_anti")
+      }
+    val tPath = new org.apache.hadoop.fs.Path(s"$statePath.tombstones")
+    val live =
+      if (!fs.exists(tPath)) superseded
+      else {
+        val t = spark.read.parquet(s"$statePath.tombstones").select("doc_id")
+        superseded
+          .join(broadcast(t.withColumnRenamed("doc_id", "d1")), Seq("d1"),
+            "left_anti")
+          .join(broadcast(t.withColumnRenamed("doc_id", "d2")), Seq("d2"),
+            "left_anti")
+      }
+    live.drop("batch")
+  }
+
   /** The live view of an accumulated `batch=N` state under its
     * [[tombstoneStream]] deletes: one anti-join on the id column (a
     * missing tombstone table means no deletes yet). The anti-join's

@@ -667,4 +667,55 @@ class StreamOpsSpec extends SparkSpec {
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     graft.ops.CacheRegistry.harness.release()
   }
+
+  test("update stream: a revision in one micro-batch supersedes the " +
+      "stored doc and retracts its stale pairs — views equal the " +
+      "one-shot over the current corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("updstream").toString
+    val state = s"$dir/sigs"
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (evens, odds) = corpus.partition(_._1 % 2 == 0)
+    def revise(t: (Long, String)) =
+      (t._1, s"${t._2} revised edition ${t._1 % 3}")
+    // batch 1 = evens as first crawled; batch 2 = the odds PLUS re-crawls
+    // of every doc_id % 10 == 0 (changed text under the same id); batch 3
+    // revises one of those AGAIN (supersede must take max upto)
+    val rev1 = evens.filter(_._1 % 10 == 0).map(revise)
+    val rev2 = rev1.take(1).map(revise)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.updateDedupStream(s, mem.toDF().toDF("doc_id", "text"),
+      state)
+    mem.addData(evens.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData((odds ++ rev1).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rev2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the CURRENT corpus: odds + evens with their latest revisions
+    val current = (odds ++ evens.filterNot(_._1 % 10 == 0) ++
+      rev1.filterNot(t => rev2.exists(_._1 == t._1)) ++ rev2).toSeq
+      .toDF("doc_id", "text")
+    // doc-state view: latest row per doc == signatures of current text
+    val stateView = StreamOps.updatedState(s, state)
+    val oneShotSigs = graft.ops.TextOps.minhashSignaturesWithKeys(current)
+    assert(stateView.exceptAll(oneShotSigs).count() == 0 &&
+      oneShotSigs.exceptAll(stateView).count() == 0)
+    // pair view: stale pairs of revised docs retracted, their new text's
+    // pairs (emitted by the SAME batch as the supersede) kept — equals
+    // the one-shot candidate pairs of the current corpus
+    val pairView = StreamOps.updatedPairs(s, state)
+    val empty = graft.ops.TextOps.minhashSignatures(current.filter(lit(false)))
+    val (_, oneShotPairs) =
+      graft.ops.TextOps.incrementalMinhashDedup(empty, current)
+    assert(pairView.exceptAll(oneShotPairs).count() == 0 &&
+      oneShotPairs.exceptAll(pairView).count() == 0)
+    assert(pairView.count() > 0)
+    graft.ops.CacheRegistry.harness.release()
+  }
 }
