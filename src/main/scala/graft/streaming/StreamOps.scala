@@ -569,20 +569,100 @@ object StreamOps {
     */
   def compactFrameState(spark: SparkSession, statePath: String,
       tableName: String, path: String, nBuckets: Int = 32): Unit = {
-    val raw = liveRaw(spark, statePath, "doc_id")
-    // renamed join keys: latestBatch derives from raw, so qualified column
-    // references would trip Spark's ambiguous-self-join check
-    val latestBatch = raw.groupBy("doc_id").agg(max("batch").as("mb"))
-      .withColumnRenamed("doc_id", "mdoc")
-    val latest = raw.join(latestBatch,
-        col("doc_id") === col("mdoc") && col("batch") === col("mb"))
-      .select("doc_id", "fp")
+    val latest = latestWholeItem(liveRaw(spark, statePath, "doc_id"),
+      "doc_id").select("doc_id", "fp")
     val sized = latest.withColumn("sz",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     graft.multimodal.Multimodal.writeFrameBucketedState(sized, tableName,
       path, nBuckets)
   }
+
+  /** Latest-batch-wins for MULTI-row-per-item state (the whole-item
+    * contract: an item's rows all travel in one batch, so a replayed or
+    * revised item keeps only its newest batch's COMPLETE row set —
+    * [[latestPerId]]'s row-wise max_by rule cannot apply here without
+    * mixing two batches' halves). One compact (id → max batch) aggregate
+    * joined back; shared by [[compactFrameState]] and the PQ code paths
+    * ([[pqIndexQuery]]/[[compactPqCodes]]) so the collapse rule cannot
+    * drift.
+    */
+  private def latestWholeItem(raw: DataFrame, idCol: String): DataFrame = {
+    // renamed join keys: the max-batch side derives from raw, so
+    // qualified column references would trip Spark's ambiguous-self-join
+    // check
+    val latestBatch = raw.groupBy(idCol).agg(max("batch").as("mb"))
+      .withColumnRenamed(idCol, "mid")
+    raw.join(latestBatch,
+        col(idCol) === col("mid") && col("batch") === col("mb"))
+      .drop("mid", "mb")
+  }
+
+  /** Streaming PQ code-ingest sink — the streaming member of the
+    * COMPRESSED-index trio (one-shot v64 / batch-incremental v121 /
+    * here), giving the PQ pillar the same ingest/query/compact symmetry
+    * the raw IVF index has ([[annIngestStream]]). The per-subspace
+    * codebooks at `codebookPath` are the FROZEN offline artifact
+    * ([[graft.ops.VectorOps.trainPqCodebooksOn]], persisted once — the
+    * v121 contract). Per micro-batch of (vec_id, embedding): encode ONLY
+    * the batch against the broadcast codebooks (O(batch) — stored
+    * vectors are never re-encoded; the state holds M small ids per
+    * vector, nothing else) and publish as this batch's own `batch=N`
+    * partition (sibling-`.tmp` + atomic rename, the effectively-once
+    * layout). A vector's M code rows always travel together (whole-item
+    * contract), so readers collapse latest-batch-wins per vec_id and a
+    * re-delivered or re-crawled vector supersedes cleanly.
+    */
+  def pqIngestStream(spark: SparkSession, emb: DataFrame,
+      codebookPath: String, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cb = spark.read.parquet(codebookPath)
+        graft.ops.VectorOps.encodePq(spark,
+            graft.ops.VectorOps.pqSubvectors(batch.toDF()), cb)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** Top-k ADC query over a [[pqIngestStream]]-accumulated code table:
+    * latest-batch-wins per vec_id ([[latestWholeItem]] — the same rule
+    * compaction applies, so the two query paths cannot drift),
+    * tombstones healed ([[liveRaw]]), then the SHARED
+    * [[graft.ops.VectorOps.pqAdcScore]] / `pqTopK` definitions — the
+    * served answer is v64/v121's answer by construction. `queries`
+    * carries (vec_id, embedding); scoring reads only the M-small-ids
+    * code rows, never stored floats.
+    */
+  def pqIndexQuery(spark: SparkSession, statePath: String,
+      codebookPath: String, queries: DataFrame, k: Int = 3): DataFrame = {
+    val cb = spark.read.parquet(codebookPath)
+    val codes = latestWholeItem(liveRaw(spark, statePath, "vec_id"),
+      "vec_id").select("vec_id", "m", "cid")
+    graft.ops.VectorOps.pqTopK(
+      graft.ops.VectorOps.pqAdcScore(spark, codes,
+        graft.ops.VectorOps.pqSubvectors(queries), cb), k)
+  }
+
+  /** Compact a [[pqIngestStream]] `batch=N` code state into one plain
+    * serving table: latest-batch-wins per vec_id, tombstones applied
+    * physically, full overwrite (a re-run replaces). Deliberately NOT
+    * bucketed: ADC scores EVERY code row by design (PQ's honest cost —
+    * see the v82 frontier), so there is no key to prune on and a bucket
+    * layout would buy nothing; this compaction's value is collapsing
+    * replays, applying deletes, and rewriting many small micro-batch
+    * files into few scan-friendly ones (sorted by (m, cid) so the
+    * broadcast-LUT join streams locality-friendly).
+    */
+  def compactPqCodes(spark: SparkSession, statePath: String, path: String)
+      : Unit =
+    latestWholeItem(liveRaw(spark, statePath, "vec_id"), "vec_id")
+      .select("vec_id", "m", "cid")
+      .sortWithinPartitions("m", "cid")
+      .write.mode("overwrite").parquet(path)
 
   /** Streaming tombstone sink — how deletes ARRIVE at an accumulated
     * `batch=N` state (the batch heals are d123/d126/v127; this is their

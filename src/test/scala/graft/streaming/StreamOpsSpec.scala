@@ -668,6 +668,73 @@ class StreamOpsSpec extends SparkSpec {
     graft.ops.CacheRegistry.harness.release()
   }
 
+  test("pq ingest stream accumulates code rows and serves the one-shot " +
+      "ADC top-k; tombstones heal; compaction collapses and replaces") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("pqindex").toString
+    val state = s"$dir/codes"
+    val codebookPath = s"$dir/codebook"
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).persist()
+    graft.ops.CacheRegistry.harness.add(emb)
+    // offline step: frozen per-subspace codebooks on the even half
+    val evenSubs = graft.ops.VectorOps.pqSubvectors(
+      emb.filter(col("vec_id") % 2 === 0))
+    graft.ops.VectorOps.trainPqCodebooksOn(s, evenSubs,
+        col("vec_id") < 2 * graft.ops.VectorOps.PqK)
+      .write.mode("overwrite").parquet(codebookPath)
+    val vecs = emb.as[(Long, Seq[Float])].collect()
+    val (b1, b2) = vecs.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.pqIngestStream(s,
+      mem.toDF().toDF("vec_id", "embedding"), codebookPath, state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // M code rows per vector, one batch each
+    assert(s.read.parquet(state).count() ==
+      vecs.length.toLong * graft.ops.VectorOps.PqM)
+    val queries = emb.filter(col("vec_id") < 5)
+    val served = StreamOps.pqIndexQuery(s, state, codebookPath, queries)
+    // one-shot at the SAME frozen codebooks == the v121 identity
+    val cb = s.read.parquet(codebookPath)
+    val allSubs = graft.ops.VectorOps.pqSubvectors(emb)
+    def expectedOver(subs: org.apache.spark.sql.DataFrame) =
+      graft.ops.VectorOps.pqTopK(graft.ops.VectorOps.pqAdcScore(s,
+        graft.ops.VectorOps.encodePq(s, subs, cb),
+        graft.ops.VectorOps.pqSubvectors(queries), cb))
+    val expected = expectedOver(allSubs)
+    assert(served.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(served).count() == 0)
+    assert(served.count() > 0)
+    // tombstones: the query path heals, the compaction applies physically
+    emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+      .write.parquet(s"$state.tombstones/batch=0")
+    val survivorSubs = allSubs.filter(col("vec_id") % 7 =!= 3)
+    val expectedLive = expectedOver(survivorSubs)
+    val servedLive = StreamOps.pqIndexQuery(s, state, codebookPath, queries)
+    assert(servedLive.exceptAll(expectedLive).count() == 0 &&
+      expectedLive.exceptAll(servedLive).count() == 0)
+    StreamOps.compactPqCodes(s, state, s"$dir/compact")
+    val compacted = s.read.parquet(s"$dir/compact")
+    assert(compacted.filter(col("vec_id") % 7 === 3).count() == 0)
+    val n1 = compacted.count()
+    StreamOps.compactPqCodes(s, state, s"$dir/compact")
+    assert(s.read.parquet(s"$dir/compact").count() == n1,
+      "re-running the compaction must replace, not double")
+    val servedCompact = graft.ops.VectorOps.pqTopK(
+      graft.ops.VectorOps.pqAdcScore(s,
+        s.read.parquet(s"$dir/compact"),
+        graft.ops.VectorOps.pqSubvectors(queries), cb))
+    assert(servedCompact.exceptAll(expectedLive).count() == 0 &&
+      expectedLive.exceptAll(servedCompact).count() == 0)
+    graft.ops.CacheRegistry.harness.release()
+  }
+
   test("update stream: a revision in one micro-batch supersedes the " +
       "stored doc and retracts its stale pairs — views equal the " +
       "one-shot over the current corpus") {
