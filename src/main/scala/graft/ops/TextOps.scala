@@ -1409,9 +1409,28 @@ object TextOps {
 
   /** 32-bit SimHash per doc (single-pass: 32 parallel vote-sums over distinct
     * word hashes), then near-pairs at Hamming distance <= 6 (bit_count(xor))
-    * bucketed by [[SimhashTables]] rotated 16-bit prefix tables: candidates
-    * from any table, deduped, then refined — an equi-join per table, never
-    * all-pairs.
+    * bucketed by [[SimhashTables]] rotated 16-bit prefix tables — with the
+    * Hamming-64 family's TWO-POPULATION machinery (the round-11 d98
+    * rework, applied here in round 12 after the 10× record showed d27
+    * carrying the same duplicate-class quadratic candidate blowup):
+    *
+    *  1. identical-simhash pairs — a bucket-free self-equi-join on the
+    *     hash value: a C-doc duplicate class emits its C²/2 pairs ONCE
+    *     (they ARE the output), not 4× through every rotated table and
+    *     a C²-scale distinct shuffle;
+    *  2. cross-hash candidates — the rotated-table equi-join over
+    *     DISTINCT simhash values only, Hamming-refined and deduped at
+    *     HASH level (pairs of 32-bit values, not docs), then expanded
+    *     back to doc pairs through two output-sized member joins.
+    *
+    * Candidate-join volume is quadratic in per-cell DISTINCT-hash
+    * occupancy, never in doc counts; the window-sharing recall semantics
+    * (a hamming≤6 pair is missed only if all four windows contain a
+    *  differing bit) are unchanged and the oracle mirrors them, so the
+    * output is bit-identical to the round-11 doc-level bucketing. (The
+    * 64-bit family additionally df-caps hot cells — HammingBucketCap —
+    * which this 32-bit variant omits to stay exactly oracle-mirrored;
+    * at adversarial distinct-hash skew the same cap applies verbatim.)
     */
   def d27Simhash(s: SparkSession, d: String): DataFrame = {
     // distinct words per doc map-side (array_distinct before explode) — no
@@ -1432,34 +1451,50 @@ object TextOps {
     val sim = (0 until 32)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    // persist(): the compact (doc_id, simhash) table feeds BOTH candidate
-    // self-join sides — without it the whole scan+explode+32-vote aggregation
-    // executes twice (AQE's ReusedExchange does not bridge self-join
-    // branches here, same finding as d25). One row per doc, cheap to cache
-    // at any scale.
-    val hashes = votes.select(col("doc_id"), sim.as("simhash")).persist()
+    // persist(): the compact (doc_id, simhash) table feeds the exact
+    // self-join's two sides, the distinct-hash table, and both member
+    // expansions — without it the scan+explode+32-vote aggregation
+    // repeats per consumer. One row per doc, cheap to cache at any scale.
+    val hashes = CacheRegistry.harness.add(
+      votes.select(col("doc_id"), sim.as("simhash")).persist())
+    val exact = hashes.as("a")
+      .join(hashes.as("b"),
+        col("a.simhash") === col("b.simhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0L).as("hamming"))
     val tableStructs = (0 until SimhashTables).map { t =>
       struct(lit(t).as("tbl"),
         shiftright(rot32(col("simhash"), 8 * t), 16).as("bucket"))
     }
-    val buckets = hashes
-      .select(col("doc_id"), col("simhash"),
-        explode(array(tableStructs: _*)).as("tb"))
-      .select(col("doc_id"), col("simhash"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // hamming refine runs map-side BEFORE the cross-table dedup, so the
-    // distinct's shuffle carries only passing pairs, not every 4×-duplicated
-    // candidate
-    buckets.as("a")
+    // persist(): the 4-rows-per-DISTINCT-hash bucket table feeds both
+    // candidate join sides
+    val buckets = CacheRegistry.harness.add(hashes.select("simhash")
+      .distinct()
+      .select(col("simhash"), explode(array(tableStructs: _*)).as("tb"))
+      .select(col("simhash"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+      .persist())
+    // hash-level pairs: refine map-side BEFORE the cross-table dedup, so
+    // the distinct's shuffle carries only passing (h1, h2) pairs
+    val hashPairs = CacheRegistry.harness.add(buckets.as("a")
       .join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
-          .as("hamming"))
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .filter(col("hamming") <= 6)
       .distinct()
-      .orderBy("d1", "d2")
+      .persist())
+    val cross = hashPairs
+      .join(hashes.select(col("doc_id").as("da"), col("simhash").as("h1")),
+        "h1")
+      .join(hashes.select(col("doc_id").as("db"), col("simhash").as("h2")),
+        "h2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    exact.unionByName(cross).orderBy("d1", "d2")
   }
 
   /** Repetition-ratio quality metrics (the Gopher-style repetition filters
