@@ -174,6 +174,7 @@ object SparkEntry {
     "v129_filtered_pq" -> (VectorOps.v129FilteredPq _),
     "v130_tombstone_pq" -> (VectorOps.v130TombstonePq _),
     "d131_update_reingest" -> (TextOps.d131UpdateReingest _),
+    "v132_ivfpq_ann" -> (VectorOps.v132IvfPq _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -613,6 +614,9 @@ object SparkEntry {
     // the SURVIVOR-ONLY one-shot encode at the same frozen codebooks:
     // the anti-join-healed code table must serve identical answers
     "v130_tombstone_pq" -> OracleGen.tombstonePq,
+    // coarse pruning × code compression: only (query, probed-list) pairs
+    // are ADC-scored — the FAISS IVFADC layout's exact SQL twin
+    "v132_ivfpq_ann" -> OracleGen.ivfPq,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -1040,6 +1040,107 @@ object VectorOps {
     pqTopK(pqAdcScore(s, healed, subs.filter(col("vec_id") < 5), cb))
   }
 
+  /** ADC scoring restricted to each query's probed inverted lists — the
+    * IVF-PQ scan ([[v132IvfPq]]). The lookup table is the [[pqAdcScore]]
+    * LUT joined with the probe set's (query_id, clabel) pairs, so the
+    * code-table join key becomes (clabel, m, cid): a code row is touched
+    * only if its list is probed by that query. On a clabel-bucketed code
+    * table ([[writeIvfPqBucketedState]]) this is THE fix for plain PQ's
+    * honest cost (v82: PQ's candidate set is the whole corpus) — the scan
+    * is bucket-pruned to the probed lists and never exchanged, while each
+    * candidate still costs only M id-lookups, never a raw-float dot.
+    */
+  def ivfPqAdcScore(s: SparkSession, codes: DataFrame, querySubs: DataFrame,
+      cb: DataFrame, probes: DataFrame): DataFrame = {
+    val lut = querySubs
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), "m")
+      .select(col("query_id"), col("m"), col("cid"),
+        round(planeDot(s, col("sub"), col("cvec")), 4).as("pd"))
+      .join(probes.select("query_id", "clabel"), Seq("query_id"))
+    codes
+      .join(broadcast(lut), Seq("clabel", "m", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum("pd"), 4).as("sim"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Combined IVF+PQ index — the v132 query, composing the family's two
+    * scale mechanisms into the index a 100 TB deployment actually runs
+    * (the FAISS IVFADC layout, Jégou et al., TPAMI 2011 — public method):
+    * the coarse quantizer ([[ivfCodebookOn]]) prunes WHICH vectors a query
+    * touches (nprobe lists, not the corpus), and product quantization
+    * compresses WHAT is stored per vector (M small code ids, no raw
+    * floats). Each repairs the other's weakness: plain IVF (v41) stores
+    * raw floats in every list; plain PQ (v64) scores every corpus row
+    * (v82 reports that honest cost). Here the coarse list id lands ON the
+    * code rows at encode time ([[encodePq]] `carry` — the v129 attribute
+    * pattern with clabel as the attribute), so the probed-list restriction
+    * is an equi-join key of the ADC scan itself, no side table.
+    *
+    * Scale design: train/encode are the v64 paths (broadcast 16-row
+    * codebooks, min_by assignment, one compact-struct shuffle); the query
+    * scan reads only probed lists' code rows ([[ivfPqAdcScore]]) — on the
+    * clabel-bucketed serving layout, bucket-pruned and exchange-free.
+    * Oracle: an exact SQL twin building the same coarse assignment and the
+    * same code table, scoring only (query, probed-list) pairs.
+    */
+  def v132IvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .persist())
+    val cent = CacheRegistry.harness.add(ivfCodebookOn(emb).persist())
+    val assigned = assignToIvfLists(s, emb, cent)
+    // persist(): PQ training, the encode and the query LUT all read subs
+    val subs = CacheRegistry.harness.add(
+      pqSubvectors(assigned, carry = Seq("clabel")).persist())
+    val cb = CacheRegistry.harness.add(
+      trainPqCodebooksOn(s, subs, col("vec_id") < PqK).persist())
+    val codes = encodePq(s, subs, cb, carry = Seq("clabel"))
+    val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 5), cent)
+    pqTopK(ivfPqAdcScore(s, codes, subs.filter(col("vec_id") < 5), cb, probes))
+  }
+
+  /** Land an IVF-PQ code table ([[encodePq]] rows carrying `clabel`) as a
+    * clabel-BUCKETED table — the serving layout [[v132IvfPq]]'s scan
+    * deserves at 100 TB. Unlike the plain-PQ compaction (deliberately
+    * unbucketed — v64's ADC scores every code row, so there is nothing to
+    * prune on), the COMBINED index's scan key is the coarse list id: a
+    * query batch touches only its probed lists, and bucketing by clabel
+    * turns that into physical I/O pruning (SelectedBucketsCount) on a
+    * table that stores M small ids per vector. Default append (ingest
+    * batches accumulate); compaction passes `overwrite = true`
+    * ([[writeCidBucketedState]]'s re-run contract: replace, never
+    * double).
+    */
+  def writeIvfPqBucketedState(codes: DataFrame, tableName: String,
+      path: String, nBuckets: Int = 32, overwrite: Boolean = false): Unit =
+    codes.write.mode(if (overwrite) "overwrite" else "append")
+      .bucketBy(nBuckets, "clabel").sortBy("clabel")
+      .option("path", path).saveAsTable(tableName)
+
+  /** Query a [[writeIvfPqBucketedState]] code table: the shared
+    * [[ivfPqAdcScore]] scan over a scan PRUNED to the probed lists — the
+    * collected clabels become a literal IN-filter Spark bucket-prunes on,
+    * so untouched lists' buckets are never read (the
+    * [[probeIvfBucketedState]] contract on the compressed index; the
+    * LUT side is broadcast, so what IS read is never exchanged).
+    * `tombstones` (vec_ids deleted since the last compaction) anti-join
+    * the pruned scan below the score/rank — the v130 heal, applied at
+    * serve time.
+    */
+  def probeIvfPqBucketedState(s: SparkSession, tableName: String,
+      querySubs: DataFrame, cb: DataFrame, probes: DataFrame,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val probedLists = probes.select("clabel").distinct().collect()
+      .map(_.get(0))
+    val pruned = s.table(tableName).filter(col("clabel").isin(probedLists: _*))
+    val state = tombstones.fold(pruned)(t =>
+      pruned.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+    ivfPqAdcScore(s, state, querySubs, cb, probes)
+  }
+
   /** Higher-order array-function scalar library over the embedding column:
     * L2 norm, max element, positive-element count, mean — all computed
     * map-side with codegen'd `aggregate`/`filter`/`array_max` (plus the
