@@ -1756,6 +1756,103 @@ object OracleGen {
      ORDER BY query_id, rnk"""
   }
 
+  /** Residual IVF+PQ (v133) matching [[VectorOps.v133IvfPqResidual]]: the
+    * ivfPq coarse chain unchanged, but the PQ train/encode chain runs on
+    * RESIDUALS v − centroid(assigned list) (elementwise list arithmetic),
+    * and the ADC LUT is per-(query, probed list): the query's residual is
+    * taken against EACH probed list's centroid before the codeword dots.
+    * Scoring joins codes to the LUT through the code row's assigned list —
+    * the probed-pair restriction and the residual frame in one equi-join.
+    */
+  val ivfPqResidual: String = {
+    val m = VectorOps.PqM
+    val k = VectorOps.PqK
+    val dim = VectorOps.Dim
+    val sub = dim / m
+    val dist = "list_dot_product(s.sub, s.sub) " +
+      "- 2 * list_dot_product(s.sub, c.cvec) " +
+      "+ list_dot_product(c.cvec, c.cvec)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       ic0 AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+       ic1 AS (SELECT label, dim, round(avg(x), 4) AS cv
+              FROM ic0 GROUP BY label, dim),
+       ic AS (SELECT label AS clabel, list(cv ORDER BY dim) AS cvec
+             FROM ic1 GROUP BY label),
+       ranked AS (SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             list_dot_product(v, cvec) / (sqrt(list_dot_product(v, v))
+               * sqrt(list_dot_product(cvec, cvec))) DESC,
+             clabel) AS arn
+         FROM e, ic),
+       assigned AS (SELECT vec_id, clabel FROM ranked WHERE arn = 1),
+       probes AS (SELECT vec_id AS query_id, clabel FROM ranked
+         WHERE vec_id < 5 AND arn <= 2),
+       resid AS (
+         SELECT a.vec_id, a.clabel,
+           list_transform(generate_series(1, $dim),
+             i -> e.v[i] - ic.cvec[i]) AS rv
+         FROM assigned a JOIN e ON e.vec_id = a.vec_id
+         JOIN ic ON ic.clabel = a.clabel),
+       subs AS (
+         SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+           list_slice(rv, t.m * $sub + 1, (t.m + 1) * $sub) AS sub
+         FROM resid, unnest(generate_series(0, ${m - 1})) AS t(m)),
+       c0 AS (
+         SELECT m, CAST(vec_id AS INTEGER) AS cid,
+           list_transform(sub, x -> round(x, 4)) AS cvec
+         FROM subs WHERE vec_id < $k),
+       a1 AS (
+         SELECT vec_id, m, sub, cid FROM (
+           SELECT s.vec_id, s.m, s.sub, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subs s JOIN c0 c ON s.m = c.m) t WHERE arn = 1),
+       cg AS (
+         SELECT m, cid, dim, round(avg(x), 4) AS cv FROM (
+           SELECT m, cid,
+             CAST(generate_subscripts(sub, 1) - 1 AS INTEGER) AS dim,
+             unnest(sub) AS x
+           FROM a1) u
+         GROUP BY m, cid, dim),
+       c1 AS (SELECT m, cid, list(cv ORDER BY dim) AS cvec FROM cg
+              GROUP BY m, cid),
+       codes AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subs s JOIN c1 c ON s.m = c.m) t WHERE arn = 1),
+       qres AS (
+         SELECT p.query_id, p.clabel,
+           list_transform(generate_series(1, $dim),
+             i -> e.v[i] - ic.cvec[i]) AS rv
+         FROM probes p JOIN e ON e.vec_id = p.query_id
+         JOIN ic ON ic.clabel = p.clabel),
+       qsubs AS (
+         SELECT query_id, clabel, CAST(t.m AS INTEGER) AS m,
+           list_slice(rv, t.m * $sub + 1, (t.m + 1) * $sub) AS sub
+         FROM qres, unnest(generate_series(0, ${m - 1})) AS t(m)),
+       lut AS (
+         SELECT q.query_id, q.clabel, q.m, c.cid,
+           round(list_dot_product(q.sub, c.cvec), 4) AS pd
+         FROM qsubs q JOIN c1 c ON q.m = c.m),
+       sc AS (
+         SELECT l.query_id, co.vec_id, round(sum(l.pd), 4) AS approx_r
+         FROM codes co
+         JOIN assigned a ON a.vec_id = co.vec_id
+         JOIN lut l ON l.clabel = a.clabel
+           AND l.m = co.m AND l.cid = co.cid
+         WHERE co.vec_id <> l.query_id
+         GROUP BY l.query_id, co.vec_id),
+       rk AS (
+         SELECT query_id, vec_id AS neighbor_id, approx_r,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_r DESC, vec_id) AS rnk FROM sc)
+     SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
+     ORDER BY query_id, rnk"""
+  }
+
   /** Brute-force exact cosine candidate set (standalone SELECT) — ground
     * truth for [[annRecall]]/[[annFrontier]], ranked top-5 in
     * [[cosineTopK]].

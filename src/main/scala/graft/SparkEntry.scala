@@ -175,6 +175,7 @@ object SparkEntry {
     "v130_tombstone_pq" -> (VectorOps.v130TombstonePq _),
     "d131_update_reingest" -> (TextOps.d131UpdateReingest _),
     "v132_ivfpq_ann" -> (VectorOps.v132IvfPq _),
+    "v133_ivfpq_residual" -> (VectorOps.v133IvfPqResidual _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -617,6 +618,9 @@ object SparkEntry {
     // coarse pruning × code compression: only (query, probed-list) pairs
     // are ADC-scored — the FAISS IVFADC layout's exact SQL twin
     "v132_ivfpq_ann" -> OracleGen.ivfPq,
+    // true IVFADC: PQ on residuals v − centroid(list), per-(query, probed
+    // list) LUTs — same serving layout, better codeword spend
+    "v133_ivfpq_residual" -> OracleGen.ivfPqResidual,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -1058,13 +1058,25 @@ object VectorOps {
       .select(col("query_id"), col("m"), col("cid"),
         round(planeDot(s, col("sub"), col("cvec")), 4).as("pd"))
       .join(probes.select("query_id", "clabel"), Seq("query_id"))
+    listLutAdcScore(codes, lut)
+  }
+
+  /** ADC scan against a per-(query, probed-list) lookup table — the ONE
+    * scoring tail shared by the raw combined index ([[ivfPqAdcScore]],
+    * where a query's LUT rows are the same for every probed list) and the
+    * residual index ([[v133IvfPqResidual]], where each probed list has its
+    * OWN LUT because the query residual depends on the list's centroid).
+    * The code-table join key is (clabel, m, cid): a code row is touched
+    * only when its list is probed — on a clabel-bucketed state this is the
+    * bucket-pruned, exchange-free serving scan.
+    */
+  private def listLutAdcScore(codes: DataFrame, lut: DataFrame): DataFrame =
     codes
       .join(broadcast(lut), Seq("clabel", "m", "cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(round(sum("pd"), 4).as("sim"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
-  }
 
   /** Combined IVF+PQ index — the v132 query, composing the family's two
     * scale mechanisms into the index a 100 TB deployment actually runs
@@ -1139,6 +1151,85 @@ object VectorOps {
     val state = tombstones.fold(pruned)(t =>
       pruned.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
     ivfPqAdcScore(s, state, querySubs, cb, probes)
+  }
+
+  /** Residuals to the coarse centroids: each assigned row's `embedding`
+    * becomes v − centroid(clabel), computed map-side with codegen'd
+    * `zip_with` against the broadcast centroid table. The output keeps the
+    * [[pqSubvectors]] input shape (vec_id, clabel, embedding) so the whole
+    * PQ chain — train/encode/LUT — runs on residuals unchanged.
+    */
+  def residualOf(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.join(broadcast(cent), "clabel")
+      .select(col("vec_id"), col("clabel"),
+        zip_with(col("embedding").cast("array<double>"), col("cvec"),
+          (a, b) => a - b).as("embedding"))
+
+  /** Per-(query, probed-list) ADC lookup table for the residual index: the
+    * query's residual is taken against EACH probed list's centroid (a
+    * query near a list boundary has a different residual in each list),
+    * subvectored, and dotted with the residual codebooks. probes ×
+    * centroids × M × K rows — tiny, broadcast by the scorer.
+    */
+  def residualLut(s: SparkSession, probes: DataFrame, cent: DataFrame,
+      cb: DataFrame): DataFrame = {
+    val qres = probes.select(col("query_id").as("vec_id"), col("clabel"),
+        col("qv").as("embedding"))
+    val qsubs = pqSubvectors(residualOf(qres, cent), carry = Seq("clabel"))
+    qsubs.withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cb), "m")
+      .select(col("query_id"), col("clabel"), col("m"), col("cid"),
+        round(planeDot(s, col("sub"), col("cvec")), 4).as("pd"))
+  }
+
+  /** Residual IVF+PQ — the v133 query, upgrading [[v132IvfPq]] to the
+    * encoding FAISS's IVFADC actually uses (Jégou et al., TPAMI 2011,
+    * §IV-A — public method): PQ quantizes the RESIDUAL v − centroid(list)
+    * instead of the raw vector. Residuals of a clustered corpus live in a
+    * much smaller ball than the vectors themselves (the coarse quantizer
+    * has already explained the between-list variance), so the same M×K
+    * code budget spends its codewords on the informative remainder —
+    * [[ResidualPqSpec]] pins the reconstruction-error win executably on
+    * the driver corpus. The price is query-side only: the ADC LUT becomes
+    * per-(query, probed list) ([[residualLut]] — nprobe×M×K rows instead
+    * of M×K, still broadcast-tiny), while the stored side is unchanged in
+    * shape: (vec_id, clabel, M ids), the same clabel-bucketed serving
+    * layout, scan and heal ([[writeIvfPqBucketedState]] /
+    * [[probeIvfPqResidualState]]).
+    *
+    * Oracle: exact SQL twin — same coarse chain, residual construction via
+    * elementwise list arithmetic, same PQ train/encode on residual
+    * subvectors, per-(query, probed-list) LUT, probed-pair-only scoring.
+    */
+  def v133IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .persist())
+    val cent = CacheRegistry.harness.add(ivfCodebookOn(emb).persist())
+    val assigned = assignToIvfLists(s, emb, cent)
+    val subs = CacheRegistry.harness.add(
+      pqSubvectors(residualOf(assigned, cent), carry = Seq("clabel"))
+        .persist())
+    val cb = CacheRegistry.harness.add(
+      trainPqCodebooksOn(s, subs, col("vec_id") < PqK).persist())
+    val codes = encodePq(s, subs, cb, carry = Seq("clabel"))
+    val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 5), cent)
+    pqTopK(listLutAdcScore(codes, residualLut(s, probes, cent, cb)))
+  }
+
+  /** Serve a residual-encoded [[writeIvfPqBucketedState]] code table: the
+    * caller's prebuilt [[residualLut]] carries the probed lists, so the
+    * pruning literal comes from the LUT itself; scan properties and the
+    * serve-time tombstone heal are exactly the raw probe's
+    * ([[probeIvfPqBucketedState]]).
+    */
+  def probeIvfPqResidualState(s: SparkSession, tableName: String,
+      lut: DataFrame, tombstones: Option[DataFrame] = None): DataFrame = {
+    val probedLists = lut.select("clabel").distinct().collect().map(_.get(0))
+    val pruned = s.table(tableName).filter(col("clabel").isin(probedLists: _*))
+    val state = tombstones.fold(pruned)(t =>
+      pruned.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+    listLutAdcScore(state, lut)
   }
 
   /** Higher-order array-function scalar library over the embedding column:
