@@ -1070,7 +1070,8 @@ object VectorOps {
     * only when its list is probed — on a clabel-bucketed state this is the
     * bucket-pruned, exchange-free serving scan.
     */
-  private def listLutAdcScore(codes: DataFrame, lut: DataFrame): DataFrame =
+  private[graft] def listLutAdcScore(codes: DataFrame, lut: DataFrame)
+      : DataFrame =
     codes
       .join(broadcast(lut), Seq("clabel", "m", "cid"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -664,6 +664,78 @@ object StreamOps {
       .sortWithinPartitions("m", "cid")
       .write.mode("overwrite").parquet(path)
 
+  /** Streaming ingest into the COMBINED residual IVF+PQ index
+    * ([[graft.ops.VectorOps.v133IvfPqResidual]]) — the index a 100 TB
+    * deployment actually streams into. Both quantizers are FROZEN offline
+    * artifacts: the coarse centroids at `centroidPath`
+    * ([[graft.ops.VectorOps.ivfCodebookOn]]) and the RESIDUAL per-subspace
+    * codebooks at `codebookPath`. Per micro-batch of (vec_id, embedding):
+    * assign the batch to its inverted lists (broadcast centroids, O(batch)),
+    * subtract each vector's list centroid, encode the residual subvectors
+    * (broadcast codebooks, O(batch)), and publish (vec_id, clabel, M ids)
+    * as this batch's own `batch=N` partition — the list id lands ON the
+    * code rows at encode time, so every downstream reader prunes on it.
+    * Whole-item contract: a vector's M rows travel in one batch.
+    */
+  def ivfPqIngestStream(spark: SparkSession, emb: DataFrame,
+      centroidPath: String, codebookPath: String, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cent = spark.read.parquet(centroidPath)
+        val cb = spark.read.parquet(codebookPath)
+        val assigned = graft.ops.VectorOps.assignToIvfLists(spark,
+          batch.toDF(), cent)
+        graft.ops.VectorOps.encodePq(spark,
+            graft.ops.VectorOps.pqSubvectors(
+              graft.ops.VectorOps.residualOf(assigned, cent),
+              carry = Seq("clabel")),
+            cb, carry = Seq("clabel"))
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** Top-k query over an [[ivfPqIngestStream]]-accumulated code state:
+    * latest-batch-wins per vec_id ([[latestWholeItem]]), tombstones healed
+    * ([[liveRaw]]), then the SHARED v133 scoring definitions — probe the
+    * frozen centroids for each query's nprobe lists, build the
+    * per-(query, probed-list) residual LUT, and ADC-score ONLY code rows
+    * whose list is probed ([[graft.ops.VectorOps.listLutAdcScore]]). The
+    * served answer is v133's answer by construction; the state side is
+    * touched by one equi-join on (clabel, m, cid), never a float dot.
+    */
+  def ivfPqIndexQuery(spark: SparkSession, statePath: String,
+      centroidPath: String, codebookPath: String, queries: DataFrame,
+      k: Int = 3): DataFrame = {
+    val cent = spark.read.parquet(centroidPath)
+    val cb = spark.read.parquet(codebookPath)
+    val codes = latestWholeItem(liveRaw(spark, statePath, "vec_id"),
+      "vec_id").select("vec_id", "clabel", "m", "cid")
+    val probes = graft.ops.VectorOps.ivfQueryProbes(spark, queries, cent)
+    graft.ops.VectorOps.pqTopK(graft.ops.VectorOps.listLutAdcScore(codes,
+      graft.ops.VectorOps.residualLut(spark, probes, cent, cb)), k)
+  }
+
+  /** Compact an [[ivfPqIngestStream]] `batch=N` code state into the
+    * clabel-BUCKETED serving layout
+    * ([[graft.ops.VectorOps.writeIvfPqBucketedState]]): latest-batch-wins,
+    * tombstones applied physically, full overwrite (a re-run replaces,
+    * never doubles). Unlike [[compactPqCodes]] (deliberately unbucketed —
+    * plain ADC scans everything), the combined index's scan key IS the
+    * coarse list id, so the compacted table serves bucket-pruned and
+    * exchange-free through
+    * [[graft.ops.VectorOps.probeIvfPqResidualState]].
+    */
+  def compactIvfPqCodes(spark: SparkSession, statePath: String,
+      tableName: String, path: String): Unit =
+    graft.ops.VectorOps.writeIvfPqBucketedState(
+      latestWholeItem(liveRaw(spark, statePath, "vec_id"), "vec_id")
+        .select("vec_id", "clabel", "m", "cid"),
+      tableName, path, overwrite = true)
+
   /** Streaming tombstone sink — how deletes ARRIVE at an accumulated
     * `batch=N` state (the batch heals are d123/d126/v127; this is their
     * feed). Per micro-batch of deleted ids: publish the batch's own
