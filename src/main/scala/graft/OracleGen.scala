@@ -1764,7 +1764,7 @@ object OracleGen {
     * Scoring joins codes to the LUT through the code row's assigned list —
     * the probed-pair restriction and the residual frame in one equi-join.
     */
-  val ivfPqResidual: String = {
+  private val ivfPqResidualCtes: String = {
     val m = VectorOps.PqM
     val k = VectorOps.PqK
     val dim = VectorOps.Dim
@@ -1844,14 +1844,47 @@ object OracleGen {
          JOIN lut l ON l.clabel = a.clabel
            AND l.m = co.m AND l.cid = co.cid
          WHERE co.vec_id <> l.query_id
-         GROUP BY l.query_id, co.vec_id),
+         GROUP BY l.query_id, co.vec_id)"""
+  }
+
+  val ivfPqResidual: String =
+    s"""$ivfPqResidualCtes,
        rk AS (
          SELECT query_id, vec_id AS neighbor_id, approx_r,
            row_number() OVER (PARTITION BY query_id
              ORDER BY approx_r DESC, vec_id) AS rnk FROM sc)
      SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
      ORDER BY query_id, rnk"""
-  }
+
+  /** ADC shortlist + exact re-rank (v134) matching
+    * [[VectorOps.v134IvfPqRerank]]: the full residual-IVFPQ chain up to the
+    * ADC scores (shared CTEs with [[ivfPqResidual]], so the two oracles'
+    * approximate stage cannot drift), shortlisted to the top-RerankR per
+    * query on (approx DESC, vec_id), then re-scored with the exact cosine
+    * against the raw vectors and ranked on the unrounded exact score.
+    */
+  val ivfPqRerank: String =
+    s"""$ivfPqResidualCtes,
+       short AS (
+         SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_r DESC, vec_id) AS srn FROM sc) t
+         WHERE srn <= ${VectorOps.RerankR}),
+       rr AS (
+         SELECT s.query_id, s.vec_id AS neighbor_id,
+           list_dot_product(qe.v, ne.v)
+             / (sqrt(list_dot_product(qe.v, qe.v))
+                * sqrt(list_dot_product(ne.v, ne.v))) AS ex
+         FROM short s
+         JOIN e qe ON qe.vec_id = s.query_id
+         JOIN e ne ON ne.vec_id = s.vec_id),
+       rk AS (
+         SELECT query_id, neighbor_id, round(ex, 4) AS exact_r,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ex DESC, neighbor_id) AS rnk FROM rr)
+     SELECT query_id, neighbor_id, exact_r, rnk FROM rk WHERE rnk <= 3
+     ORDER BY query_id, rnk"""
 
   /** Brute-force exact cosine candidate set (standalone SELECT) — ground
     * truth for [[annRecall]]/[[annFrontier]], ranked top-5 in

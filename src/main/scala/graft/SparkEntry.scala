@@ -176,6 +176,7 @@ object SparkEntry {
     "d131_update_reingest" -> (TextOps.d131UpdateReingest _),
     "v132_ivfpq_ann" -> (VectorOps.v132IvfPq _),
     "v133_ivfpq_residual" -> (VectorOps.v133IvfPqResidual _),
+    "v134_ivfpq_rerank" -> (VectorOps.v134IvfPqRerank _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -621,6 +622,9 @@ object SparkEntry {
     // true IVFADC: PQ on residuals v − centroid(list), per-(query, probed
     // list) LUTs — same serving layout, better codeword spend
     "v133_ivfpq_residual" -> OracleGen.ivfPqResidual,
+    // two-stage serving: ADC shortlist (top-R approximate) re-scored with
+    // the exact cosine over only R raw vectors per query
+    "v134_ivfpq_rerank" -> OracleGen.ivfPqRerank,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

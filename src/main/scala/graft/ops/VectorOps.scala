@@ -1202,7 +1202,16 @@ object VectorOps {
     * elementwise list arithmetic, same PQ train/encode on residual
     * subvectors, per-(query, probed-list) LUT, probed-pair-only scoring.
     */
-  def v133IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+  def v133IvfPqResidual(s: SparkSession, d: String): DataFrame =
+    pqTopK(ivfPqResidualCands(s, d))
+
+  /** Residual-ADC scored candidates over the probed lists — the full v133
+    * chain up to (query_id, neighbor_id, sim). Shared by v133 (ranked
+    * top-3 on the ADC score) and v134 (shortlisted then exact-re-ranked),
+    * so the two serve the same approximate scores by construction.
+    */
+  private[ops] def ivfPqResidualCands(s: SparkSession, d: String)
+      : DataFrame = {
     val emb = CacheRegistry.harness.add(
       embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
         .persist())
@@ -1215,7 +1224,54 @@ object VectorOps {
       trainPqCodebooksOn(s, subs, col("vec_id") < PqK).persist())
     val codes = encodePq(s, subs, cb, carry = Seq("clabel"))
     val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 5), cent)
-    pqTopK(listLutAdcScore(codes, residualLut(s, probes, cent, cb)))
+    listLutAdcScore(codes, residualLut(s, probes, cent, cb))
+  }
+
+  /** v134 shortlist size: how many ADC candidates per query get the exact
+    * re-rank.
+    */
+  val RerankR = 10
+
+  /** ADC shortlist + exact re-rank — the v134 query, the two-stage serving
+    * pattern production ANN actually runs (e.g. FAISS's IVFADC + refine,
+    * Jégou et al. §V — public method): the compressed index is allowed to
+    * be WRONG about order as long as the true winners are somewhere in its
+    * top-[[RerankR]]; a second stage re-scores ONLY those R rows with the
+    * exact cosine against the raw vectors and serves the exact-scored
+    * top-k. Recall can only improve: any ground-truth neighbor the pure
+    * ADC top-k already had is in the shortlist and outranks all but its
+    * true superiors there ([[RerankSpec]] pins hits(rerank) ≥ hits(adc)
+    * per query, executably).
+    *
+    * Scale design: stage 1 is v133's audited plan (bucket-prunable code
+    * scan, broadcast LUT). Stage 2 touches queries × R rows — the
+    * shortlist is broadcast INTO the raw-embedding table, so the 100 TB
+    * float corpus is read once, filtered by the equi-join, and only R
+    * vectors per query ever reach the cosine; no window, shuffle, or dot
+    * runs over anything corpus-sized at exact precision.
+    */
+  def v134IvfPqRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val shortlist = ivfPqResidualCands(s, d)
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= RerankR)
+      .select("query_id", "neighbor_id")
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nb = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("exact").desc, col("neighbor_id"))
+    nb.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("exact", cosine(s, col("qv"), col("nv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("exact"), 4).as("exact_r"), col("rnk"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Serve a residual-encoded [[writeIvfPqBucketedState]] code table: the
