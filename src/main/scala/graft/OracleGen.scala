@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.VectorOps
+import graft.ops.{TextOps, VectorOps}
 
 /** Programmatically-generated DuckDB oracle SQL for the ops whose SQL is
   * repetitive (k minhashes, 32 simhash bits, LSH plane literals). Kept in
@@ -1885,6 +1885,42 @@ object OracleGen {
              ORDER BY ex DESC, neighbor_id) AS rnk FROM rr)
      SELECT query_id, neighbor_id, exact_r, rnk FROM rk WHERE rnk <= 3
      ORDER BY query_id, rnk"""
+
+  /** Link-graph PageRank (t135) matching [[TextOps.t135LinkPagerank]]:
+    * the same deterministic 3-outlink graph `(31·id + 17·j + 7) mod N`
+    * (self-links dropped), [[TextOps.PrIters]] power iterations unrolled as
+    * CTE pairs (flow fK = damped rank mass over inbound edges, rank pK =
+    * teleport + damped inflow, both 6dp-floor-truncated — the engine-exact
+    * trajectory convention), teleport kept via LEFT JOIN + COALESCE for
+    * inbound-less nodes.
+    */
+  val linkPagerank: String = {
+    val iters = (1 to TextOps.PrIters).map { i =>
+      s"""f$i AS (
+         SELECT e.dst AS doc_id, sum(p.pr / od.outdeg) AS inflow
+         FROM p${i - 1} p JOIN e ON e.src = p.doc_id
+         JOIN od ON od.src = e.src
+         GROUP BY e.dst),
+       p$i AS (
+         SELECT d.doc_id,
+           floor((0.15 / nn + 0.85 * coalesce(f.inflow, 0.0)) * 1e6) / 1e6
+             AS pr
+         FROM docs d CROSS JOIN n LEFT JOIN f$i f ON f.doc_id = d.doc_id)"""
+    }.mkString(",\n       ")
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       n AS (SELECT count(*) AS nn FROM docs),
+       e AS (SELECT src, dst FROM (
+           SELECT d.doc_id AS src,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || t.j::VARCHAR),
+               1, 12))::BIGINT % n.nn AS dst
+           FROM docs d CROSS JOIN n, unnest([0, 1, 2]) AS t(j)) x
+         WHERE dst <> src),
+       od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       p0 AS (SELECT doc_id, floor(1.0 / nn * 1e6) / 1e6 AS pr
+              FROM docs CROSS JOIN n),
+       $iters
+     SELECT doc_id, pr FROM p${TextOps.PrIters} ORDER BY doc_id"""
+  }
 
   /** Brute-force exact cosine candidate set (standalone SELECT) — ground
     * truth for [[annRecall]]/[[annFrontier]], ranked top-5 in

@@ -177,6 +177,7 @@ object SparkEntry {
     "v132_ivfpq_ann" -> (VectorOps.v132IvfPq _),
     "v133_ivfpq_residual" -> (VectorOps.v133IvfPqResidual _),
     "v134_ivfpq_rerank" -> (VectorOps.v134IvfPqRerank _),
+    "t135_link_pagerank" -> (TextOps.t135LinkPagerank _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -625,6 +626,9 @@ object SparkEntry {
     // two-stage serving: ADC shortlist (top-R approximate) re-scored with
     // the exact cosine over only R raw vectors per query
     "v134_ivfpq_rerank" -> OracleGen.ivfPqRerank,
+    // graph-centrality source signal: 3 unrolled power iterations over the
+    // deterministic doc link graph, 6dp-floor-truncated trajectory
+    "t135_link_pagerank" -> OracleGen.linkPagerank,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -2924,4 +2924,86 @@ object TextOps {
         sum(col("component").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)")))
       .head().getDecimal(0)
+
+  /** t135 PageRank damping factor and fixed iteration count (fixed so the
+    * trajectory is deterministic and the oracle can unroll it — the
+    * [[graft.ops.VectorOps.v60Kmeans]] convention for iterative algorithms).
+    */
+  val PrDamping = 0.85
+  val PrIters = 3
+
+  /** 6-decimal floor truncation — PageRank masses are O(1/N) rationals, so
+    * 4dp rounding is both too coarse and boundary-prone (int/int rationals
+    * sit exactly on .5 ulps at some corpus sizes — the t21 lesson); floored
+    * truncation of identical doubles is engine-exact by construction.
+    */
+  private def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
+
+  /** Link-graph PageRank over the document corpus — the t135 query, the
+    * graph-centrality source-quality signal large curation pipelines
+    * compute over the crawl graph (CommonCrawl ranks its URLs by
+    * centrality; RefinedWeb and CCNet select by such source-level signals
+    * — public methods; Page et al. 1999 for the algorithm itself). The
+    * driver corpus carries no real hyperlinks, so the graph is derived
+    * deterministically from doc_ids (the [[syntheticUrl]] convention):
+    * each document emits 3 outlinks `h48(id ++ '#' ++ j) mod N` (the
+    * shared md5-prefix hash, so targets scatter multinomially and
+    * in-degrees genuinely vary — an affine rule like `(31·id + c) mod N`
+    * is a bijection per j, which makes the graph 3-regular in AND out and
+    * PageRank degenerately uniform), self-links dropped.
+    *
+    * Scale design — the iterative-shuffle pattern CC ([[d91IncrementalCc]])
+    * established, applied to weighted propagation:
+    *  - the edge table is built map-side, repartitioned ON src ONCE and
+    *    persisted: every iteration's rank-flow join reuses that
+    *    partitioning, so per iteration only the compact (node, pr) table
+    *    moves through the exchange — the edges never re-shuffle;
+    *  - one iteration = equi-join ranks⋈edges on src (ranks shuffle to the
+    *    edges' layout), groupBy dst with map-side partial sums, one
+    *    broadcast-free corpus-sized aggregation — the canonical
+    *    power-iteration step;
+    *  - [[PrIters]] is a fixed constant and every iteration's masses are
+    *    6dp-floor-truncated ([[trunc6]]), so the trajectory is bit-exact
+    *    in any engine and the oracle unrolls the same three steps;
+    *  - nodes with no inbound edges keep the teleport mass via a left
+    *    join + coalesce(0) — no dangling-mass correction is needed because
+    *    every node has outdegree ≥ 2 by construction.
+    */
+  def t135LinkPagerank(s: SparkSession, d: String): DataFrame = {
+    val docs = CacheRegistry.harness.add(
+      documents(s, d).select("doc_id").persist())
+    val nn = docs.count()
+    val edges = CacheRegistry.harness.add(
+      docs.select(col("doc_id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+        .select(col("src"),
+          (h48(concat(col("src").cast("string"), lit("#"),
+            col("j").cast("string"))) % nn).as("dst"))
+        .filter(col("dst") =!= col("src"))
+        .repartition(col("src"))
+        .persist())
+    val outdeg = CacheRegistry.harness.add(
+      edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+    // 0.15 as a LITERAL on both sides: `1.0 - 0.85` in binary doubles is
+    // 0.15000000000000002, not the double the literal `0.15` parses to —
+    // the oracle writes the same literal, so the teleport mass is bit-equal
+    val teleport = 0.15 / nn
+    var ranks = docs.select(col("doc_id"),
+      trunc6(lit(1.0) / nn).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val flow = ranks
+        .join(edges, col("doc_id") === col("src"))
+        .join(outdeg, Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("pr") / col("outdeg")).as("inflow"))
+        .withColumnRenamed("doc_id", "dst_id")
+      ranks = CacheRegistry.harness.add(docs
+        .join(flow, col("doc_id") === col("dst_id"), "left")
+        .select(col("doc_id"),
+          trunc6(lit(teleport) +
+            lit(PrDamping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .persist())
+    }
+    ranks.orderBy("doc_id")
+  }
 }
