@@ -1922,6 +1922,70 @@ object OracleGen {
      SELECT doc_id, pr FROM p${TextOps.PrIters} ORDER BY doc_id"""
   }
 
+  /** Quality-keeper near-dup resolution (d137) matching
+    * [[TextOps.d137QualityKeeper]]: the d46 reachability chain for
+    * component labels, the t21 truncated quality score, keeper = first row
+    * per component on (quality DESC, doc_id).
+    */
+  val qualityKeeper: String =
+    s"""WITH RECURSIVE $ccCtes,
+       q AS (
+         SELECT doc_id,
+           floor((0.4 * least(len(string_split_regex(trim(lower(text)),
+                 '\\s+')) / 100.0, 1.0)
+             + 0.3 * (len(regexp_extract_all(lower(text),
+                 '\\b(the|a|of|and|to|in|is)\\b')) * 1.0
+               / len(string_split_regex(trim(lower(text)), '\\s+')))
+             + 0.3 * least((length(regexp_replace(text, '\\s', '', 'g'))
+                 * 1.0
+               / len(string_split_regex(trim(lower(text)), '\\s+'))) / 8.0,
+               1.0)) * 10000) / 10000 AS quality
+         FROM documents),
+       k AS (
+         SELECT component, doc_id AS keeper_id FROM (
+           SELECT c.component, c.doc_id,
+             row_number() OVER (PARTITION BY c.component
+               ORDER BY q.quality DESC, c.doc_id) AS rn
+           FROM comp c JOIN q USING (doc_id)) t WHERE rn = 1)
+     SELECT c.doc_id, c.component, q.quality,
+       c.doc_id = k.keeper_id AS keeper
+     FROM comp c JOIN q USING (doc_id) JOIN k USING (component)
+     ORDER BY c.doc_id"""
+
+  /** Leakage-aware split (t138) matching [[TextOps.t138LeakageSplit]]:
+    * group key = component label for clustered docs / own doc_id
+    * otherwise, t66's h48-mod-100 rule on the group key.
+    */
+  val leakageSplit: String =
+    s"""WITH RECURSIVE $ccCtes,
+       g AS (
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+     SELECT doc_id, group_key,
+       ('0x' || substr(md5(group_key::VARCHAR), 1, 12))::BIGINT % 100
+         AS bucket,
+       CASE
+         WHEN ('0x' || substr(md5(group_key::VARCHAR), 1, 12))::BIGINT % 100
+           < 80 THEN 'train'
+         WHEN ('0x' || substr(md5(group_key::VARCHAR), 1, 12))::BIGINT % 100
+           < 90 THEN 'valid'
+         ELSE 'test' END AS split
+     FROM g ORDER BY doc_id"""
+
+  /** Priority sample (t136) matching [[TextOps.t136PrioritySample]]: the
+    * identical dyadic u = (h48+1)/2^48 and u/n_chars key (one IEEE
+    * division, no transcendentals — bit-equal across engines), k smallest.
+    */
+  val prioritySample: String =
+    s"""WITH keyed AS (
+         SELECT doc_id, n_chars,
+           ((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)
+              ::DOUBLE / 281474976710656.0) / n_chars::DOUBLE AS pkey
+         FROM documents)
+     SELECT doc_id, n_chars, pkey,
+       row_number() OVER (ORDER BY pkey, doc_id) AS rnk
+     FROM keyed ORDER BY pkey, doc_id LIMIT ${TextOps.SampleK}"""
+
   /** Brute-force exact cosine candidate set (standalone SELECT) — ground
     * truth for [[annRecall]]/[[annFrontier]], ranked top-5 in
     * [[cosineTopK]].

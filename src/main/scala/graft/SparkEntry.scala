@@ -178,6 +178,9 @@ object SparkEntry {
     "v133_ivfpq_residual" -> (VectorOps.v133IvfPqResidual _),
     "v134_ivfpq_rerank" -> (VectorOps.v134IvfPqRerank _),
     "t135_link_pagerank" -> (TextOps.t135LinkPagerank _),
+    "t136_priority_sample" -> (TextOps.t136PrioritySample _),
+    "d137_quality_keeper" -> (TextOps.d137QualityKeeper _),
+    "t138_leakage_split" -> (TextOps.t138LeakageSplit _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -629,6 +632,15 @@ object SparkEntry {
     // graph-centrality source signal: 3 unrolled power iterations over the
     // deterministic doc link graph, 6dp-floor-truncated trajectory
     "t135_link_pagerank" -> OracleGen.linkPagerank,
+    // Sequential Poisson weighted sampling: dyadic-exact u/w priority
+    // keys, k smallest — length-proportional inclusion, no transcendentals
+    "t136_priority_sample" -> OracleGen.prioritySample,
+    // near-dup resolution by BEST-quality representative (argmax of the
+    // shared t21 score per d46 component), not arbitrary min doc_id
+    "d137_quality_keeper" -> OracleGen.qualityKeeper,
+    // dedup-aware splitting: the split key is the near-dup GROUP, so a
+    // whole duplicate cluster lands in one split (no train/eval leakage)
+    "t138_leakage_split" -> OracleGen.leakageSplit,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

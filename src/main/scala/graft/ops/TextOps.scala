@@ -71,6 +71,28 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Quality scoring: length/stopword/word-shape heuristics → [0,1] score. */
+  // floor-truncation, not round(): both engines compute identical doubles
+  // from the int/int inputs, but their round() algorithms differ at exact
+  // .00005 boundaries (BigDecimal shortest-repr vs multiply-and-round);
+  // floor(x*1e4)/1e4 is unambiguous on identical doubles.
+  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** The t21 quality score, UNtruncated — the single definition shared by
+    * t21 (the per-doc report) and d137 (keeper selection), so the two
+    * cannot drift. Expects a `text` column in scope.
+    */
+  private def qualityScore: Column = {
+    val nWords = size(words(col("text"))).cast("long")
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0))).cast("long")
+    val compact = regexp_replace(col("text"), "\\s", "")
+    val avgWordLen = length(compact).cast("double") / nWords
+    val stopRatio = nStop.cast("double") / nWords
+    lit(0.4) * least(nWords.cast("double") / 100.0, lit(1.0)) +
+      lit(0.3) * stopRatio +
+      lit(0.3) * least(avgWordLen / 8.0, lit(1.0))
+  }
+
   def t21Quality(s: SparkSession, d: String): DataFrame = {
     val w = words(col("text"))
     val nWords = size(w).cast("long")
@@ -79,22 +101,13 @@ object TextOps {
     val compact = regexp_replace(col("text"), "\\s", "")
     val avgWordLen = length(compact).cast("double") / nWords
     val stopRatio = nStop.cast("double") / nWords
-    val score =
-      lit(0.4) * least(nWords.cast("double") / 100.0, lit(1.0)) +
-        lit(0.3) * stopRatio +
-        lit(0.3) * least(avgWordLen / 8.0, lit(1.0))
-    // floor-truncation, not round(): both engines compute identical doubles
-    // from the int/int inputs, but their round() algorithms differ at exact
-    // .00005 boundaries (BigDecimal shortest-repr vs multiply-and-round);
-    // floor(x*1e4)/1e4 is unambiguous on identical doubles.
-    def trunc4(c: Column): Column = floor(c * 10000) / 10000
     documents(s, d)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
         nWords.as("n_words"),
         trunc4(avgWordLen).as("avg_word_len"),
         trunc4(stopRatio).as("stop_ratio"),
-        trunc4(score).as("quality"))
+        trunc4(qualityScore).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -2969,6 +2982,100 @@ object TextOps {
     *    join + coalesce(0) — no dangling-mass correction is needed because
     *    every node has outdegree ≥ 2 by construction.
     */
+  /** Quality-keeper near-dup resolution — the d137 query. d46 labels the
+    * duplicate clusters and d26's min-doc_id convention picks an ARBITRARY
+    * representative; a curation pipeline keeps the BEST one (Gopher/C4
+    * lineage keep the highest-quality duplicate — public practice;
+    * quality here is the shared t21 score, so the choice is the one the
+    * pipeline's own filter would make). Per component: keeper = argmax
+    * (quality, min doc_id tiebreak), selected via `min_by` over a
+    * (−quality, doc_id) ordering struct — map-side partial aggregation,
+    * one compact struct per component through the shuffle, never a window
+    * over the corpus ([[graft.ops.VectorOps.assignToIvfLists]]'s argmax
+    * convention). Quality is 4dp-floor-truncated BEFORE the argmax so the
+    * comparison (including ties) is engine-exact.
+    */
+  def d137QualityKeeper(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      d26MinhashLsh(s, d).select(col("d1"), col("d2")))
+    val q = documents(s, d)
+      .select(col("doc_id"), trunc4(qualityScore).as("quality"))
+    val member = CacheRegistry.harness.add(
+      labels.join(q, Seq("doc_id")).persist())
+    val keepers = member.groupBy("component")
+      .agg(min_by(col("doc_id"),
+        struct(-col("quality"), col("doc_id"))).as("keeper_id"))
+    member.join(keepers, Seq("component"))
+      .select(col("doc_id"), col("component"), col("quality"),
+        (col("doc_id") === col("keeper_id")).as("keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-aware train/valid/test split — the t138 query. t66 splits by
+    * per-doc hash, which puts near-duplicates of a training document into
+    * the eval splits (train/test contamination — the leakage every
+    * dedup-before-split pipeline exists to prevent; Lee et al. 2022
+    * documents eval inflation from exactly this). Here the split KEY is
+    * the near-dup group: a doc's d46 component label when it has
+    * near-dups, its own doc_id otherwise — so an entire duplicate cluster
+    * lands in ONE split by construction (Ctrl+F a leaked eval doc in
+    * train: impossible). The assignment rule on the group key is t66's
+    * (h48 mod 100 → 80/10/10), so the two splits are directly comparable.
+    *
+    * Scale: the corpus-sized work is one left join of docs to the (small)
+    * clustered-label table; the hash and split tags are map-side.
+    */
+  def t138LeakageSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      d26MinhashLsh(s, d).select(col("d1"), col("d2")))
+    val gkey = coalesce(col("component"), col("doc_id"))
+    documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), gkey.as("group_key"))
+      .withColumn("bucket", h48(col("group_key").cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  /** t136 sample size. */
+  val SampleK = 200
+
+  /** Weight-proportional corpus sampling without replacement — the t136
+    * query, Sequential Poisson / priority sampling (Ohlsson 1998;
+    * Duffield–Lund–Thorup 2005 — public methods): u_i = (h48(id)+1)/2^48,
+    * priority key = u_i / w_i, keep the k smallest keys. Weight =
+    * `n_chars`, so longer documents enter the sample with probability
+    * ∝ length — the token-budget-aware downsampling pass a curation
+    * pipeline runs when cutting a corpus to a training budget (uniform
+    * doc sampling under-represents long documents' tokens).
+    *
+    * Engine-exactness: the textbook key is u^(1/w) (a pow) or
+    * log(u)/w — both transcendental, and libm results differ across
+    * engines in the last ulp, which can flip ranks at the selection
+    * boundary. Sequential Poisson's u/w ranking is ORDER-EQUIVALENT for
+    * inclusion purposes and uses only one IEEE division on a dyadic
+    * rational u (exact in double: (48-bit int + 1) / 2^48), so both
+    * engines compute bit-identical keys — no rounding anywhere.
+    *
+    * Scale: the key is map-side; selection is `orderBy(key).limit(k)` —
+    * Spark plans TakeOrderedAndProject (per-partition top-k, merge of
+    * k-row partials), never a global sort of the corpus.
+    */
+  def t136PrioritySample(s: SparkSession, d: String): DataFrame = {
+    val u = (h48(col("doc_id").cast("string")) + 1).cast("double") /
+      lit(281474976710656.0) // 2^48, exact
+    val w = Window.orderBy("pkey", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (u / col("n_chars").cast("double")).as("pkey"))
+      .orderBy("pkey", "doc_id").limit(SampleK)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy("rnk")
+  }
+
   def t135LinkPagerank(s: SparkSession, d: String): DataFrame = {
     val docs = CacheRegistry.harness.add(
       documents(s, d).select("doc_id").persist())
