@@ -1887,24 +1887,30 @@ object OracleGen {
      ORDER BY query_id, rnk"""
 
   /** Link-graph PageRank (t135) matching [[TextOps.t135LinkPagerank]]:
-    * the same deterministic 3-outlink graph `(31·id + 17·j + 7) mod N`
-    * (self-links dropped), [[TextOps.PrIters]] power iterations unrolled as
-    * CTE pairs (flow fK = damped rank mass over inbound edges, rank pK =
-    * teleport + damped inflow, both 6dp-floor-truncated — the engine-exact
+    * the same deterministic 3-outlink graph `h48(md5(id || '#' || j)) mod
+    * N` (the shared md5-prefix hash — an affine rule would make the graph
+    * 3-regular in and out and PageRank degenerately uniform; self-links
+    * dropped), [[TextOps.PrIters]] power iterations unrolled as CTE pairs
+    * (flow fK = the INTEGER sum of 1e-6-floor-quantized per-edge terms
+    * `floor(pr/outdeg · 1e6)` — integer addition is order-independent, so
+    * no engine's partition/merge order can move the sum; rank pK =
+    * teleport + damped inflow, 6dp-floor-truncated — the engine-exact
     * trajectory convention), teleport kept via LEFT JOIN + COALESCE for
     * inbound-less nodes.
     */
   val linkPagerank: String = {
     val iters = (1 to TextOps.PrIters).map { i =>
       s"""f$i AS (
-         SELECT e.dst AS doc_id, sum(p.pr / od.outdeg) AS inflow
+         SELECT e.dst AS doc_id,
+           CAST(sum(CAST(floor(p.pr / od.outdeg * 1e6) AS BIGINT))
+             AS BIGINT) AS inflow_q
          FROM p${i - 1} p JOIN e ON e.src = p.doc_id
          JOIN od ON od.src = e.src
          GROUP BY e.dst),
        p$i AS (
          SELECT d.doc_id,
-           floor((0.15 / nn + 0.85 * coalesce(f.inflow, 0.0)) * 1e6) / 1e6
-             AS pr
+           floor((0.15 / nn + 0.85 * (coalesce(f.inflow_q, 0) / 1e6)) * 1e6)
+             / 1e6 AS pr
          FROM docs d CROSS JOIN n LEFT JOIN f$i f ON f.doc_id = d.doc_id)"""
     }.mkString(",\n       ")
     s"""WITH docs AS (SELECT doc_id FROM documents),
@@ -2216,4 +2222,115 @@ object OracleGen {
        CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
        CAST(start_tok % 512 AS BIGINT) AS pack_offset
      FROM o ORDER BY shard, ord"""
+
+  /** Shared BPE CTE chain matching [[graft.ops.BpeOps.learnBpe]]: the
+    * alpha-word frequency vocabulary with `' s1, s2, …, _,'`-rendered
+    * symbol sequences, then [[graft.ops.BpeOps.BpeMerges]] learning rounds
+    * unrolled as CTE triples — pN = weighted adjacent-pair counts over
+    * vN−1 (BIGINT, integer-exact), bN = the argmax on (cnt DESC, pair),
+    * vN = the vocab with rule N applied via ONE literal `replace` on the
+    * rendered sequence (identical non-overlapping left-to-right semantics
+    * in DuckDB and Spark; see the BpeOps class note for why the
+    * `' a, b,'` delimiters make that exactly leftmost-greedy BPE).
+    */
+  private val bpeCtes: String = {
+    val rounds = (1 to graft.ops.BpeOps.BpeMerges).map { r =>
+      s"""p$r AS (
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq,
+             unnest(list_transform(range(1, len(syms)),
+               i -> syms[i] || ' ' || syms[i + 1])) AS pair
+           FROM (SELECT freq,
+                   string_split(substr(seq, 2, length(seq) - 2), ', ')
+                     AS syms
+                 FROM v${r - 1}) y) x
+         GROUP BY pair),
+       b$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+       v$r AS (
+         SELECT word, freq,
+           replace(seq, ' ' || replace(b.pair, ' ', ', ') || ',',
+             ' ' || replace(b.pair, ' ', '') || ',') AS seq
+         FROM v${r - 1}, b$r b)"""
+    }.mkString(",\n       ")
+    s"""w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+           AS word FROM documents),
+       v0 AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           regexp_replace(word, '(.)', ' \\1,', 'g') || ' _,' AS seq
+         FROM w WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
+       $rounds"""
+  }
+
+  /** BPE merge-rule learning (t139) matching
+    * [[graft.ops.BpeOps.t139BpeLearn]]: the K learned rules in order with
+    * their winning pair counts.
+    */
+  val bpeLearn: String = {
+    val rows = (1 to graft.ops.BpeOps.BpeMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rnk, pair,
+           replace(pair, ' ', '') AS merged, cnt FROM b$r"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH $bpeCtes
+     SELECT rnk, pair, merged, cnt FROM (
+       $rows) u ORDER BY rnk"""
+  }
+
+  /** Per-doc piece CTEs shared by [[bpeTokenize]] and [[bpePack]] —
+    * matching [[graft.ops.BpeOps]]' `bpePieces`: positions from the
+    * whitespace split, alpha words joined to the final vocab's merged
+    * sequences, anything else one opaque `' word,'` token.
+    */
+  private val bpePieceCtes: String =
+    s"""$bpeCtes,
+       tok AS (
+         SELECT word, seq,
+           CAST(len(string_split(substr(seq, 2, length(seq) - 2), ', '))
+             AS BIGINT) AS n_toks
+         FROM v${graft.ops.BpeOps.BpeMerges}),
+       dw AS (
+         SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+                 AS ws
+               FROM documents) dd),
+       pieces AS (
+         SELECT dw.doc_id, dw.pos,
+           CASE WHEN t.seq IS NOT NULL THEN t.seq
+                ELSE ' ' || dw.word || ',' END AS piece,
+           CASE WHEN t.seq IS NOT NULL THEN t.n_toks ELSE 1 END AS n_toks,
+           t.seq IS NOT NULL AS alpha
+         FROM dw LEFT JOIN tok t ON t.word = dw.word)"""
+
+  /** Corpus tokenization under the frozen merges (t140) matching
+    * [[graft.ops.BpeOps.t140BpeTokenize]]: per-doc word / alpha / BPE
+    * token counts plus the md5 of the document-order rendered token
+    * stream.
+    */
+  val bpeTokenize: String =
+    s"""WITH $bpePieceCtes
+     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+       md5(string_agg(piece, '' ORDER BY pos)) AS fp
+     FROM pieces GROUP BY doc_id ORDER BY doc_id"""
+
+  /** BPE-budget sequence packing (t141) matching
+    * [[graft.ops.BpeOps.t141BpePack]]: t69's sharded greedy packing with
+    * per-doc BPE token counts as the measure.
+    */
+  val bpePack: String =
+    s"""WITH $bpePieceCtes,
+       dt AS (
+         SELECT doc_id, doc_id % 16 AS shard,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         FROM pieces GROUP BY doc_id),
+       c AS (
+         SELECT doc_id, shard, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - n_tokens AS start_tok
+         FROM dt)
+     SELECT doc_id, shard, n_tokens,
+       CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
+       CAST(start_tok % 512 AS BIGINT) AS pack_offset
+     FROM c ORDER BY doc_id"""
 }

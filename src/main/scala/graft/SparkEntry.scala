@@ -181,6 +181,9 @@ object SparkEntry {
     "t136_priority_sample" -> (TextOps.t136PrioritySample _),
     "d137_quality_keeper" -> (TextOps.d137QualityKeeper _),
     "t138_leakage_split" -> (TextOps.t138LeakageSplit _),
+    "t139_bpe_learn" -> (BpeOps.t139BpeLearn _),
+    "t140_bpe_tokenize" -> (BpeOps.t140BpeTokenize _),
+    "t141_bpe_pack" -> (BpeOps.t141BpePack _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -641,6 +644,15 @@ object SparkEntry {
     // dedup-aware splitting: the split key is the near-dup GROUP, so a
     // whole duplicate cluster lands in one split (no train/eval leakage)
     "t138_leakage_split" -> OracleGen.leakageSplit,
+    // distributed BPE: K merge rules learned by iterated integer
+    // pair-count argmax over the word-frequency vocabulary (rounds
+    // unrolled as CTE triples — the kmeans/pagerank convention)
+    "t139_bpe_learn" -> OracleGen.bpeLearn,
+    // corpus tokenization under the FROZEN merge table: per-doc subword
+    // counts + an md5 of the document-order token stream
+    "t140_bpe_tokenize" -> OracleGen.bpeTokenize,
+    // t69's packing consumer re-expressed over learned-subword budgets
+    "t141_bpe_pack" -> OracleGen.bpePack,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -43,8 +43,15 @@ object HotCellSignal {
   val excludedHashes = new AtomicLong(0)
 
   private val nextId = new AtomicLong(0)
+  // WEAK keys: this set only dedups listener registration, so it must not
+  // pin sessions (a long-lived process creating/stopping many sessions
+  // would otherwise leak every one of them plus its listeners). The
+  // registered listener itself lives on the session's listenerManager and
+  // dies with the session; once the session is collected its entry here
+  // vanishes with it.
   private val sessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Wrap a hot-cell table (`tb`, `occ` columns) with a uniquely-named

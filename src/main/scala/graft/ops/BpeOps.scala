@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Distributed byte-pair-encoding tokenizer family — t139 (merge-rule
+  * learning), t140 (corpus tokenization under the frozen merges), t141
+  * (the t69 packing consumer re-expressed over BPE token counts).
+  *
+  * BPE (Sennrich et al., ACL 2016 — public method) is the subword
+  * tokenizer every modern pretraining pipeline runs; until now the repo's
+  * token accounting (t69 packing budgets, t125 manifest, t136 weights)
+  * counted WHITESPACE words. The reference's analog is its fixed derive
+  * stage (`betfairdatabase/metadata.py:40-72`): a learned-then-frozen
+  * per-row transform.
+  *
+  * Distributed design — the two-table shape that makes BPE scale:
+  *  - the CORPUS is touched exactly twice: once to build the word-frequency
+  *    vocabulary (one map-side explode + count aggregation; by Heaps' law
+  *    the distinct-word table is orders of magnitude smaller than 100 TB of
+  *    text), and once at tokenize time to join words to their final symbol
+  *    sequences. Merge learning never reads the corpus again — the
+  *    frequency weights stand in for every occurrence.
+  *  - one learning round over the vocab = map-side adjacent-pair explode
+  *    (each word contributes len-1 weighted pairs), a partial-aggregated
+  *    `sum(freq)` per pair, and `orderBy(cnt desc, pair).limit(1)` — Spark
+  *    plans TakeOrderedAndProject (per-partition top-1, merge of 1-row
+  *    partials), never a global sort. The winning rule broadcasts (one
+  *    ~10-byte row) onto the vocab for a map-side `replace`. [[BpeMerges]]
+  *    rounds total, each O(vocab), zero corpus passes.
+  *  - the learned merge table is a FROZEN offline artifact (the
+  *    v60-codebook / d92-centroid contract): production learns it once,
+  *    ships it, and tokenizes any later batch under it — which is why t140
+  *    tokenizes via the vocab table the learning loop already carries
+  *    (word → fully-merged symbol sequence) instead of re-applying K rules
+  *    per occurrence.
+  *
+  * Engine-exactness — integers and strings only, no floats anywhere:
+  *  - pair counts are BIGINT sums of BIGINT frequencies; the per-round
+  *    argmax is (count DESC, pair ASC) — a total order, so ties cannot
+  *    diverge between engines or partitionings (BpeSpec pins this under
+  *    repartitioning).
+  *  - a symbol sequence is rendered as the string `" s1, s2, …, sK,"`:
+  *    every symbol occurrence is wrapped as `' ' + sym + ','`, so one
+  *    merge application is ONE literal `replace(seq, ' a, b,', ' ab,')`.
+  *    Both delimiters are load-bearing: the leading space stops the rule's
+  *    first symbol matching a longer symbol's SUFFIX (`ba` vs rule
+  *    `(a, b)`), the trailing comma stops its second symbol matching a
+  *    longer symbol's PREFIX (`bc` vs rule `(a, b)`) — and because each
+  *    match consumes both symbols' full delimiters, adjacent candidate
+  *    matches share no characters, making left-to-right non-overlapping
+  *    `replace` (the semantics of BOTH Spark's UTF8String.replace and
+  *    DuckDB's replace) exactly the textbook leftmost-greedy single-rule
+  *    application: `a a a a` + rule (a,a) → `aa aa`, never `aa a a`
+  *    (BpeSpec pins both hazard cases). Symbols are `[a-z_]` only — the
+  *    vocabulary admits purely-alphabetic words plus the `_` end-of-word
+  *    marker — so neither delimiter can occur INSIDE a symbol.
+  */
+object BpeOps {
+
+  /** Fixed number of learned merge rules — small so the oracle can unroll
+    * the rounds as CTEs (the v60/t135 fixed-iteration convention); the
+    * loop shape is K-independent.
+    */
+  val BpeMerges = 10
+
+  /** Token budget for the t141 packing consumer (t69's budget). */
+  private val PackBudget = 512L
+
+  /** Symbols of a rendered sequence string: strip the leading space and
+    * trailing comma, split on the `", "` joint. `" t, h, e, _,"` →
+    * `[t, h, e, _]`.
+    */
+  private def syms(seq: Column): Column =
+    split(seq.substr(lit(2), length(seq) - 2), ", ")
+
+  /** Adjacent symbol pairs as `"a b"` strings — each word of length L
+    * contributes L−1 (overlapping) pairs, the textbook BPE count.
+    */
+  private def adjacentPairs(sy: Column): Column =
+    transform(slice(sy, lit(1), size(sy) - 1),
+      (x, i) => concat(x, lit(" "), element_at(sy, i + 2)))
+
+  /** The word-frequency vocabulary with initial symbol sequences: distinct
+    * purely-alphabetic words (so `' '` and `','` are free delimiters and
+    * `_` a free marker), corpus occurrence counts as weights, each word
+    * rendered as its characters plus the end-of-word marker.
+    */
+  def bpeVocab0(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq",
+        concat(regexp_replace(col("word"), "(.)", " $1,"), lit(" _,")))
+
+  /** One merge application = one literal replace on the rendered sequence
+    * (see the class note on why the `' a, b,'` shape makes non-overlapping
+    * replace exactly leftmost-greedy BPE). `pair` is the `"a b"` rule
+    * string.
+    */
+  private[ops] def applyMerge(seq: Column, pair: Column): Column =
+    call_function("replace", seq,
+      concat(lit(" "),
+        call_function("replace", pair, lit(" "), lit(", ")), lit(",")),
+      concat(lit(" "),
+        call_function("replace", pair, lit(" "), lit("")), lit(",")))
+
+  /** Run the [[BpeMerges]]-round learning loop over a documents table.
+    * Returns (the vocab with all merges applied — word → final symbol
+    * sequence — and the merge table (rnk, pair, cnt) in learned order).
+    * Each round's vocab is persisted (and registered with the harness
+    * registry) because round r+1's pair counts and the final tokenize both
+    * re-read it.
+    */
+  def learnBpeOn(docs: DataFrame): (DataFrame, DataFrame) = {
+    var vocab = CacheRegistry.harness.add(bpeVocab0(docs).persist())
+    var merges: DataFrame = null
+    for (r <- 1 to BpeMerges) {
+      val best = CacheRegistry.harness.add(
+        vocab
+          .select(col("freq"),
+            explode(adjacentPairs(syms(col("seq")))).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .withColumn("rnk", lit(r.toLong))
+          .persist())
+      merges = if (merges == null) best else merges.unionByName(best)
+      vocab = CacheRegistry.harness.add(
+        vocab.crossJoin(broadcast(best.select(col("pair").as("bpair"))))
+          .select(col("word"), col("freq"),
+            applyMerge(col("seq"), col("bpair")).as("seq"))
+          .persist())
+    }
+    (vocab, merges)
+  }
+
+  def learnBpe(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    learnBpeOn(documents(s, d))
+
+  /** Merge-rule learning — the t139 query: the [[BpeMerges]] learned rules
+    * in order, each with its winning adjacent-pair count. Oracle: the same
+    * rounds unrolled as CTE triples (pair counts → argmax → applied vocab).
+    */
+  def t139BpeLearn(s: SparkSession, d: String): DataFrame =
+    learnBpe(s, d)._2
+      .select(col("rnk"), col("pair"),
+        call_function("replace", col("pair"), lit(" "), lit(""))
+          .as("merged"),
+        col("cnt"))
+      .orderBy("rnk")
+
+  /** Per-doc word/piece table under the frozen merges — the shared tail of
+    * t140 (per-doc accounting) and t141 (packing): posexploded corpus
+    * words joined to the final vocab (alpha words get their merged symbol
+    * sequence and token count; anything else is one opaque token).
+    */
+  private def bpePieces(s: SparkSession, d: String): DataFrame = {
+    val (vocab, _) = learnBpe(s, d)
+    val tok = vocab.select(col("word"), col("seq"),
+      size(syms(col("seq"))).cast("long").as("n_toks"))
+    documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextOps.words(col("text"))).as(Seq("pos", "word")))
+      .join(tok, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("seq").isNotNull, col("seq"))
+          .otherwise(concat(lit(" "), col("word"), lit(","))).as("piece"),
+        coalesce(col("n_toks"), lit(1L)).as("n_toks"),
+        col("seq").isNotNull.as("alpha"))
+  }
+
+  /** Corpus tokenization under the frozen merges — the t140 query: per
+    * doc, the word count, BPE token count, alpha-word count, and an md5
+    * fingerprint of the full rendered token stream in document order (the
+    * t23-fingerprint convention — equality of streams, not just counts).
+    *
+    * Scale: the only corpus-sized work is the posexplode + ONE equi-join
+    * to the vocab table on `word` (broadcastable while the vocab fits,
+    * shuffle-on-word beyond — either way O(corpus), never O(corpus ×
+    * rules)); the per-doc assembly is a partial-aggregated groupBy whose
+    * collect_list holds one doc's pieces, never a corpus window.
+    */
+  def t140BpeTokenize(s: SparkSession, d: String): DataFrame =
+    bpePieces(s, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("alpha"), lit(1L)).otherwise(lit(0L))).as("n_alpha"),
+        sum("n_toks").as("n_bpe_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("piece")))).as("ps"))
+      .select(col("doc_id"), col("n_words"), col("n_alpha"),
+        col("n_bpe_tokens"),
+        md5(array_join(transform(col("ps"), x => x.getField("piece")), ""))
+          .as("fp"))
+      .orderBy("doc_id")
+
+  /** Sequence packing over BPE token counts — the t141 query: t69's
+    * sharded greedy packing (hash-sharded independent token streams, so
+    * the cumulative window partitions by shard and parallelizes to any
+    * executor count) with the budget consumed in LEARNED-subword tokens
+    * instead of whitespace words — the accounting a real context-window
+    * builder runs. Shard rule, budget, and window shape are t69's exactly,
+    * so the two queries differ only in the token measure.
+    */
+  def t141BpePack(s: SparkSession, d: String): DataFrame = {
+    val toks = bpePieces(s, d)
+      .groupBy("doc_id")
+      .agg(sum("n_toks").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(16L)))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / PackBudget.toDouble).cast("long")
+          .as("pack_id"),
+        (col("start_tok") % PackBudget).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+}

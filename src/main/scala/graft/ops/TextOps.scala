@@ -2952,36 +2952,6 @@ object TextOps {
     */
   private def trunc6(c: Column): Column = floor(c * 1e6) / 1e6
 
-  /** Link-graph PageRank over the document corpus — the t135 query, the
-    * graph-centrality source-quality signal large curation pipelines
-    * compute over the crawl graph (CommonCrawl ranks its URLs by
-    * centrality; RefinedWeb and CCNet select by such source-level signals
-    * — public methods; Page et al. 1999 for the algorithm itself). The
-    * driver corpus carries no real hyperlinks, so the graph is derived
-    * deterministically from doc_ids (the [[syntheticUrl]] convention):
-    * each document emits 3 outlinks `h48(id ++ '#' ++ j) mod N` (the
-    * shared md5-prefix hash, so targets scatter multinomially and
-    * in-degrees genuinely vary — an affine rule like `(31·id + c) mod N`
-    * is a bijection per j, which makes the graph 3-regular in AND out and
-    * PageRank degenerately uniform), self-links dropped.
-    *
-    * Scale design — the iterative-shuffle pattern CC ([[d91IncrementalCc]])
-    * established, applied to weighted propagation:
-    *  - the edge table is built map-side, repartitioned ON src ONCE and
-    *    persisted: every iteration's rank-flow join reuses that
-    *    partitioning, so per iteration only the compact (node, pr) table
-    *    moves through the exchange — the edges never re-shuffle;
-    *  - one iteration = equi-join ranks⋈edges on src (ranks shuffle to the
-    *    edges' layout), groupBy dst with map-side partial sums, one
-    *    broadcast-free corpus-sized aggregation — the canonical
-    *    power-iteration step;
-    *  - [[PrIters]] is a fixed constant and every iteration's masses are
-    *    6dp-floor-truncated ([[trunc6]]), so the trajectory is bit-exact
-    *    in any engine and the oracle unrolls the same three steps;
-    *  - nodes with no inbound edges keep the teleport mass via a left
-    *    join + coalesce(0) — no dangling-mass correction is needed because
-    *    every node has outdegree ≥ 2 by construction.
-    */
   /** Quality-keeper near-dup resolution — the d137 query. d46 labels the
     * duplicate clusters and d26's min-doc_id convention picks an ARBITRARY
     * representative; a curation pipeline keeps the BEST one (Gopher/C4
@@ -3076,6 +3046,45 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Link-graph PageRank over the document corpus — the t135 query, the
+    * graph-centrality source-quality signal large curation pipelines
+    * compute over the crawl graph (CommonCrawl ranks its URLs by
+    * centrality; RefinedWeb and CCNet select by such source-level signals
+    * — public methods; Page et al. 1999 for the algorithm itself). The
+    * driver corpus carries no real hyperlinks, so the graph is derived
+    * deterministically from doc_ids (the [[syntheticUrl]] convention):
+    * each document emits 3 outlinks `h48(id ++ '#' ++ j) mod N` (the
+    * shared md5-prefix hash, so targets scatter multinomially and
+    * in-degrees genuinely vary — an affine rule like `(31·id + c) mod N`
+    * is a bijection per j, which makes the graph 3-regular in AND out and
+    * PageRank degenerately uniform), self-links dropped.
+    *
+    * Scale design — the iterative-shuffle pattern CC ([[d91IncrementalCc]])
+    * established, applied to weighted propagation:
+    *  - the edge table is built map-side, repartitioned ON src ONCE and
+    *    persisted: every iteration's rank-flow join reuses that
+    *    partitioning, so per iteration only the compact (node, pr) table
+    *    moves through the exchange — the edges never re-shuffle;
+    *  - one iteration = equi-join ranks⋈edges on src (ranks shuffle to the
+    *    edges' layout), groupBy dst with map-side partial sums, one
+    *    broadcast-free corpus-sized aggregation — the canonical
+    *    power-iteration step;
+    *  - [[PrIters]] is a fixed constant and every iteration's masses are
+    *    6dp-floor-truncated ([[trunc6]]), so the trajectory is bit-exact
+    *    in any engine and the oracle unrolls the same three steps;
+    *  - the per-edge flow terms `pr/outdeg` are floor-quantized to 1e-6
+    *    INTEGERS before the inflow sum, and integer addition is
+    *    associative-commutative — so the summed inflow is independent of
+    *    Spark's (and DuckDB's) partition/merge order. A raw double sum
+    *    truncated AFTER the fact would still be order-dependent in the
+    *    last ulp, and a mass landing within 1 ulp of a 1e-6 floor
+    *    boundary could flip the whole downstream trajectory between
+    *    engines (the t71 idf_q / t136 dyadic-key convention: close float
+    *    hazards by construction, not by luck of the corpus);
+    *  - nodes with no inbound edges keep the teleport mass via a left
+    *    join + coalesce(0) — no dangling-mass correction is needed because
+    *    every node has outdegree ≥ 2 by construction.
+    */
   def t135LinkPagerank(s: SparkSession, d: String): DataFrame = {
     val docs = CacheRegistry.harness.add(
       documents(s, d).select("doc_id").persist())
@@ -3102,13 +3111,18 @@ object TextOps {
         .join(edges, col("doc_id") === col("src"))
         .join(outdeg, Seq("src"))
         .groupBy(col("dst").as("doc_id"))
-        .agg(sum(col("pr") / col("outdeg")).as("inflow"))
+        // integer-quantized flow terms: floor((pr/outdeg)·1e6) is computed
+        // identically per edge in both engines (one IEEE division, one
+        // multiply, one floor), and the BIGINT sum is order-independent —
+        // no addend reordering can move the result
+        .agg(sum(floor(col("pr") / col("outdeg") * 1e6)).as("inflow_q"))
         .withColumnRenamed("doc_id", "dst_id")
       ranks = CacheRegistry.harness.add(docs
         .join(flow, col("doc_id") === col("dst_id"), "left")
         .select(col("doc_id"),
-          trunc6(lit(teleport) +
-            lit(PrDamping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+          trunc6(lit(teleport) + lit(PrDamping) *
+            (coalesce(col("inflow_q"), lit(0L)).cast("double") / 1e6))
+            .as("pr"))
         .persist())
     }
     ranks.orderBy("doc_id")

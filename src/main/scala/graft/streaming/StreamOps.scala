@@ -748,7 +748,7 @@ object StreamOps {
     * [[compactSemanticState]] / [[compactHammingState]] /
     * [[compactFrameState]] / [[compactAnnIndex]]) apply tombstones
     * physically — each compacts from [[liveRaw]], so a deleted id never
-    * reaches a serving layout (CompactionSpec proves
+    * reaches a serving layout (TombstoneCompactionSpec proves
     * tombstone → compact → probe ≡ the survivor-only probe per schema).
     */
   def tombstoneStream(spark: SparkSession, deletes: DataFrame,

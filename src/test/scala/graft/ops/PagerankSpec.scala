@@ -17,9 +17,14 @@ class PagerankSpec extends SparkSpec {
       TextOps.t135LinkPagerank(spark, sf).persist())
     val n = out.count()
     val mass = out.agg(sum("pr")).head.getDouble(0)
-    // each node loses < 1e-6 to floor truncation at each of the
-    // PrIters + 1 truncation points (init + per iteration)
-    val maxLoss = n * (TextOps.PrIters + 1) * 1e-6
+    // truncation sites, each losing < 1e-6 of mass per quantized value:
+    //  - the rank floor (trunc6): n values at init + per iteration;
+    //  - the per-EDGE flow quantization (floor((pr/outdeg)·1e6), the
+    //    order-independence fix): ≤ 3n edge terms per iteration, damped
+    //    by 0.85 before they reach the rank.
+    val maxLoss =
+      n * (TextOps.PrIters + 1) * 1e-6 +
+        3 * n * TextOps.PrIters * TextOps.PrDamping * 1e-6
     assert(mass <= 1.0 + 1e-9 && mass >= 1.0 - maxLoss,
       s"mass $mass outside [1 - $maxLoss, 1]")
     // every node keeps at least the truncated teleport mass
