@@ -27,9 +27,10 @@ import graft.Tables._
   *    (each word contributes len-1 weighted pairs), a partial-aggregated
   *    `sum(freq)` per pair, and `orderBy(cnt desc, pair).limit(1)` — Spark
   *    plans TakeOrderedAndProject (per-partition top-1, merge of 1-row
-  *    partials), never a global sort. The winning rule broadcasts (one
-  *    ~10-byte row) onto the vocab for a map-side `replace`. [[BpeMerges]]
-  *    rounds total, each O(vocab), zero corpus passes.
+  *    partials), never a global sort. The winning rule is collected (one
+  *    ~10-byte row — see [[learnBpeOn]] on why that cut is load-bearing)
+  *    and applied to the vocab as a literal map-side `replace`.
+  *    [[BpeMerges]] rounds total, each O(vocab), zero corpus passes.
   *  - the learned merge table is a FROZEN offline artifact (the
   *    v60-codebook / d92-centroid contract): production learns it once,
   *    ships it, and tokenizes any later batch under it — which is why t140
@@ -108,49 +109,61 @@ object BpeOps {
       concat(lit(" "),
         call_function("replace", pair, lit(" "), lit("")), lit(",")))
 
+  /** One learned merge rule: `pair` is the `"a b"` rule string, `cnt` its
+    * winning weighted adjacent-pair count, `rnk` its 1-based learn order.
+    */
+  final case class MergeRule(rnk: Long, pair: String, cnt: Long)
+
   /** Run the [[BpeMerges]]-round learning loop over a documents table.
     * Returns (the vocab with all merges applied — word → final symbol
-    * sequence — and the merge table (rnk, pair, cnt) in learned order).
-    * Each round's vocab is persisted (and registered with the harness
-    * registry) because round r+1's pair counts and the final tokenize both
-    * re-read it.
+    * sequence — and the learned rules in order). Each round's vocab is
+    * persisted (and registered with the harness registry) because round
+    * r+1's pair counts and the final tokenize both re-read it.
+    *
+    * The per-round argmax is a 1-row TakeOrderedAndProject COLLECTED to
+    * the driver — the bounded frozen-artifact cut (the probed-list-literal
+    * convention: the collect IS the artifact production ships). It is also
+    * what keeps the lazy plan LINEAR across rounds: leaving the argmax
+    * in-plan as a broadcast join makes vocab_r reference vocab_{r−1}
+    * TWICE (the projected side and inside the argmax), doubling the
+    * logical tree per round — Catalyst analysis goes exponential in K and
+    * a 10-rule learn never reaches execution. BPE learning is inherently
+    * sequential in its rules, so the K tiny driver actions are the
+    * algorithm's own critical path, not an artifact.
     */
-  def learnBpeOn(docs: DataFrame): (DataFrame, DataFrame) = {
+  def learnBpeOn(docs: DataFrame): (DataFrame, Seq[MergeRule]) = {
     var vocab = CacheRegistry.harness.add(bpeVocab0(docs).persist())
-    var merges: DataFrame = null
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     for (r <- 1 to BpeMerges) {
-      val best = CacheRegistry.harness.add(
-        vocab
-          .select(col("freq"),
-            explode(adjacentPairs(syms(col("seq")))).as("pair"))
-          .groupBy("pair").agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(1)
-          .withColumn("rnk", lit(r.toLong))
-          .persist())
-      merges = if (merges == null) best else merges.unionByName(best)
+      val row = vocab
+        .select(col("freq"),
+          explode(adjacentPairs(syms(col("seq")))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .head()
+      rules += MergeRule(r.toLong, row.getString(0), row.getLong(1))
       vocab = CacheRegistry.harness.add(
-        vocab.crossJoin(broadcast(best.select(col("pair").as("bpair"))))
-          .select(col("word"), col("freq"),
-            applyMerge(col("seq"), col("bpair")).as("seq"))
+        vocab.select(col("word"), col("freq"),
+          applyMerge(col("seq"), lit(row.getString(0))).as("seq"))
           .persist())
     }
-    (vocab, merges)
+    (vocab, rules.toSeq)
   }
 
-  def learnBpe(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  def learnBpe(s: SparkSession, d: String): (DataFrame, Seq[MergeRule]) =
     learnBpeOn(documents(s, d))
 
   /** Merge-rule learning — the t139 query: the [[BpeMerges]] learned rules
     * in order, each with its winning adjacent-pair count. Oracle: the same
     * rounds unrolled as CTE triples (pair counts → argmax → applied vocab).
     */
-  def t139BpeLearn(s: SparkSession, d: String): DataFrame =
+  def t139BpeLearn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     learnBpe(s, d)._2
-      .select(col("rnk"), col("pair"),
-        call_function("replace", col("pair"), lit(" "), lit(""))
-          .as("merged"),
-        col("cnt"))
+      .map(r => (r.rnk, r.pair, r.pair.replace(" ", ""), r.cnt))
+      .toDF("rnk", "pair", "merged", "cnt")
       .orderBy("rnk")
+  }
 
   /** Per-doc word/piece table under the frozen merges — the shared tail of
     * t140 (per-doc accounting) and t141 (packing): posexploded corpus
