@@ -1763,8 +1763,12 @@ object OracleGen {
     * taken against EACH probed list's centroid before the codeword dots.
     * Scoring joins codes to the LUT through the code row's assigned list —
     * the probed-pair restriction and the residual frame in one equi-join.
+    * `scFilter` is an extra predicate on the scored code rows (the v142
+    * serve-time metadata filter, e.g. `AND co.label % 2 = 0`) — `label`
+    * rides the resid/subs/codes chain so the filtered variants apply it
+    * exactly where the Spark side does: below the ADC score/rank.
     */
-  private val ivfPqResidualCtes: String = {
+  private def ivfPqResidualCtes(scFilter: String = ""): String = {
     val m = VectorOps.PqM
     val k = VectorOps.PqK
     val dim = VectorOps.Dim
@@ -1772,7 +1776,8 @@ object OracleGen {
     val dist = "list_dot_product(s.sub, s.sub) " +
       "- 2 * list_dot_product(s.sub, c.cvec) " +
       "+ list_dot_product(c.cvec, c.cvec)"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
        ic0 AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
                 unnest(embedding::DOUBLE[]) AS x FROM embeddings),
        ic1 AS (SELECT label, dim, round(avg(x), 4) AS cv
@@ -1789,13 +1794,13 @@ object OracleGen {
        probes AS (SELECT vec_id AS query_id, clabel FROM ranked
          WHERE vec_id < 5 AND arn <= 2),
        resid AS (
-         SELECT a.vec_id, a.clabel,
+         SELECT a.vec_id, a.clabel, e.label,
            list_transform(generate_series(1, $dim),
              i -> e.v[i] - ic.cvec[i]) AS rv
          FROM assigned a JOIN e ON e.vec_id = a.vec_id
          JOIN ic ON ic.clabel = a.clabel),
        subs AS (
-         SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+         SELECT vec_id, label, CAST(t.m AS INTEGER) AS m,
            list_slice(rv, t.m * $sub + 1, (t.m + 1) * $sub) AS sub
          FROM resid, unnest(generate_series(0, ${m - 1})) AS t(m)),
        c0 AS (
@@ -1818,8 +1823,8 @@ object OracleGen {
        c1 AS (SELECT m, cid, list(cv ORDER BY dim) AS cvec FROM cg
               GROUP BY m, cid),
        codes AS (
-         SELECT vec_id, m, cid FROM (
-           SELECT s.vec_id, s.m, c.cid,
+         SELECT vec_id, label, m, cid FROM (
+           SELECT s.vec_id, s.label, s.m, c.cid,
              row_number() OVER (PARTITION BY s.vec_id, s.m
                ORDER BY $dist, c.cid) AS arn
            FROM subs s JOIN c1 c ON s.m = c.m) t WHERE arn = 1),
@@ -1843,18 +1848,33 @@ object OracleGen {
          JOIN assigned a ON a.vec_id = co.vec_id
          JOIN lut l ON l.clabel = a.clabel
            AND l.m = co.m AND l.cid = co.cid
-         WHERE co.vec_id <> l.query_id
+         WHERE co.vec_id <> l.query_id$scFilter
          GROUP BY l.query_id, co.vec_id)"""
   }
 
-  val ivfPqResidual: String =
-    s"""$ivfPqResidualCtes,
+  /** Shared ranking tail over the residual chain's `sc` scores — one
+    * definition for the unfiltered v133 and the filtered v142.
+    */
+  private val ivfPqResidualTail: String =
+    s""",
        rk AS (
          SELECT query_id, vec_id AS neighbor_id, approx_r,
            row_number() OVER (PARTITION BY query_id
              ORDER BY approx_r DESC, vec_id) AS rnk FROM sc)
      SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
      ORDER BY query_id, rnk"""
+
+  val ivfPqResidual: String = ivfPqResidualCtes() + ivfPqResidualTail
+
+  /** Filtered residual IVF+PQ (v142) matching
+    * [[VectorOps.v142FilteredIvfPq]]: the exact v133 chain with `label`
+    * carried onto the code rows and the predicate (label % 2 = 0)
+    * applied to the scored code rows BELOW the ADC ranking — exactly
+    * where the Spark side filters, so top-k fills wherever the filtered
+    * probed lists hold ≥ k candidates.
+    */
+  val filteredIvfPq: String =
+    ivfPqResidualCtes(" AND co.label % 2 = 0") + ivfPqResidualTail
 
   /** ADC shortlist + exact re-rank (v134) matching
     * [[VectorOps.v134IvfPqRerank]]: the full residual-IVFPQ chain up to the
@@ -1863,8 +1883,12 @@ object OracleGen {
     * query on (approx DESC, vec_id), then re-scored with the exact cosine
     * against the raw vectors and ranked on the unrounded exact score.
     */
-  val ivfPqRerank: String =
-    s"""$ivfPqResidualCtes,
+  /** Shared shortlist + exact-re-rank tail — one definition for the
+    * unfiltered v134 and the filtered v143 (whose shortlist is already
+    * attribute-pure because the filter ran in `sc`).
+    */
+  private val ivfPqRerankTail: String =
+    s""",
        short AS (
          SELECT query_id, vec_id FROM (
            SELECT query_id, vec_id,
@@ -1885,6 +1909,109 @@ object OracleGen {
              ORDER BY ex DESC, neighbor_id) AS rnk FROM rr)
      SELECT query_id, neighbor_id, exact_r, rnk FROM rk WHERE rnk <= 3
      ORDER BY query_id, rnk"""
+
+  val ivfPqRerank: String = ivfPqResidualCtes() + ivfPqRerankTail
+
+  /** Filtered shortlist + exact re-rank (v143) matching
+    * [[VectorOps.v143FilteredRerank]]: the v134 two-stage serving with
+    * the v142 predicate in STAGE 1 — the shortlist CTE ranks only
+    * attribute-matching scored rows, so the re-rank never has to discard
+    * (and thus never under-fills).
+    */
+  val filteredIvfPqRerank: String =
+    ivfPqResidualCtes(" AND co.label % 2 = 0") + ivfPqRerankTail
+
+  /** Vector-family CDC (v144) matching
+    * [[VectorOps.v144VecUpdateReencode]] — the ONE-SHOT twin of the
+    * tombstone-heal + O(batch)-re-encode update: the coarse centroids
+    * (`ic`, per-label 4dp means) and the PQ codebooks (`c0`..`c1`,
+    * first-K init + one 4dp Lloyd refinement) train on the ORIGINAL
+    * corpus (the frozen pre-update artifacts), while assignment,
+    * encoding, queries and probes all run over the UPDATED corpus
+    * (`eu`: vec_id % 5 = 2 re-embedded as list_reverse). Equality proves
+    * the CDC'd index is indistinguishable from an index that always held
+    * the revisions.
+    */
+  val vecUpdateReencode: String = {
+    val m = VectorOps.PqM
+    val k = VectorOps.PqK
+    val sub = VectorOps.Dim / m
+    val dist = "list_dot_product(s.sub, s.sub) " +
+      "- 2 * list_dot_product(s.sub, c.cvec) " +
+      "+ list_dot_product(c.cvec, c.cvec)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       eu AS (SELECT vec_id,
+           CASE WHEN vec_id % 5 = 2 THEN list_reverse(embedding::DOUBLE[])
+                ELSE embedding::DOUBLE[] END AS v
+         FROM embeddings),
+       ic0 AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+       ic1 AS (SELECT label, dim, round(avg(x), 4) AS cv
+              FROM ic0 GROUP BY label, dim),
+       ic AS (SELECT label AS clabel, list(cv ORDER BY dim) AS cvec
+             FROM ic1 GROUP BY label),
+       ranked AS (SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY
+             list_dot_product(v, cvec) / (sqrt(list_dot_product(v, v))
+               * sqrt(list_dot_product(cvec, cvec))) DESC,
+             clabel) AS arn
+         FROM eu, ic),
+       assigned AS (SELECT vec_id, clabel FROM ranked WHERE arn = 1),
+       probes AS (SELECT vec_id AS query_id, clabel FROM ranked
+         WHERE vec_id < 5 AND arn <= 2),
+       subst AS (
+         SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+           list_slice(v, t.m * $sub + 1, (t.m + 1) * $sub) AS sub
+         FROM e, unnest(generate_series(0, ${m - 1})) AS t(m)),
+       c0 AS (
+         SELECT m, CAST(vec_id AS INTEGER) AS cid,
+           list_transform(sub, x -> round(x, 4)) AS cvec
+         FROM subst WHERE vec_id < $k),
+       a1 AS (
+         SELECT vec_id, m, sub, cid FROM (
+           SELECT s.vec_id, s.m, s.sub, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subst s JOIN c0 c ON s.m = c.m) t WHERE arn = 1),
+       cg AS (
+         SELECT m, cid, dim, round(avg(x), 4) AS cv FROM (
+           SELECT m, cid,
+             CAST(generate_subscripts(sub, 1) - 1 AS INTEGER) AS dim,
+             unnest(sub) AS x
+           FROM a1) u
+         GROUP BY m, cid, dim),
+       c1 AS (SELECT m, cid, list(cv ORDER BY dim) AS cvec FROM cg
+              GROUP BY m, cid),
+       subsu AS (
+         SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+           list_slice(v, t.m * $sub + 1, (t.m + 1) * $sub) AS sub
+         FROM eu, unnest(generate_series(0, ${m - 1})) AS t(m)),
+       codes AS (
+         SELECT vec_id, m, cid FROM (
+           SELECT s.vec_id, s.m, c.cid,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY $dist, c.cid) AS arn
+           FROM subsu s JOIN c1 c ON s.m = c.m) t WHERE arn = 1),
+       lut AS (
+         SELECT s.vec_id AS query_id, s.m, c.cid,
+           round(list_dot_product(s.sub, c.cvec), 4) AS pd
+         FROM subsu s JOIN c1 c ON s.m = c.m WHERE s.vec_id < 5),
+       sc AS (
+         SELECT l.query_id, co.vec_id, round(sum(l.pd), 4) AS approx_r
+         FROM codes co
+         JOIN assigned a ON a.vec_id = co.vec_id
+         JOIN probes p ON p.clabel = a.clabel
+         JOIN lut l ON l.m = co.m AND l.cid = co.cid
+           AND l.query_id = p.query_id
+         WHERE co.vec_id <> p.query_id
+         GROUP BY l.query_id, co.vec_id),
+       rk AS (
+         SELECT query_id, vec_id AS neighbor_id, approx_r,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_r DESC, vec_id) AS rnk FROM sc)
+     SELECT query_id, neighbor_id, approx_r, rnk FROM rk WHERE rnk <= 3
+     ORDER BY query_id, rnk"""
+  }
 
   /** Link-graph PageRank (t135) matching [[TextOps.t135LinkPagerank]]:
     * the same deterministic 3-outlink graph `h48(md5(id || '#' || j)) mod

@@ -184,6 +184,9 @@ object SparkEntry {
     "t139_bpe_learn" -> (BpeOps.t139BpeLearn _),
     "t140_bpe_tokenize" -> (BpeOps.t140BpeTokenize _),
     "t141_bpe_pack" -> (BpeOps.t141BpePack _),
+    "v142_filtered_ivfpq" -> (VectorOps.v142FilteredIvfPq _),
+    "v143_filtered_rerank" -> (VectorOps.v143FilteredRerank _),
+    "v144_vec_update" -> (VectorOps.v144VecUpdateReencode _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -653,6 +656,16 @@ object SparkEntry {
     "t140_bpe_tokenize" -> OracleGen.bpeTokenize,
     // t69's packing consumer re-expressed over learned-subword budgets
     "t141_bpe_pack" -> OracleGen.bpePack,
+    // v129's serve-time metadata predicate on the production residual
+    // IVFADC index: label rides the encode carry onto the code rows, the
+    // filter runs below the ADC score (post-top-k would under-fill k)
+    "v142_filtered_ivfpq" -> OracleGen.filteredIvfPq,
+    // v134's two-stage serving with the predicate in STAGE 1, so the
+    // shortlist is already attribute-pure before the exact re-rank
+    "v143_filtered_rerank" -> OracleGen.filteredIvfPqRerank,
+    // vector CDC: tombstone heal + O(batch) re-encode at frozen
+    // artifacts ≡ a one-shot index over the updated corpus
+    "v144_vec_update" -> OracleGen.vecUpdateReencode,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -1160,11 +1160,12 @@ object VectorOps {
     * [[pqSubvectors]] input shape (vec_id, clabel, embedding) so the whole
     * PQ chain — train/encode/LUT — runs on residuals unchanged.
     */
-  def residualOf(vecs: DataFrame, cent: DataFrame): DataFrame =
+  def residualOf(vecs: DataFrame, cent: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
     vecs.join(broadcast(cent), "clabel")
-      .select(col("vec_id"), col("clabel"),
+      .select(Seq(col("vec_id"), col("clabel"),
         zip_with(col("embedding").cast("array<double>"), col("cvec"),
-          (a, b) => a - b).as("embedding"))
+          (a, b) => a - b).as("embedding")) ++ carry.map(col): _*)
 
   /** Per-(query, probed-list) ADC lookup table for the residual index: the
     * query's residual is taken against EACH probed list's centroid (a
@@ -1207,24 +1208,31 @@ object VectorOps {
 
   /** Residual-ADC scored candidates over the probed lists — the full v133
     * chain up to (query_id, neighbor_id, sim). Shared by v133 (ranked
-    * top-3 on the ADC score) and v134 (shortlisted then exact-re-ranked),
-    * so the two serve the same approximate scores by construction.
+    * top-3 on the ADC score), v134 (shortlisted then exact-re-ranked),
+    * and the filtered v142/v143 — so all four serve the same approximate
+    * scores by construction. `pred` is the serve-time metadata predicate
+    * (the v122/v129 contract): the `label` attribute rides the encode
+    * carry ONTO the residual code rows, and the predicate runs on the
+    * code table BELOW the ADC score — post-filtering a top-k would
+    * under-fill k, pre-filtering at encode would need one index per
+    * predicate.
     */
-  private[ops] def ivfPqResidualCands(s: SparkSession, d: String)
-      : DataFrame = {
+  private[ops] def ivfPqResidualCands(s: SparkSession, d: String,
+      pred: Column = lit(true)): DataFrame = {
     val emb = CacheRegistry.harness.add(
       embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
         .persist())
     val cent = CacheRegistry.harness.add(ivfCodebookOn(emb).persist())
-    val assigned = assignToIvfLists(s, emb, cent)
+    val assigned = assignToIvfLists(s, emb, cent, carry = Seq("label"))
     val subs = CacheRegistry.harness.add(
-      pqSubvectors(residualOf(assigned, cent), carry = Seq("clabel"))
+      pqSubvectors(residualOf(assigned, cent, carry = Seq("label")),
+        carry = Seq("clabel", "label"))
         .persist())
     val cb = CacheRegistry.harness.add(
       trainPqCodebooksOn(s, subs, col("vec_id") < PqK).persist())
-    val codes = encodePq(s, subs, cb, carry = Seq("clabel"))
+    val codes = encodePq(s, subs, cb, carry = Seq("clabel", "label"))
     val probes = ivfQueryProbes(s, emb.filter(col("vec_id") < 5), cent)
-    listLutAdcScore(codes, residualLut(s, probes, cent, cb))
+    listLutAdcScore(codes.filter(pred), residualLut(s, probes, cent, cb))
   }
 
   /** v134 shortlist size: how many ADC candidates per query get the exact
@@ -1250,11 +1258,22 @@ object VectorOps {
     * vectors per query ever reach the cosine; no window, shuffle, or dot
     * runs over anything corpus-sized at exact precision.
     */
-  def v134IvfPqRerank(s: SparkSession, d: String): DataFrame = {
+  def v134IvfPqRerank(s: SparkSession, d: String): DataFrame =
+    exactRerank(s, d, ivfPqResidualCands(s, d))
+
+  /** The exact re-rank tail shared by v134 (unfiltered) and v143
+    * (filtered candidates): shortlist the ADC `cands` to the
+    * top-[[RerankR]] per query, re-score ONLY those rows with the exact
+    * cosine against the raw vectors, serve the exact-scored top-3. The
+    * shortlist is broadcast INTO the raw-embedding table, so the float
+    * corpus is read once and only R vectors per query reach the cosine.
+    */
+  private def exactRerank(s: SparkSession, d: String, cands: DataFrame)
+      : DataFrame = {
     val emb = embeddings(s, d)
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    val shortlist = ivfPqResidualCands(s, d)
+    val shortlist = cands
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= RerankR)
       .select("query_id", "neighbor_id")
@@ -1274,6 +1293,37 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Filtered residual IVF+PQ — the v142 query, closing the lifecycle
+    * matrix cell the production index was missing: v129's serve-time
+    * metadata predicate (label parity — the shape of a license/language/
+    * modality filter) on the index a deployment actually runs (v133's
+    * residual IVFADC). The attribute lands ON the residual code rows at
+    * encode time ([[encodePq]] carry — the same ride that transports
+    * `clabel`), so the filtered ADC scan touches no side table and no
+    * raw floats; the predicate runs BELOW the score/rank, composing with
+    * the probed-list restriction (the equi-join key) — post-filtering
+    * would under-fill k, and on the clabel-bucketed serving layout the
+    * same predicate pushes into the parquet scan
+    * ([[probeIvfPqResidualState]]'s `pred`; FilteredIvfPqSpec asserts
+    * PushedFilters + SelectedBucketsCount). Reference anchor: `select`'s
+    * `where` pushdown (betfairdatabase/database.py:144-151) applied to
+    * the compressed index.
+    */
+  def v142FilteredIvfPq(s: SparkSession, d: String): DataFrame =
+    pqTopK(ivfPqResidualCands(s, d, col("label") % 2 === 0))
+
+  /** Filtered shortlist + exact re-rank — the v143 query, v134's
+    * two-stage serving under the v142 predicate. The decisive design
+    * point is WHERE the filter runs: in STAGE 1 (the ADC scan), so the
+    * shortlist is already attribute-pure and stage 2 re-ranks R
+    * qualifying rows per query — filtering after the re-rank would
+    * under-fill k whenever a non-matching neighbor out-scored a matching
+    * one in the shortlist. Stage 2 is unchanged: broadcast shortlist into
+    * the raw-embedding table, exact cosine on queries×R rows only.
+    */
+  def v143FilteredRerank(s: SparkSession, d: String): DataFrame =
+    exactRerank(s, d, ivfPqResidualCands(s, d, col("label") % 2 === 0))
+
   /** Serve a residual-encoded [[writeIvfPqBucketedState]] code table: the
     * caller's prebuilt [[residualLut]] carries the probed lists, so the
     * pruning literal comes from the LUT itself; scan properties and the
@@ -1281,12 +1331,86 @@ object VectorOps {
     * ([[probeIvfPqBucketedState]]).
     */
   def probeIvfPqResidualState(s: SparkSession, tableName: String,
-      lut: DataFrame, tombstones: Option[DataFrame] = None): DataFrame = {
+      lut: DataFrame, tombstones: Option[DataFrame] = None,
+      pred: Column = lit(true)): DataFrame = {
     val probedLists = lut.select("clabel").distinct().collect().map(_.get(0))
+    // `pred` is the serve-time metadata filter (v142): applied to the
+    // state scan BELOW the score/rank, it composes with the clabel bucket
+    // pruning and — referencing an encode-carried attribute column —
+    // pushes into the parquet scan itself (FilteredIvfPqSpec asserts
+    // PushedFilters). Post-top-k filtering would under-fill k.
     val pruned = s.table(tableName).filter(col("clabel").isin(probedLists: _*))
+      .filter(pred)
     val state = tombstones.fold(pruned)(t =>
       pruned.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
     listLutAdcScore(state, lut)
+  }
+
+  /** Vector-family CDC — the v144 query, d131's update-as-delete+reingest
+    * story transferred to the combined IVF+PQ index (the one lifecycle
+    * cell the vector pillar was missing): a batch of vec_ids is
+    * RE-EMBEDDED (vec_id % 5 == 2 gets `reverse(embedding)` — an exact,
+    * engine-neutral stand-in for a re-run embedding model that genuinely
+    * moves vectors between lists), implemented with ZERO corpus
+    * recompute at the FROZEN artifacts (coarse centroids + PQ codebooks
+    * trained before the update — the v121/d92 contract):
+    *
+    *  - tombstone heal: the updated ids' code rows anti-join out — code
+    *    rows are independent (vec_id, clabel, m, cid) facts, so one
+    *    O(tombstones) anti-join IS the delete;
+    *  - O(batch) re-encode: ONLY the revised vectors re-assign (frozen
+    *    centroids — a revision may land in a different list) and
+    *    re-encode (frozen codebooks); unchanged vectors' floats are
+    *    never re-read.
+    *
+    * Queries (vec_id < 5, from the UPDATED corpus — a revised doc asks
+    * as its revision) probe the healed+re-ingested table. Oracle: the
+    * ONE-SHOT SQL encoding the updated corpus against the same frozen
+    * artifacts — the CDC'd index must be indistinguishable from an index
+    * that always held the revisions. VecUpdateSpec additionally pins
+    * that a revision MOVES vectors between lists and that old codes
+    * never serve. Streaming form: re-deliver the revised vectors through
+    * [[graft.streaming.StreamOps.ivfPqIngestStream]] — latest-batch-wins
+    * per vec_id (`latestWholeItem`) IS the supersede marker generalized
+    * to vec_id.
+    */
+  def v144VecUpdateReencode(s: SparkSession, d: String): DataFrame = {
+    // persist(): feeds codebook training, both ingest batches, the update
+    // split and the query branch
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .persist())
+    // frozen artifacts, trained BEFORE the update
+    val cent = CacheRegistry.harness.add(ivfCodebookOn(emb).persist())
+    val subsO = CacheRegistry.harness.add(
+      pqSubvectors(emb.select(col("vec_id"), col("embedding"))).persist())
+    val cb = CacheRegistry.harness.add(
+      trainPqCodebooksOn(s, subsO, col("vec_id") < PqK).persist())
+    // two-batch ingest of the ORIGINAL corpus (the v121 shape)
+    val assigned = assignToIvfLists(s, emb, cent)
+    val subsA = CacheRegistry.harness.add(
+      pqSubvectors(assigned, carry = Seq("clabel")).persist())
+    val codes = encodePq(s, subsA.filter(col("vec_id") % 2 === 0), cb,
+        carry = Seq("clabel"))
+      .unionByName(encodePq(s, subsA.filter(col("vec_id") % 2 === 1), cb,
+        carry = Seq("clabel")))
+    // the CDC batch: updated ids re-embedded
+    val updatedIds = emb.filter(col("vec_id") % 5 === 2).select("vec_id")
+    val revised = emb.filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val assignedU = assignToIvfLists(s, revised, cent)
+    val newCodes = encodePq(s,
+      pqSubvectors(assignedU, carry = Seq("clabel")), cb,
+      carry = Seq("clabel"))
+    val healed = codes.join(updatedIds, Seq("vec_id"), "left_anti")
+      .unionByName(newCodes)
+    // queries from the updated corpus
+    val q = CacheRegistry.harness.add(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 2, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding")).persist())
+    val probes = ivfQueryProbes(s, q, cent)
+    pqTopK(ivfPqAdcScore(s, healed, pqSubvectors(q), cb, probes))
   }
 
   /** Higher-order array-function scalar library over the embedding column:

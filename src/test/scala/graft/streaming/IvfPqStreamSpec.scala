@@ -100,4 +100,83 @@ class IvfPqStreamSpec extends SparkSpec {
     s.sql("DROP TABLE IF EXISTS g_sivfpq_state")
     graft.ops.CacheRegistry.harness.release()
   }
+
+  test("streaming vector CDC: a re-delivered (revised) vector supersedes " +
+      "— latest-batch-wins is the supersede marker generalized to vec_id," +
+      " and old-list codes never serve") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("ivfpqcdc").toString
+    val state = s"$dir/codes"
+    val centroidPath = s"$dir/centroids"
+    val codebookPath = s"$dir/codebook"
+    s.sql("DROP TABLE IF EXISTS g_cdcivfpq_state")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding")).persist()
+    graft.ops.CacheRegistry.harness.add(emb)
+    // frozen artifacts, trained BEFORE any update
+    VectorOps.ivfCodebookOn(emb).write.mode("overwrite").parquet(centroidPath)
+    val cent = s.read.parquet(centroidPath)
+    VectorOps.trainPqCodebooksOn(s,
+        VectorOps.pqSubvectors(VectorOps.residualOf(
+          VectorOps.assignToIvfLists(s, emb, cent), cent)),
+        col("vec_id") < VectorOps.PqK)
+      .write.mode("overwrite").parquet(codebookPath)
+    val cb = s.read.parquet(codebookPath)
+    // the updated corpus: vec_id % 5 == 2 re-embedded (reversed)
+    val embU = emb.select(col("vec_id"),
+      when(col("vec_id") % 5 === 2, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding")).persist()
+    graft.ops.CacheRegistry.harness.add(embU)
+    val originals = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val revisions = embU.filter(col("vec_id") % 5 === 2)
+      .as[(Long, Seq[Float])].collect()
+    // batch 1 = the full original corpus; batch 2 = the revision feed —
+    // an update IS a re-delivery through the same ingest sink (the
+    // updateDedupStream contract on the vector pillar)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.ivfPqIngestStream(s,
+      mem.toDF().toDF("vec_id", "embedding"), centroidPath, codebookPath,
+      state)
+    mem.addData(originals.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(revisions.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // raw state holds BOTH encodings of a revised vector (2×M rows) —
+    // supersession is a read-side rule, not a rewrite
+    val raw = s.read.parquet(state)
+    val revisedCount = revisions.length.toLong
+    assert(raw.filter(col("vec_id") % 5 === 2).count() ==
+      2L * revisedCount * VectorOps.PqM)
+    // the query path serves the one-shot answer over the UPDATED corpus
+    val queries = embU.filter(col("vec_id") < 5)
+    val probes = VectorOps.ivfQueryProbes(s, queries, cent)
+    val assignedU = VectorOps.assignToIvfLists(s, embU, cent)
+    val oneShot = VectorOps.encodePq(s,
+      VectorOps.pqSubvectors(VectorOps.residualOf(assignedU, cent),
+        carry = Seq("clabel")), cb, carry = Seq("clabel"))
+    val expected = VectorOps.pqTopK(VectorOps.listLutAdcScore(oneShot,
+      VectorOps.residualLut(s, probes, cent, cb)))
+    val served = StreamOps.ivfPqIndexQuery(s, state, centroidPath,
+      codebookPath, queries)
+    assert(served.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(served).count() == 0)
+    // compaction applies the supersession physically: one encoding per
+    // (vec_id, m), and every revised vector's rows carry its NEW list id
+    StreamOps.compactIvfPqCodes(s, state, "g_cdcivfpq_state",
+      s"$dir/g_cdcivfpq_state")
+    val compacted = s.table("g_cdcivfpq_state")
+    assert(compacted.groupBy("vec_id", "m").count()
+      .filter(col("count") =!= 1).count() == 0)
+    val newLists = assignedU.filter(col("vec_id") % 5 === 2)
+      .select(col("vec_id"), col("clabel").as("new_clabel"))
+    assert(compacted.join(newLists, "vec_id")
+      .filter(col("clabel") =!= col("new_clabel")).count() == 0,
+      "a revised vector still serves from its pre-update list")
+    s.sql("DROP TABLE IF EXISTS g_cdcivfpq_state")
+    graft.ops.CacheRegistry.harness.release()
+  }
 }
