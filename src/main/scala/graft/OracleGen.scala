@@ -2025,7 +2025,7 @@ object OracleGen {
     * trajectory convention), teleport kept via LEFT JOIN + COALESCE for
     * inbound-less nodes.
     */
-  val linkPagerank: String = {
+  private def pagerankSql(edgeSql: String): String = {
     val iters = (1 to TextOps.PrIters).map { i =>
       s"""f$i AS (
          SELECT e.dst AS doc_id,
@@ -2042,18 +2042,43 @@ object OracleGen {
     }.mkString(",\n       ")
     s"""WITH docs AS (SELECT doc_id FROM documents),
        n AS (SELECT count(*) AS nn FROM docs),
-       e AS (SELECT src, dst FROM (
-           SELECT d.doc_id AS src,
-             ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || t.j::VARCHAR),
-               1, 12))::BIGINT % n.nn AS dst
-           FROM docs d CROSS JOIN n, unnest([0, 1, 2]) AS t(j)) x
-         WHERE dst <> src),
+       e AS ($edgeSql),
        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        p0 AS (SELECT doc_id, floor(1.0 / nn * 1e6) / 1e6 AS pr
               FROM docs CROSS JOIN n),
        $iters
      SELECT doc_id, pr FROM p${TextOps.PrIters} ORDER BY doc_id"""
   }
+
+  val linkPagerank: String = pagerankSql(
+    """SELECT src, dst FROM (
+           SELECT d.doc_id AS src,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || t.j::VARCHAR),
+               1, 12))::BIGINT % n.nn AS dst
+           FROM docs d CROSS JOIN n, unnest([0, 1, 2]) AS t(j)) x
+         WHERE dst <> src""")
+
+  /** Incremental PageRank under the t145 edge delta, matching
+    * [[TextOps.t145PagerankDelta]]: the oracle is the FULL recompute over
+    * the union graph (base 3-outlink edges plus the `j = 3` delta links of
+    * every doc with `doc_id % 97 = 0`) — the incremental-matrix convention
+    * (d84/d91/d92): the CDC'd answer must be indistinguishable from the
+    * one-shot answer over the updated input. Same unrolled quantized
+    * trajectory as [[linkPagerank]]; only the edge CTE differs.
+    */
+  val pagerankDelta: String = pagerankSql(
+    """SELECT src, dst FROM (
+           SELECT d.doc_id AS src,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || t.j::VARCHAR),
+               1, 12))::BIGINT % n.nn AS dst
+           FROM docs d CROSS JOIN n, unnest([0, 1, 2]) AS t(j)
+           UNION ALL
+           SELECT d.doc_id AS src,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || t.j::VARCHAR),
+               1, 12))::BIGINT % n.nn AS dst
+           FROM docs d CROSS JOIN n, unnest([3]) AS t(j)
+           WHERE d.doc_id % 97 = 0) x
+         WHERE dst <> src""")
 
   /** Quality-keeper near-dup resolution (d137) matching
     * [[TextOps.d137QualityKeeper]]: the d46 reachability chain for
@@ -2360,7 +2385,7 @@ object OracleGen {
     * in DuckDB and Spark; see the BpeOps class note for why the
     * `' a, b,'` delimiters make that exactly leftmost-greedy BPE).
     */
-  private val bpeCtes: String = {
+  private def bpeCtesFor(corpusWhere: String): String = {
     val rounds = (1 to graft.ops.BpeOps.BpeMerges).map { r =>
       s"""p$r AS (
          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -2380,13 +2405,15 @@ object OracleGen {
          FROM v${r - 1}, b$r b)"""
     }.mkString(",\n       ")
     s"""w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
-           AS word FROM documents),
+           AS word FROM documents $corpusWhere),
        v0 AS (
          SELECT word, CAST(count(*) AS BIGINT) AS freq,
            regexp_replace(word, '(.)', ' \\1,', 'g') || ' _,' AS seq
          FROM w WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
        $rounds"""
   }
+
+  private val bpeCtes: String = bpeCtesFor("")
 
   /** BPE merge-rule learning (t139) matching
     * [[graft.ops.BpeOps.t139BpeLearn]]: the K learned rules in order with
@@ -2460,4 +2487,54 @@ object OracleGen {
        CAST(floor(start_tok / 512.0) AS BIGINT) AS pack_id,
        CAST(start_tok % 512 AS BIGINT) AS pack_offset
      FROM c ORDER BY doc_id"""
+
+  /** Held-out tokenization under train-learned merges (t146) matching
+    * [[graft.ops.BpeOps.t146BpeHeldout]]: the learning CTEs run over the
+    * TRAIN split only (`doc_id % 10 <> 9`), then the held-out split's
+    * distinct alpha words are tokenized by applying the learned rules
+    * b1..bK in order — the same K literal replace stages the Spark side
+    * folds map-side — and the held-out docs join to that word table.
+    */
+  val bpeHeldout: String = {
+    val k = graft.ops.BpeOps.BpeMerges
+    val hRounds = (1 to k).map { r =>
+      s"""h$r AS (
+         SELECT word,
+           replace(seq, ' ' || replace(b.pair, ' ', ', ') || ',',
+             ' ' || replace(b.pair, ' ', '') || ',') AS seq
+         FROM h${r - 1}, b$r b)"""
+    }.mkString(",\n       ")
+    s"""WITH ${bpeCtesFor("WHERE doc_id % 10 <> 9")},
+       hd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9),
+       h0 AS (
+         SELECT word,
+           regexp_replace(word, '(.)', ' \\1,', 'g') || ' _,' AS seq
+         FROM (SELECT DISTINCT unnest(string_split_regex(trim(lower(text)),
+                 '\\s+')) AS word
+               FROM hd) hw
+         WHERE regexp_full_match(word, '[a-z]+')),
+       $hRounds,
+       htok AS (
+         SELECT word, seq,
+           CAST(len(string_split(substr(seq, 2, length(seq) - 2), ', '))
+             AS BIGINT) AS n_toks
+         FROM h$k),
+       dw AS (
+         SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+                 AS ws
+               FROM hd) dd),
+       pieces AS (
+         SELECT dw.doc_id, dw.pos,
+           CASE WHEN t.seq IS NOT NULL THEN t.seq
+                ELSE ' ' || dw.word || ',' END AS piece,
+           CASE WHEN t.seq IS NOT NULL THEN t.n_toks ELSE 1 END AS n_toks,
+           t.seq IS NOT NULL AS alpha
+         FROM dw LEFT JOIN htok t ON t.word = dw.word)
+     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens,
+       md5(string_agg(piece, '' ORDER BY pos)) AS fp
+     FROM pieces GROUP BY doc_id ORDER BY doc_id"""
+  }
 }

@@ -187,6 +187,8 @@ object SparkEntry {
     "v142_filtered_ivfpq" -> (VectorOps.v142FilteredIvfPq _),
     "v143_filtered_rerank" -> (VectorOps.v143FilteredRerank _),
     "v144_vec_update" -> (VectorOps.v144VecUpdateReencode _),
+    "t145_pagerank_delta" -> (TextOps.t145PagerankDelta _),
+    "t146_bpe_heldout" -> (BpeOps.t146BpeHeldout _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -666,6 +668,14 @@ object SparkEntry {
     // vector CDC: tombstone heal + O(batch) re-encode at frozen
     // artifacts ≡ a one-shot index over the updated corpus
     "v144_vec_update" -> OracleGen.vecUpdateReencode,
+    // incremental PageRank: touched-node re-iteration over the bounded
+    // influence cone of an edge-delta batch; oracle = full recompute
+    // over the union graph (the incremental-matrix convention)
+    "t145_pagerank_delta" -> OracleGen.pagerankDelta,
+    // tokenizer generalization: rules learned on the train split,
+    // applied to held-out docs via the K-deep map-side rule fold —
+    // the serving form of the frozen merge artifact
+    "t146_bpe_heldout" -> OracleGen.bpeHeldout,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

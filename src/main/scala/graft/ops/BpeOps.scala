@@ -94,8 +94,13 @@ object BpeOps {
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("seq",
-        concat(regexp_replace(col("word"), "(.)", " $1,"), lit(" _,")))
+      .withColumn("seq", render(col("word")))
+
+  /** A word's initial rendered sequence: each character wrapped as
+    * `' c,'` plus the `' _,'` end-of-word marker.
+    */
+  private def render(word: Column): Column =
+    concat(regexp_replace(word, "(.)", " $1,"), lit(" _,"))
 
   /** One merge application = one literal replace on the rendered sequence
     * (see the class note on why the `' a, b,'` shape makes non-overlapping
@@ -165,16 +170,14 @@ object BpeOps {
       .orderBy("rnk")
   }
 
-  /** Per-doc word/piece table under the frozen merges — the shared tail of
-    * t140 (per-doc accounting) and t141 (packing): posexploded corpus
-    * words joined to the final vocab (alpha words get their merged symbol
-    * sequence and token count; anything else is one opaque token).
+  /** Per-doc word/piece table under a frozen word→sequence table — the
+    * shared tail of t140/t141 (vocab from the learning loop), t146
+    * (held-out vocab built by the rule fold), and the streaming tokenizer:
+    * posexploded words joined to `tok` (alpha words get their merged
+    * symbol sequence and token count; anything else is one opaque token).
     */
-  private def bpePieces(s: SparkSession, d: String): DataFrame = {
-    val (vocab, _) = learnBpe(s, d)
-    val tok = vocab.select(col("word"), col("seq"),
-      size(syms(col("seq"))).cast("long").as("n_toks"))
-    documents(s, d)
+  private[graft] def piecesOver(docs: DataFrame, tok: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(TextOps.words(col("text"))).as(Seq("pos", "word")))
       .join(tok, Seq("word"), "left")
@@ -183,6 +186,29 @@ object BpeOps {
           .otherwise(concat(lit(" "), col("word"), lit(","))).as("piece"),
         coalesce(col("n_toks"), lit(1L)).as("n_toks"),
         col("seq").isNotNull.as("alpha"))
+
+  /** Per-doc token accounting over a piece table — t140's output shape,
+    * shared with t146 and the streaming tokenizer: word / alpha / BPE
+    * token counts plus the md5 fingerprint of the document-order rendered
+    * token stream.
+    */
+  private[graft] def docSummary(pieces: DataFrame): DataFrame =
+    pieces
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("alpha"), lit(1L)).otherwise(lit(0L))).as("n_alpha"),
+        sum("n_toks").as("n_bpe_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("piece")))).as("ps"))
+      .select(col("doc_id"), col("n_words"), col("n_alpha"),
+        col("n_bpe_tokens"),
+        md5(array_join(transform(col("ps"), x => x.getField("piece")), ""))
+          .as("fp"))
+
+  private def bpePieces(s: SparkSession, d: String): DataFrame = {
+    val (vocab, _) = learnBpe(s, d)
+    val tok = vocab.select(col("word"), col("seq"),
+      size(syms(col("seq"))).cast("long").as("n_toks"))
+    piecesOver(documents(s, d), tok)
   }
 
   /** Corpus tokenization under the frozen merges — the t140 query: per
@@ -197,17 +223,7 @@ object BpeOps {
     * collect_list holds one doc's pieces, never a corpus window.
     */
   def t140BpeTokenize(s: SparkSession, d: String): DataFrame =
-    bpePieces(s, d)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(when(col("alpha"), lit(1L)).otherwise(lit(0L))).as("n_alpha"),
-        sum("n_toks").as("n_bpe_tokens"),
-        array_sort(collect_list(struct(col("pos"), col("piece")))).as("ps"))
-      .select(col("doc_id"), col("n_words"), col("n_alpha"),
-        col("n_bpe_tokens"),
-        md5(array_join(transform(col("ps"), x => x.getField("piece")), ""))
-          .as("fp"))
-      .orderBy("doc_id")
+    docSummary(bpePieces(s, d)).orderBy("doc_id")
 
   /** Sequence packing over BPE token counts — the t141 query: t69's
     * sharded greedy packing (hash-sharded independent token streams, so
@@ -231,5 +247,55 @@ object BpeOps {
           .as("pack_id"),
         (col("start_tok") % PackBudget).as("pack_offset"))
       .orderBy("doc_id")
+  }
+
+  /** Apply the K frozen merge rules in learn order as a FOLD of literal
+    * replaces — one map-side projection, no joins, no shuffles. This is
+    * the serving form of the frozen artifact: t140's vocab table is a
+    * cache of exactly this fold over the training words, and any word the
+    * vocab has never seen (a held-out split, a streaming micro-batch)
+    * tokenizes by running the fold directly. K is small and frozen, so
+    * the K-deep expression stays inside whole-stage codegen.
+    */
+  private[graft] def applyMerges(seq: Column, pairs: Seq[String]): Column =
+    pairs.foldLeft(seq)((c, p) => applyMerge(c, lit(p)))
+
+  /** The word→(seq, n_toks) table for an arbitrary docs batch under the
+    * frozen rules: distinct alpha words, rendered and rule-folded. Shared
+    * by t146 (held-out split) and the streaming tokenizer.
+    */
+  private[graft] def tokTableFor(docs: DataFrame,
+      pairs: Seq[String]): DataFrame =
+    docs.select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .distinct()
+      .withColumn("seq", applyMerges(render(col("word")), pairs))
+      .select(col("word"), col("seq"),
+        size(syms(col("seq"))).cast("long").as("n_toks"))
+
+  /** Held-out tokenization under train-learned merges — the t146 query,
+    * the generalization test every production tokenizer runs: rules are
+    * learned on a TRAINING split (docs with `doc_id % 10 ≠ 9`) and then
+    * applied to the HELD-OUT split (`doc_id % 10 = 9`), whose words the
+    * learning loop never saw. t140 cannot exercise this path — its vocab
+    * covers the whole corpus by construction; here the held-out word set
+    * is tokenized by [[applyMerges]], the rule fold production ships to
+    * tokenize ANY later batch (the streaming tokenizer reuses it
+    * verbatim).
+    *
+    * Scale: learning touches only the train vocab (the t139 story); the
+    * held-out side is one distinct-word aggregation (Heaps'-law small), a
+    * K-deep map-side fold over it, and ONE equi-join of the held-out
+    * corpus words to that table — O(batch), zero recompute of the frozen
+    * rules. Oracle: the same train-split learning CTEs, the same K
+    * replace stages over the held-out word set.
+    */
+  def t146BpeHeldout(s: SparkSession, d: String): DataFrame = {
+    val train = documents(s, d).filter(col("doc_id") % 10 =!= 9)
+    val held = CacheRegistry.harness.add(
+      documents(s, d).filter(col("doc_id") % 10 === 9).persist())
+    val (_, rules) = learnBpeOn(train)
+    val tok = tokTableFor(held, rules.map(_.pair))
+    docSummary(piecesOver(held, tok)).orderBy("doc_id")
   }
 }

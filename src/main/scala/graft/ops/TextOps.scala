@@ -3090,41 +3090,181 @@ object TextOps {
       documents(s, d).select("doc_id").persist())
     val nn = docs.count()
     val edges = CacheRegistry.harness.add(
-      docs.select(col("doc_id").as("src"),
-          explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
-        .select(col("src"),
-          (h48(concat(col("src").cast("string"), lit("#"),
-            col("j").cast("string"))) % nn).as("dst"))
-        .filter(col("dst") =!= col("src"))
+      linkEdges(docs, nn, lit(0L), lit(1L), lit(2L))
         .repartition(col("src"))
         .persist())
     val outdeg = CacheRegistry.harness.add(
       edges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
-    // 0.15 as a LITERAL on both sides: `1.0 - 0.85` in binary doubles is
-    // 0.15000000000000002, not the double the literal `0.15` parses to —
-    // the oracle writes the same literal, so the teleport mass is bit-equal
-    val teleport = 0.15 / nn
-    var ranks = docs.select(col("doc_id"),
-      trunc6(lit(1.0) / nn).as("pr"))
+    var ranks = prInit(docs, nn)
     for (_ <- 1 to PrIters) {
-      val flow = ranks
-        .join(edges, col("doc_id") === col("src"))
-        .join(outdeg, Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        // integer-quantized flow terms: floor((pr/outdeg)·1e6) is computed
-        // identically per edge in both engines (one IEEE division, one
-        // multiply, one floor), and the BIGINT sum is order-independent —
-        // no addend reordering can move the result
-        .agg(sum(floor(col("pr") / col("outdeg") * 1e6)).as("inflow_q"))
-        .withColumnRenamed("doc_id", "dst_id")
-      ranks = CacheRegistry.harness.add(docs
-        .join(flow, col("doc_id") === col("dst_id"), "left")
-        .select(col("doc_id"),
-          trunc6(lit(teleport) + lit(PrDamping) *
-            (coalesce(col("inflow_q"), lit(0L)).cast("double") / 1e6))
-            .as("pr"))
-        .persist())
+      ranks = CacheRegistry.harness.add(
+        prStep(docs, ranks, edges, outdeg, nn).persist())
     }
     ranks.orderBy("doc_id")
+  }
+
+  /** The deterministic synthetic link edges shared by t135 and t145: one
+    * outlink per (doc, j) — `h48(id ++ '#' ++ j) mod N`, self-links
+    * dropped (see [[t135LinkPagerank]] on why the hash rule, not an
+    * affine one).
+    */
+  private def linkEdges(docs: DataFrame, nn: Long, js: Column*): DataFrame =
+    docs.select(col("doc_id").as("src"), explode(array(js: _*)).as("j"))
+      .select(col("src"),
+        (h48(concat(col("src").cast("string"), lit("#"),
+          col("j").cast("string"))) % nn).as("dst"))
+      .filter(col("dst") =!= col("src"))
+
+  /** Uniform initial mass, 6dp-truncated — identical for any edge set at a
+    * frozen node count.
+    */
+  private def prInit(docs: DataFrame, nn: Long): DataFrame =
+    docs.select(col("doc_id"), trunc6(lit(1.0) / nn).as("pr"))
+
+  /** One engine-exact power-iteration step over `spine` (the nodes whose
+    * next-iteration rank is wanted — the full node table for t135, the
+    * affected set for t145): equi-join ranks⋈edges on src, groupBy dst
+    * with the 1e-6-quantized INTEGER flow sum (floor((pr/outdeg)·1e6) is
+    * computed identically per edge in both engines — one IEEE division,
+    * one multiply, one floor — and the BIGINT sum is order-independent, so
+    * no partition/merge reordering can move it), then teleport + damped
+    * inflow, 6dp-floor-truncated. 0.15 stays a LITERAL on both sides:
+    * `1.0 - 0.85` in binary doubles is 0.15000000000000002, not the double
+    * the literal `0.15` parses to — the oracle writes the same literal, so
+    * the teleport mass is bit-equal.
+    */
+  private def prStep(spine: DataFrame, ranks: DataFrame, edges: DataFrame,
+      outdeg: DataFrame, nn: Long): DataFrame = {
+    val flow = ranks
+      .join(edges, col("doc_id") === col("src"))
+      .join(outdeg, Seq("src"))
+      .groupBy(col("dst").as("dst_id"))
+      .agg(sum(floor(col("pr") / col("outdeg") * 1e6)).as("inflow_q"))
+    spine.select("doc_id")
+      .join(flow, col("doc_id") === col("dst_id"), "left")
+      .select(col("doc_id"),
+        trunc6(lit(0.15 / nn) + lit(PrDamping) *
+          (coalesce(col("inflow_q"), lit(0L)).cast("double") / 1e6))
+          .as("pr"))
+  }
+
+  /** t145's delta-edge rule: docs whose id is ≡ 0 (mod 97) gain a fourth
+    * outlink `j = 3` — the "newly crawled links" batch, ~1% of nodes.
+    */
+  private val DeltaSrcMod = 97L
+
+  /** Incremental PageRank under a per-batch edge delta — the t145 query,
+    * the lifecycle form of [[t135LinkPagerank]]: a crawl keeps discovering
+    * links, and re-running the full power iteration over 100 TB of graph
+    * for every link batch is exactly the recompute the incremental matrix
+    * (d84/d91/d92/d96) exists to avoid. The verdict's sketch — frozen
+    * teleport, per-batch edge deltas, touched-node re-iteration (the d128
+    * condensation idea applied to mass propagation) — is implementable
+    * EXACTLY here because the trajectory is truncated at [[PrIters]]: a
+    * fixed-depth iteration has a bounded influence cone, so an edge delta
+    * can only move ranks inside the forward [[PrIters]]-hop closure of the
+    * perturbed nodes. Outside that closure the base trajectory is provably
+    * bit-identical and passes through untouched.
+    *
+    * The affected-set recurrence (and why it is exact, not approximate):
+    *  - D (directly perturbed) = dsts of ALL new-graph edges leaving a
+    *    delta src — both the added edges' targets AND the old targets of a
+    *    src whose outdegree changed (its per-edge flow `pr/outdeg`
+    *    shrinks on every old edge too);
+    *  - A_1 = D; A_i = D ∪ dst(new-graph edges from A_{i-1}).
+    *    Inductively, a node v ∉ A_i has: identical in-edges (v ∉ D covers
+    *    both added-edge targets and changed-outdeg flow), every in-neighbor
+    *    with unchanged outdegree (a changed-outdeg in-neighbor would put v
+    *    in D), and every in-neighbor outside A_{i-1} (so its iteration-
+    *    (i−1) rank equals the base trajectory's by induction); the node
+    *    count — hence teleport mass and p0 — is frozen by construction
+    *    (edge-only deltas). So rank_i(v) equals the base run's BIT-EXACTLY
+    *    — same integer flow sums, same truncations.
+    *
+    * Scale design: the base trajectory is the already-audited t135 shape
+    *  (edges repartitioned on src once, per-iteration persist) — in
+    * production it is the stored artifact of the previous run, rebuilt
+    * here in-query by the standalone convention. The incremental overlay
+    * touches ONLY O(|A_i| · in-degree) edge rows per iteration: the
+    * affected set is broadcast into a left-semi join on dst (the
+    * probed-list-restriction shape from v122/v132), the overlaid previous
+    * ranks are one left join + coalesce against the base trajectory, and
+    * the final answer is one more overlay join — nothing corpus-sized
+    * moves beyond the base run it amortizes away. PagerankDeltaSpec pins
+    * (a) incremental ≡ full recompute over the union graph (the oracle
+    * checks the same thing against DuckDB), (b) the affected set stays a
+    * STRICT subset of the nodes, and (c) the delta genuinely moves ranks.
+    */
+  def t145PagerankDelta(s: SparkSession, d: String): DataFrame =
+    pagerankDeltaParts(s, d)._1
+
+  /** [[t145PagerankDelta]]'s engine, also returning the per-iteration
+    * affected-set sizes and the node count for PagerankDeltaSpec's
+    * localization assertions.
+    */
+  private[ops] def pagerankDeltaParts(
+      s: SparkSession, d: String): (DataFrame, Seq[Long], Long) = {
+    val docs = CacheRegistry.harness.add(
+      documents(s, d).select("doc_id").persist())
+    val nn = docs.count()
+    val baseEdges = CacheRegistry.harness.add(
+      linkEdges(docs, nn, lit(0L), lit(1L), lit(2L))
+        .repartition(col("src"))
+        .persist())
+    val deltaEdges = CacheRegistry.harness.add(
+      linkEdges(docs.filter(col("doc_id") % DeltaSrcMod === 0), nn, lit(3L))
+        .persist())
+    val newEdges = CacheRegistry.harness.add(
+      baseEdges.unionByName(deltaEdges).repartition(col("src")).persist())
+    val outdegBase = CacheRegistry.harness.add(
+      baseEdges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+    val outdegNew = CacheRegistry.harness.add(
+      newEdges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+
+    // the base trajectory p0..pK — production's stored artifact
+    var base = Vector(prInit(docs, nn))
+    for (_ <- 1 to PrIters) {
+      base = base :+ CacheRegistry.harness.add(
+        prStep(docs, base.last, baseEdges, outdegBase, nn).persist())
+    }
+
+    // D: dsts of every new-graph edge leaving a src whose edge set changed
+    val deltaSrcs = deltaEdges.select("src").distinct()
+    val directly = CacheRegistry.harness.add(
+      newEdges.join(broadcast(deltaSrcs), Seq("src"), "left_semi")
+        .select(col("dst").as("doc_id")).distinct().persist())
+
+    val affectedCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var aCur = directly
+    var ovCur: DataFrame = null
+    for (i <- 1 to PrIters) {
+      if (i > 1) {
+        val frontier = newEdges
+          .join(broadcast(aCur.select(col("doc_id").as("src"))),
+            Seq("src"), "left_semi")
+          .select(col("dst").as("doc_id"))
+        aCur = CacheRegistry.harness.add(
+          directly.unionByName(frontier).distinct().persist())
+      }
+      val prev =
+        if (i == 1) base(0) // p0 is delta-independent at a frozen node count
+        else base(i - 1)
+          .join(ovCur.withColumnRenamed("pr", "pr_new"), Seq("doc_id"),
+            "left")
+          .select(col("doc_id"),
+            coalesce(col("pr_new"), col("pr")).as("pr"))
+      val edgesIn = newEdges
+        .join(broadcast(aCur.select(col("doc_id").as("dst"))),
+          Seq("dst"), "left_semi")
+      ovCur = CacheRegistry.harness.add(
+        prStep(aCur, prev, edgesIn, outdegNew, nn).persist())
+      affectedCounts += aCur.count()
+    }
+
+    val healed = base(PrIters)
+      .join(ovCur.withColumnRenamed("pr", "pr_new"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("pr_new"), col("pr")).as("pr"))
+      .orderBy("doc_id")
+    (healed, affectedCounts.toSeq, nn)
   }
 }

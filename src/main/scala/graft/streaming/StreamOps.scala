@@ -869,6 +869,48 @@ object StreamOps {
     live.drop("batch")
   }
 
+  /** Streaming tokenization under the FROZEN merge rules — the streaming
+    * member of the BPE family (one-shot learn t139 / corpus tokenize t140 /
+    * held-out serve t146 / here), the shape a production ingest actually
+    * runs: the merge table at `rulesPath` is the offline artifact
+    * ([[graft.ops.BpeOps.learnBpeOn]]'s rules, persisted once — the
+    * frozen-codebook contract), and every micro-batch of (doc_id, text)
+    * tokenizes against it with ZERO corpus state: the batch's distinct
+    * alpha words get the K-deep map-side rule fold
+    * ([[graft.ops.BpeOps.applyMerges]] — t146's serving path verbatim),
+    * the batch's docs join to that O(batch-vocabulary) table, and the
+    * per-doc summaries publish as this batch's own `batch=N` partition
+    * (sibling-`.tmp` + atomic rename). The K rules are collected once per
+    * batch — a bounded ~10-row artifact read, the probed-list-literal
+    * convention. A re-delivered or revised doc supersedes via
+    * latest-batch-wins in [[bpeTokenState]].
+    */
+  def bpeTokenizeStream(spark: SparkSession, docs: DataFrame,
+      rulesPath: String, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val pairs = spark.read.parquet(rulesPath)
+          .orderBy("rnk").collect().map(_.getAs[String]("pair")).toSeq
+        val b = batch.toDF()
+        val tok = graft.ops.BpeOps.tokTableFor(b, pairs)
+        graft.ops.BpeOps.docSummary(graft.ops.BpeOps.piecesOver(b, tok))
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** The current per-doc token accounting of a [[bpeTokenizeStream]]
+    * state: latest batch wins per doc (a revised doc's newer summary
+    * supersedes), [[tombstoneStream]] terminal deletes anti-join out. The
+    * served rows are [[graft.ops.BpeOps.docSummary]] rows by construction
+    * — BpeStreamSpec pins stream ≡ one-shot over the delivered corpus.
+    */
+  def bpeTokenState(spark: SparkSession, statePath: String): DataFrame =
+    latestPerId(liveRaw(spark, statePath, "doc_id"), "doc_id")
+
   /** The live view of an accumulated `batch=N` state under its
     * [[tombstoneStream]] deletes: one anti-join on the id column (a
     * missing tombstone table means no deletes yet). The anti-join's

@@ -88,6 +88,43 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("rule fold == learned vocab on train words; unseen words fold") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter(col("doc_id") % 10 =!= 9)
+    val held = docs.filter(col("doc_id") % 10 === 9)
+    val (vK, rules) = BpeOps.learnBpeOn(train)
+    // the serving fold must reproduce the learned vocab's sequences for
+    // every word the learning loop saw (the vocab IS a cache of the fold)
+    val folded = BpeOps.tokTableFor(train, rules.map(_.pair))
+    val mismatch = vK.select(col("word"), col("seq").as("learned"))
+      .join(folded.select(col("word"), col("seq").as("served")), Seq("word"))
+      .filter(col("learned") =!= col("served"))
+    assert(mismatch.count() == 0,
+      "rule fold diverged from the learned vocab on a training word")
+    // the generalization claim is non-vacuous: the fold tokenizes words
+    // the learning loop NEVER saw (at this sf the held-out split happens
+    // to share the train vocabulary, so pin the unseen path synthetically:
+    // a novel word must get a valid fold-built sequence, not a vocab row)
+    val s = spark
+    import s.implicits._
+    val novel = Seq((0L, "zzyzxq plain")).toDF("doc_id", "text")
+    val novelTok = BpeOps.tokTableFor(novel, rules.map(_.pair)).persist()
+    assert(novelTok
+      .join(vK.select("word"), Seq("word"), "left_anti")
+      .filter(col("word") === "zzyzxq").count() == 1,
+      "the synthetic word must be outside the learned vocab")
+    val zz = novelTok.filter(col("word") === "zzyzxq").head()
+    assert(zz.getAs[String]("seq").startsWith(" z") &&
+      zz.getAs[Long]("n_toks") >= 1 && zz.getAs[Long]("n_toks") <= 7,
+      "the unseen word must fold to a bounded symbol sequence")
+    novelTok.unpersist()
+    // and t146 covers exactly the held-out docs
+    val out = BpeOps.t146BpeHeldout(spark, sf)
+    assert(out.filter(col("doc_id") % 10 =!= 9).count() == 0)
+    assert(out.count() == held.count())
+    CacheRegistry.harness.release()
+  }
+
   test("pack ids consume the budget contiguously per shard") {
     val out = BpeOps.t141BpePack(spark, sf).persist()
     // offsets are within budget, pack ids non-negative and consistent
