@@ -2537,4 +2537,91 @@ object OracleGen {
        md5(string_agg(piece, '' ORDER BY pos)) AS fp
      FROM pieces GROUP BY doc_id ORDER BY doc_id"""
   }
+
+  /** Token-budget chunking (t147) matching
+    * [[graft.ops.BpeOps.t147BpeChunk]]: per-doc cumulative BPE token
+    * offsets over the piece stream, chunk = the 64-token budget window the
+    * word's first token starts in, per-chunk counts + position span + the
+    * md5 of the chunk's rendered stream.
+    */
+  val bpeChunk: String =
+    s"""WITH $bpePieceCtes,
+       c AS (
+         SELECT doc_id, pos, piece, n_toks,
+           CAST(sum(n_toks) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - n_toks AS start_tok
+         FROM pieces)
+     SELECT doc_id,
+       CAST(floor(start_tok / 64.0) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos,
+       md5(string_agg(piece, '' ORDER BY pos)) AS fp
+     FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id"""
+
+  /** Tokenizer efficiency by source (t148) matching
+    * [[graft.ops.BpeOps.t148BpeEfficiency]]: per-source char/token/word
+    * sums with permille-quantized compression (chars per BPE token) and
+    * fertility (BPE tokens per word) ratios.
+    */
+  val bpeEfficiency: String =
+    s"""WITH $bpePieceCtes,
+       ds AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+         FROM pieces GROUP BY doc_id),
+       j AS (
+         SELECT d.source, d.n_chars, s.n_words, s.n_bpe_tokens
+         FROM documents d JOIN ds s USING (doc_id))
+     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_toks,
+       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       (CAST(sum(n_chars) AS BIGINT) * 1000)
+         // CAST(sum(n_bpe_tokens) AS BIGINT) AS chars_per_tok_q,
+       (CAST(sum(n_bpe_tokens) AS BIGINT) * 1000)
+         // CAST(sum(n_words) AS BIGINT) AS toks_per_word_q
+     FROM j GROUP BY source ORDER BY source"""
+
+  /** BM25 retrieval scoring (t149) matching
+    * [[graft.ops.TextOps.t149Bm25]]: the 10 rarest df≥3 terms as queries,
+    * Okapi BM25 (k1=1.2, b=0.75) with the t71-quantized integer idf and a
+    * floor(·1e6)-quantized score — the float chain is a fixed IEEE
+    * expression tree over exact integers (no float summation), so both
+    * engines produce bit-equal doubles before the quantization.
+    */
+  val bm25: String =
+    s"""WITH t AS (
+         SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM t GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       qt AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS df
+         FROM tf GROUP BY 1 HAVING count(*) >= 3
+         ORDER BY df ASC, term LIMIT 10),
+       sc AS (
+         SELECT t2.term, t2.doc_id, t2.tf, d.dl,
+           (s.n_docs * 100) // q.df AS idf_q,
+           CAST(floor(CAST((s.n_docs * 100) // q.df AS DOUBLE) *
+             ((CAST(t2.tf AS DOUBLE) * 2.2) /
+              (CAST(t2.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+               ((CAST(d.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+                 / CAST(s.sum_dl AS DOUBLE))))) *
+             1000000.0) AS BIGINT) AS score_q
+         FROM tf t2 JOIN qt q USING (term) JOIN dl d USING (doc_id)
+         CROSS JOIN st s),
+       r AS (
+         SELECT *, CAST(row_number() OVER (
+           PARTITION BY term ORDER BY score_q DESC, doc_id) AS BIGINT) AS rn
+         FROM sc)
+     SELECT term, doc_id, tf, dl, idf_q, score_q, rn
+     FROM r WHERE rn <= 5 ORDER BY term, rn"""
 }

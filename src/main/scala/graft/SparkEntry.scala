@@ -189,6 +189,9 @@ object SparkEntry {
     "v144_vec_update" -> (VectorOps.v144VecUpdateReencode _),
     "t145_pagerank_delta" -> (TextOps.t145PagerankDelta _),
     "t146_bpe_heldout" -> (BpeOps.t146BpeHeldout _),
+    "t147_bpe_chunk" -> (BpeOps.t147BpeChunk _),
+    "t148_bpe_efficiency" -> (BpeOps.t148BpeEfficiency _),
+    "t149_bm25" -> (TextOps.t149Bm25 _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -676,6 +679,15 @@ object SparkEntry {
     // applied to held-out docs via the K-deep map-side rule fold —
     // the serving form of the frozen merge artifact
     "t146_bpe_heldout" -> OracleGen.bpeHeldout,
+    // token-budget chunking: per-doc cumulative BPE offsets, the
+    // no-mid-word-split 64-token retrieval chunk boundary
+    "t147_bpe_chunk" -> OracleGen.bpeChunk,
+    // tokenizer efficiency by source: permille-quantized chars-per-token
+    // compression and tokens-per-word fertility per domain
+    "t148_bpe_efficiency" -> OracleGen.bpeEfficiency,
+    // BM25 lexical retrieval: rarest-df query terms, quantized-idf Okapi
+    // scoring, per-term top-5 — the dense-ANN stack's lexical twin
+    "t149_bm25" -> OracleGen.bm25,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -70,6 +70,9 @@ object BpeOps {
   /** Token budget for the t141 packing consumer (t69's budget). */
   private val PackBudget = 512L
 
+  /** BPE-token budget per retrieval chunk for the t147 chunker. */
+  private val ChunkBudget = 64L
+
   /** Symbols of a rendered sequence string: strip the leading space and
     * trailing comma, split on the `", "` joint. `" t, h, e, _,"` →
     * `[t, h, e, _]`.
@@ -298,4 +301,66 @@ object BpeOps {
     val tok = tokTableFor(held, rules.map(_.pair))
     docSummary(piecesOver(held, tok)).orderBy("doc_id")
   }
+
+  /** Token-budget chunking under the frozen merges — the t147 query, the
+    * boundary every retrieval/RAG indexer and pretraining sequence builder
+    * actually cuts on: each document's word stream is split into chunks of
+    * at most [[ChunkBudget]] BPE tokens (a word lands in the chunk where
+    * its first token STARTS, so chunk k covers start offsets
+    * `[k·B, (k+1)·B)` — a word overhanging the boundary stays whole, the
+    * no-mid-word-split rule). Per (doc, chunk): word/token counts, the
+    * 1-based word-position span, and the md5 fingerprint of the chunk's
+    * rendered token stream (the t23/t140 stream-equality convention).
+    *
+    * Scale: the corpus-sized work is t140's (posexplode + one vocab
+    * equi-join); the cumulative-offset window partitions BY DOC — each
+    * doc's stream is independent, so the chunker parallelizes to any
+    * executor count with no global ordering anywhere (the t69-shard
+    * lesson, already per-doc here by the problem's own shape). Chunk
+    * assembly is a partial-aggregated groupBy holding one chunk's pieces.
+    * Integer-only arithmetic — offsets and budgets are BIGINTs.
+    */
+  def t147BpeChunk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpePieces(s, d)
+      .withColumn("start_tok", sum("n_toks").over(w) - col("n_toks"))
+      .withColumn("chunk_id",
+        floor(col("start_tok") / ChunkBudget.toDouble).cast("long"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_toks").as("n_tokens"),
+        (min("pos") + 1).cast("long").as("first_pos"),
+        (max("pos") + 1).cast("long").as("last_pos"),
+        array_sort(collect_list(struct(col("pos"), col("piece")))).as("ps"))
+      .select(col("doc_id"), col("chunk_id"), col("n_words"),
+        col("n_tokens"), col("first_pos"), col("last_pos"),
+        md5(array_join(transform(col("ps"), x => x.getField("piece")), ""))
+          .as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Tokenizer efficiency by source — the t148 query: per-domain
+    * compression and fertility of the learned tokenizer (chars per BPE
+    * token, BPE tokens per word), the metric a pipeline watches to catch a
+    * vocabulary that under-serves a domain (code vs prose vs a new crawl
+    * slice). Ratios are integer-quantized permille ((sum·1000) div denom —
+    * the t71 idf_q convention), so the whole query is BIGINT-exact.
+    *
+    * Scale: t140's corpus pass, one broadcastable doc_id join to the
+    * documents dimension columns, and a partial-aggregated groupBy on the
+    * low-cardinality source key.
+    */
+  def t148BpeEfficiency(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select("doc_id", "source", "n_chars")
+      .join(docSummary(bpePieces(s, d))
+        .select("doc_id", "n_words", "n_bpe_tokens"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum("n_bpe_tokens").as("sum_toks"),
+        sum("n_words").as("sum_words"))
+      .withColumn("chars_per_tok_q", expr("(sum_chars * 1000) div sum_toks"))
+      .withColumn("toks_per_word_q", expr("(sum_toks * 1000) div sum_words"))
+      .orderBy("source")
 }

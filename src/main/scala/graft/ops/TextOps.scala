@@ -2841,6 +2841,62 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 retrieval scoring — the t149 query: top-5 documents per query
+    * term under Okapi BM25 (Robertson & Walker, public method; k1=1.2,
+    * b=0.75), the lexical ranking function every retrieval baseline and
+    * RAG pipeline runs next to its embedding index (v28's ANN is the
+    * dense twin). The query set is derived deterministically from the
+    * corpus itself: the 10 rarest terms with df ≥ 3 on (df ASC, term) —
+    * a total order, so both engines pick the same queries.
+    *
+    * Engine-exactness: idf is the t71 integer quantization
+    * ((N·100) div df); the saturation factor is a fixed chain of IEEE
+    * multiplications/divisions over exact integers (< 2^53) with both
+    * engines evaluating the SAME parenthesized expression tree — every op
+    * is individually IEEE-pinned and there is NO float summation anywhere,
+    * so the doubles are bit-equal (the t72 sqrt/division precedent); the
+    * final score is floor(·1e6)-quantized to a BIGINT for output.
+    *
+    * Scale: tf/df/dl are partial-agg shuffles (df shuffles on term — a
+    * real vocabulary cannot broadcast); the 10-term query set is a
+    * TakeOrderedAndProject broadcast, so scoring touches ONLY postings of
+    * queried terms (the probed-list-restriction shape); corpus stats are
+    * a one-row broadcast; the per-term top-k is a window over the term
+    * partitioning the scored join already has.
+    */
+  def t149Bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("term"))
+    // tf feeds df, dl, and the scored join — same persist rationale as t71
+    val tf = CacheRegistry.harness.add(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist())
+    val dl = CacheRegistry.harness.add(
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")).persist())
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qterms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .orderBy(col("df").asc, col("term")).limit(10)
+    val tfD = col("tf").cast("double")
+    val dlRatio = (col("dl").cast("double") * col("n_docs").cast("double")) /
+      col("sum_dl").cast("double")
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q", expr("(n_docs * 100) div df"))
+      .withColumn("score_q",
+        floor(col("idf_q").cast("double") *
+          ((tfD * lit(2.2)) /
+            (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dlRatio))) *
+          lit(1e6)).cast("long"))
+    val w = Window.partitionBy("term")
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("term", "doc_id", "tf", "dl", "idf_q", "score_q", "rn")
+      .orderBy("term", "rn")
+  }
+
   /** Temperature-based corpus mixing (T=0.5): re-weight languages so the
     * sampled corpus moves from the natural distribution p toward
     * p^0.5/Σp^0.5 — the standard lever against dominant-language crowd-out
