@@ -3174,7 +3174,7 @@ object TextOps {
   /** Uniform initial mass, 6dp-truncated — identical for any edge set at a
     * frozen node count.
     */
-  private def prInit(docs: DataFrame, nn: Long): DataFrame =
+  private[graft] def prInit(docs: DataFrame, nn: Long): DataFrame =
     docs.select(col("doc_id"), trunc6(lit(1.0) / nn).as("pr"))
 
   /** One engine-exact power-iteration step over `spine` (the nodes whose
@@ -3189,8 +3189,8 @@ object TextOps {
     * the literal `0.15` parses to — the oracle writes the same literal, so
     * the teleport mass is bit-equal.
     */
-  private def prStep(spine: DataFrame, ranks: DataFrame, edges: DataFrame,
-      outdeg: DataFrame, nn: Long): DataFrame = {
+  private[graft] def prStep(spine: DataFrame, ranks: DataFrame,
+      edges: DataFrame, outdeg: DataFrame, nn: Long): DataFrame = {
     val flow = ranks
       .join(edges, col("doc_id") === col("src"))
       .join(outdeg, Seq("src"))
@@ -3286,41 +3286,64 @@ object TextOps {
 
     // D: dsts of every new-graph edge leaving a src whose edge set changed
     val deltaSrcs = deltaEdges.select("src").distinct()
-    val directly = CacheRegistry.harness.add(
+    val (ovs, affectedCounts) = prOverlays(nn, i => base(i), newEdges,
+      outdegNew, deltaSrcs, CacheRegistry.harness)
+
+    val healed = prOverlaid(base(PrIters), ovs.last).orderBy("doc_id")
+    (healed, affectedCounts, nn)
+  }
+
+  /** A served rank view overlaid by an affected-set overlay: affected
+    * nodes take the overlay's rank, everything else passes through.
+    */
+  private[graft] def prOverlaid(base: DataFrame, ov: DataFrame): DataFrame =
+    base
+      .join(ov.withColumnRenamed("pr", "pr_new"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("pr_new"), col("pr")).as("pr"))
+
+  /** The per-iteration affected-set overlays of an edge-delta batch
+    * against a served base trajectory — the engine shared by
+    * [[t145PagerankDelta]] (base = the trajectory rebuilt in-query) and
+    * the streaming maintenance sink
+    * ([[graft.streaming.StreamOps.pagerankDeltaStream]], base = the
+    * published state of all prior batches). `served(i)` must return the
+    * iteration-i ranks (doc_id, pr) of the PREVIOUS graph for i in
+    * 0..[[PrIters]]; `newEdges`/`outdegNew` describe the UNION graph;
+    * `deltaSrcs` the srcs whose edge set changed. Returns the overlay per
+    * iteration (exact ranks over the affected set A_i) and |A_i|. See
+    * [[t145PagerankDelta]] for the exactness induction; the overlays are
+    * BIT-exact, not approximate, because the trajectory is truncated and
+    * integer-quantized.
+    */
+  private[graft] def prOverlays(nn: Long, served: Int => DataFrame,
+      newEdges: DataFrame, outdegNew: DataFrame, deltaSrcs: DataFrame,
+      reg: CacheRegistry): (Vector[DataFrame], Seq[Long]) = {
+    val directly = reg.add(
       newEdges.join(broadcast(deltaSrcs), Seq("src"), "left_semi")
         .select(col("dst").as("doc_id")).distinct().persist())
 
     val affectedCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var ovs = Vector.empty[DataFrame]
     var aCur = directly
-    var ovCur: DataFrame = null
     for (i <- 1 to PrIters) {
       if (i > 1) {
         val frontier = newEdges
           .join(broadcast(aCur.select(col("doc_id").as("src"))),
             Seq("src"), "left_semi")
           .select(col("dst").as("doc_id"))
-        aCur = CacheRegistry.harness.add(
+        aCur = reg.add(
           directly.unionByName(frontier).distinct().persist())
       }
       val prev =
-        if (i == 1) base(0) // p0 is delta-independent at a frozen node count
-        else base(i - 1)
-          .join(ovCur.withColumnRenamed("pr", "pr_new"), Seq("doc_id"),
-            "left")
-          .select(col("doc_id"),
-            coalesce(col("pr_new"), col("pr")).as("pr"))
+        if (i == 1) served(0) // p0 is delta-independent at a frozen node set
+        else prOverlaid(served(i - 1), ovs.last)
       val edgesIn = newEdges
         .join(broadcast(aCur.select(col("doc_id").as("dst"))),
           Seq("dst"), "left_semi")
-      ovCur = CacheRegistry.harness.add(
-        prStep(aCur, prev, edgesIn, outdegNew, nn).persist())
+      ovs = ovs :+ reg.add(prStep(aCur, prev, edgesIn, outdegNew, nn)
+        .persist())
       affectedCounts += aCur.count()
     }
-
-    val healed = base(PrIters)
-      .join(ovCur.withColumnRenamed("pr", "pr_new"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("pr_new"), col("pr")).as("pr"))
-      .orderBy("doc_id")
-    (healed, affectedCounts.toSeq, nn)
+    (ovs, affectedCounts.toSeq)
   }
 }

@@ -911,6 +911,104 @@ object StreamOps {
   def bpeTokenState(spark: SparkSession, statePath: String): DataFrame =
     latestPerId(liveRaw(spark, statePath, "doc_id"), "doc_id")
 
+  /** Streaming PageRank maintenance under edge deltas — the streaming
+    * member of the centrality family (one-shot t135 / batch-incremental
+    * t145 / here), the shape a live crawl runs: link batches arrive on a
+    * stream, and each micro-batch advances the stored trajectory by
+    * [[graft.ops.TextOps.prOverlays]] — t145's EXACT touched-node
+    * re-iteration — instead of re-running the full power iteration over
+    * the whole graph. The node set is FROZEN (the `docs` table; edge-only
+    * CDC), which is what keeps the teleport mass and p0 delta-independent.
+    *
+    * State layout under `statePath`:
+    *  - `edges/batch=N` — this batch's NOVEL edges (exact-duplicate and
+    *    replayed edges anti-joined out against all OTHER batches, so a
+    *    foreachBatch replay republishes an identical partition);
+    *  - `pr/iter=i/batch=N` — iteration i's ranks for the nodes batch N
+    *    moved (the first effective batch publishes ALL nodes — the full
+    *    build production runs once). The served iteration-i view is
+    *    latest-batch-wins per node over those partitions, so serving
+    *    needs ONE overlay read, and the per-batch write volume is
+    *    O(affected × K), never corpus-sized.
+    *
+    * Exactness is inductive over batches: each batch's overlays are
+    * computed against the served views of the PREVIOUS graph's
+    * trajectory, which t145's influence-cone theorem makes bit-equal to a
+    * full recompute over the union graph (PagerankStreamSpec pins stream
+    * ≡ one-shot across two delta batches). All reads of this batch's own
+    * partitions are excluded by the `batch` filter, so a replayed batch
+    * recomputes from exactly the prior-graph state.
+    */
+  def pagerankDeltaStream(spark: SparkSession, edges: DataFrame,
+      docs: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val reg = new graft.ops.CacheRegistry
+        val nodes = reg.add(docs.select("doc_id").persist())
+        val nn = nodes.count()
+        val conf = spark.sparkContext.hadoopConfiguration
+        val edgesRoot = s"$statePath/edges"
+        val prRoot = s"$statePath/pr"
+        val fs = new org.apache.hadoop.fs.Path(statePath)
+          .getFileSystem(conf)
+        val prior =
+          if (fs.exists(new org.apache.hadoop.fs.Path(edgesRoot)))
+            spark.read.parquet(edgesRoot).filter(col("batch") =!= id)
+              .select("src", "dst")
+          else batch.toDF().select("src", "dst").limit(0)
+        val delta = reg.add(batch.toDF().select("src", "dst").distinct()
+          .join(prior, Seq("src", "dst"), "left_anti").persist())
+        if (delta.count() > 0) {
+          delta.write.mode("overwrite")
+            .parquet(s"$statePath.tmp/edges/batch=$id")
+          publishPartition(spark, s"$statePath.tmp/edges/batch=$id",
+            s"$edgesRoot/batch=$id")
+          val all = reg.add(
+            prior.unionByName(delta).repartition(col("src")).persist())
+          val outdegNew = reg.add(
+            all.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+          val k = graft.ops.TextOps.PrIters
+          val publish = (df: DataFrame, i: Int) => {
+            df.write.mode("overwrite")
+              .parquet(s"$statePath.tmp/pr/iter=$i/batch=$id")
+            publishPartition(spark, s"$statePath.tmp/pr/iter=$i/batch=$id",
+              s"$prRoot/iter=$i/batch=$id")
+          }
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$prRoot/iter=$k"))) {
+            // first effective batch: the full build, all nodes per iter
+            var ranks = graft.ops.TextOps.prInit(nodes, nn)
+            for (i <- 1 to k) {
+              ranks = reg.add(graft.ops.TextOps
+                .prStep(nodes, ranks, all, outdegNew, nn).persist())
+              publish(ranks, i)
+            }
+          } else {
+            val served: Int => DataFrame = i =>
+              if (i == 0) graft.ops.TextOps.prInit(nodes, nn)
+              else latestPerId(
+                spark.read.parquet(s"$prRoot/iter=$i")
+                  .filter(col("batch") =!= id), "doc_id")
+            val (ovs, _) = graft.ops.TextOps.prOverlays(nn, served, all,
+              outdegNew, delta.select("src").distinct(), reg)
+            for (i <- 1 to k) publish(ovs(i - 1), i)
+          }
+        }
+        reg.release()
+      }
+      .start()
+
+  /** The served PageRank of a [[pagerankDeltaStream]] state: the final
+    * iteration's latest-batch-wins rank per node — exactly the rank a
+    * full [[graft.ops.TextOps.PrIters]]-step power iteration over the
+    * accumulated edge set would produce (the t145 induction).
+    */
+  def pagerankState(spark: SparkSession, statePath: String): DataFrame =
+    latestPerId(
+      spark.read.parquet(s"$statePath/pr/iter=${graft.ops.TextOps.PrIters}"),
+      "doc_id")
+
   /** The live view of an accumulated `batch=N` state under its
     * [[tombstoneStream]] deletes: one anti-join on the id column (a
     * missing tombstone table means no deletes yet). The anti-join's
