@@ -46,7 +46,7 @@ object TextOps {
     *  3. U+0130 İ: Java lowercases to "i"+U+0307 (two chars), DuckDB to
     *     plain "i".
     */
-  private[ops] def words(c: Column): Column = split(trim(lower(c)), "\\s+")
+  private[graft] def words(c: Column): Column = split(trim(lower(c)), "\\s+")
 
   /** 48-bit hash from an md5 prefix — deterministic and reproducible in any
     * engine with md5 (the oracle uses the same construction).
@@ -2873,14 +2873,34 @@ object TextOps {
       terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist())
     val dl = CacheRegistry.harness.add(
       tf.groupBy("doc_id").agg(sum("tf").as("dl")).persist())
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val qterms = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3)
       .orderBy(col("df").asc, col("term")).limit(10)
+    bm25TopK(tf, dl, qterms.select("term")).orderBy("term", "rn")
+  }
+
+  /** The BM25 serving scorer over a postings artifact — shared by
+    * [[t149Bm25]] (postings built in-query) and the streaming postings
+    * sink ([[graft.streaming.StreamOps.bm25Served]], postings maintained
+    * per micro-batch): `tf` = (doc_id, term, tf) postings, `dl` =
+    * (doc_id, dl) lengths, `qterms` = the query terms (one `term`
+    * column). df and corpus stats are derived from the postings
+    * themselves, so a superseded document's old postings stop counting
+    * the moment they leave the artifact. Scoring touches only the
+    * queried terms' postings (broadcast query set), stats are a one-row
+    * broadcast, and the per-term top-5 rides the scored join's term
+    * partitioning. See [[t149Bm25]]'s scaladoc for the engine-exactness
+    * argument (quantized idf, summation-free IEEE chain, floor(·1e6)).
+    */
+  private[graft] def bm25TopK(tf: DataFrame, dl: DataFrame,
+      qterms: DataFrame): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qdf = tf.join(broadcast(qterms), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val tfD = col("tf").cast("double")
     val dlRatio = (col("dl").cast("double") * col("n_docs").cast("double")) /
       col("sum_dl").cast("double")
-    val scored = tf.join(broadcast(qterms), Seq("term"))
+    val scored = tf.join(broadcast(qdf), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_q", expr("(n_docs * 100) div df"))
@@ -2894,7 +2914,6 @@ object TextOps {
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select("term", "doc_id", "tf", "dl", "idf_q", "score_q", "rn")
-      .orderBy("term", "rn")
   }
 
   /** Temperature-based corpus mixing (T=0.5): re-weight languages so the

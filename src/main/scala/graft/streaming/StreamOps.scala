@@ -1009,6 +1009,57 @@ object StreamOps {
       spark.read.parquet(s"$statePath/pr/iter=${graft.ops.TextOps.PrIters}"),
       "doc_id")
 
+  /** Streaming BM25 postings maintenance — the streaming member of the
+    * lexical-retrieval family (one-shot t149 / here), the index a live
+    * document feed keeps warm: each micro-batch of (doc_id, text) reduces
+    * to its per-doc term-frequency postings (one map-side explode + a
+    * batch-local partial aggregation — the batch never sees the corpus)
+    * and publishes them as this batch's own `batch=N` partition
+    * (sibling-`.tmp` + atomic rename). A re-delivered or revised doc
+    * supersedes at READ time: [[bm25Served]] keeps only each doc's
+    * latest-batch postings rows, so stale term rows of an earlier
+    * version — including terms the revision no longer contains — stop
+    * counting, and document frequencies and corpus stats shift with
+    * them. Doc deletes ride [[tombstoneStream]]'s `doc_id` tombstones
+    * (healed by the shared [[liveRaw]] anti-join).
+    */
+  def postingsStream(spark: SparkSession, docs: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF()
+          .select(col("doc_id"),
+            explode(graft.ops.TextOps.words(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** BM25 top-5 per query term over a [[postingsStream]] state — the
+    * serving read: tombstone-healed postings collapse to each doc's
+    * LATEST batch (all of a doc's term rows carry its ingest batch, so
+    * the (doc_id, max batch) equi-join keeps exactly the newest
+    * version's postings and drops every stale term row), doc lengths are
+    * the per-doc tf sums of the surviving rows, and the scorer is
+    * [[graft.ops.TextOps.bm25TopK]] — the t149 query's own engine, so
+    * served ranking ≡ one-shot BM25 over the current corpus by
+    * construction (Bm25StreamSpec pins it, including a revision and a
+    * tombstoned doc shifting df and corpus stats).
+    */
+  def bm25Served(spark: SparkSession, statePath: String,
+      qterms: DataFrame): DataFrame = {
+    val raw = liveRaw(spark, statePath, "doc_id")
+    val latest = raw.groupBy("doc_id").agg(max("batch").as("batch"))
+    val served = raw.join(latest, Seq("doc_id", "batch"))
+      .select("doc_id", "term", "tf")
+    val dl = served.groupBy("doc_id").agg(sum("tf").as("dl"))
+    graft.ops.TextOps.bm25TopK(served, dl, qterms)
+  }
+
   /** The live view of an accumulated `batch=N` state under its
     * [[tombstoneStream]] deletes: one anti-join on the id column (a
     * missing tombstone table means no deletes yet). The anti-join's

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.betfair.SparkSpec
+import graft.ops.TextOps
+
+/** Streaming BM25 postings maintenance: micro-batch delivery — including
+  * a revised re-delivery and a terminal tombstone — must serve exactly
+  * the one-shot BM25 ranking over the final corpus. The teeth are in the
+  * statistics: a revision drops the OLD version's term rows (df and
+  * corpus length shift, not just the doc's own scores), and a tombstoned
+  * doc stops counting everywhere.
+  */
+class Bm25StreamSpec extends SparkSpec {
+
+  test("streamed postings == one-shot BM25; revision and delete shift stats") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("bm25stream").toString
+
+    val corpus = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = corpus.partition(_._1 < 250)
+    val revisedId = b1.head._1
+    val revisedText = "a rewritten document stocked with entirely fresh " +
+      "vocabulary nowhere else in the corpus"
+    val deletedId = b2.head._1
+
+    val state = s"$dir/state"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.postingsStream(s,
+      mem.toDF().toDF("doc_id", "text"), state)
+    mem.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    // revision: same doc_id, new text — old postings must stop counting
+    mem.addData((revisedId, revisedText))
+    q.processAllAvailable()
+    q.stop()
+    // terminal delete rides the shared tombstone sink
+    val dmem = MemoryStream[Long]
+    val dq = StreamOps.tombstoneStream(s, dmem.toDF().toDF("doc_id"), state)
+    dmem.addData(deletedId)
+    dq.processAllAvailable()
+    dq.stop()
+
+    // one-shot ground truth over the final corpus (revised, minus deleted)
+    val finalDocs = (corpus.filter(c =>
+        c._1 != revisedId && c._1 != deletedId).toSeq :+
+      (revisedId, revisedText)).toDF("doc_id", "text")
+    val tf = finalDocs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val qterms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .orderBy(col("df").asc, col("term")).limit(10)
+      .select("term").persist()
+
+    val oneShot = TextOps.bm25TopK(tf, dl, qterms)
+      .orderBy("term", "rn").collect().map(_.toSeq)
+    val served = StreamOps.bm25Served(s, state, qterms)
+      .orderBy("term", "rn").collect().map(_.toSeq)
+    assert(oneShot.nonEmpty)
+    assert(served.toSeq == oneShot.toSeq,
+      "served BM25 must equal the one-shot ranking over the final corpus")
+
+    // the tombstoned doc never serves, under any query set
+    val allTerms = spark.read.parquet(state).select("term").distinct()
+    assert(StreamOps.bm25Served(s, state, allTerms)
+      .filter(col("doc_id") === deletedId).count() == 0)
+    tf.unpersist(); qterms.unpersist()
+  }
+}
