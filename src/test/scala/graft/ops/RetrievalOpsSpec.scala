@@ -100,4 +100,28 @@ class RetrievalOpsSpec extends SparkSpec {
     out.unpersist()
     CacheRegistry.harness.release()
   }
+
+  test("plan shapes: t149 broadcasts the query set; t147 windows per doc") {
+    // t149's scored join must reach the postings via a broadcast of the
+    // 10-row query set — scoring touches only queried terms' postings
+    val bm = TextOps.t149Bm25(spark, sf)
+    bm.collect()
+    val bplan = bm.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(bplan.contains("BroadcastHashJoin"),
+      "the query-set join must be broadcast, not shuffled")
+    CacheRegistry.harness.release()
+
+    // t147's cumulative-offset window must partition BY DOC — a global
+    // (unpartitioned) window would serialize the corpus on one task
+    val ch = BpeOps.t147BpeChunk(spark, sf)
+    ch.collect()
+    val wplan = ch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val winLines = wplan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, "expected a Window node in the chunk plan")
+    assert(winLines.forall(_.contains("doc_id")),
+      s"cumulative window must partition by doc_id:\n${winLines.mkString("\n")}")
+    CacheRegistry.harness.release()
+  }
 }
