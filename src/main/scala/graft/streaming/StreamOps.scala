@@ -1052,12 +1052,67 @@ object StreamOps {
     */
   def bm25Served(spark: SparkSession, statePath: String,
       qterms: DataFrame): DataFrame = {
-    val raw = liveRaw(spark, statePath, "doc_id")
-    val latest = raw.groupBy("doc_id").agg(max("batch").as("batch"))
-    val served = raw.join(latest, Seq("doc_id", "batch"))
-      .select("doc_id", "term", "tf")
+    val served = servedPostings(spark, statePath)
     val dl = served.groupBy("doc_id").agg(sum("tf").as("dl"))
     graft.ops.TextOps.bm25TopK(served, dl, qterms)
+  }
+
+  /** The current postings of a [[postingsStream]] state: tombstone-healed
+    * rows collapsed to each doc's LATEST batch (all of a doc's term rows
+    * carry its ingest batch, so the (doc_id, max batch) equi-join keeps
+    * exactly the newest version's postings). Shared by [[bm25Served]]
+    * (direct read) and [[compactPostingsState]] (serving rebuild).
+    */
+  private def servedPostings(spark: SparkSession,
+      statePath: String): DataFrame = {
+    val raw = liveRaw(spark, statePath, "doc_id")
+    val latest = raw.groupBy("doc_id").agg(max("batch").as("batch"))
+    raw.join(latest, Seq("doc_id", "batch")).select("doc_id", "term", "tf")
+  }
+
+  /** Compact a [[postingsStream]] `batch=N` state into the term-bucketed
+    * serving layout — the lexical member of the compaction family: the
+    * sink layout stays append-only, the serving layout is probe-optimal.
+    * Writes (a) the live postings (latest version per doc, tombstones
+    * applied PHYSICALLY) bucketed+sorted on `term`, so a query-term probe
+    * reads only its terms' buckets, and (b) the per-doc length table +
+    * implied corpus stats as `<path>.dl` — the artifact BM25 needs beyond
+    * the postings themselves. Both writes are full overwrites (a re-run
+    * replaces, never doubles; the `batch=N` sink stays the source of
+    * truth).
+    */
+  def compactPostingsState(spark: SparkSession, statePath: String,
+      tableName: String, path: String, nBuckets: Int = 32): Unit = {
+    val served = servedPostings(spark, statePath).persist()
+    served.write.mode("overwrite")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .option("path", path).saveAsTable(tableName)
+    served.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$path.dl")
+    served.unpersist()
+  }
+
+  /** BM25 top-5 per query term over a [[compactPostingsState]] layout —
+    * the production probe: the bounded query-term list is a LITERAL
+    * IN-filter on the bucket column (the probed-list-literal convention),
+    * so the scan reads only the queried terms' buckets
+    * (SelectedBucketsCount — Bm25StreamSpec asserts it) and never
+    * exchanges the state; document lengths and corpus stats come from the
+    * compacted `.dl` artifact (one small scan — one row per live doc);
+    * `tombstones` carries doc_ids deleted since the last compaction
+    * (broadcast anti-joins below the score, the v127/v130 convention —
+    * redundant after the next compaction applies them physically).
+    */
+  def bm25Compacted(spark: SparkSession, tableName: String, path: String,
+      qterms: Seq[String],
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val heal = (df: DataFrame) => tombstones.fold(df)(t =>
+      df.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val postings = heal(
+      spark.table(tableName).filter(col("term").isin(qterms: _*)))
+    val dl = heal(spark.read.parquet(s"$path.dl"))
+    graft.ops.TextOps.bm25TopK(postings, dl, qterms.toDF("term"))
   }
 
   /** The live view of an accumulated `batch=N` state under its

@@ -75,6 +75,38 @@ class Bm25StreamSpec extends SparkSpec {
     val allTerms = spark.read.parquet(state).select("term").distinct()
     assert(StreamOps.bm25Served(s, state, allTerms)
       .filter(col("doc_id") === deletedId).count() == 0)
+
+    // compaction: term-bucketed serving layout, probe ≡ direct read,
+    // query terms bucket-prune the scan
+    StreamOps.compactPostingsState(s, state, "bm25_postings_spec",
+      s"$dir/compacted")
+    val termsSeq = qterms.collect().map(_.getString(0)).toSeq
+    val probe = StreamOps.bm25Compacted(s, "bm25_postings_spec",
+      s"$dir/compacted", termsSeq)
+    assert(probe.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      == oneShot.map(_.toSeq).sortBy(_.toString).toSeq,
+      "compacted probe must serve the same ranking")
+    // AQE wraps the plan in a leaf AdaptiveSparkPlanExec, so inspect the
+    // executed plan STRING (final plan = element 0 of the AQE double-print)
+    val pplan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(pplan.contains("SelectedBucketsCount"),
+      s"query terms must bucket-prune the postings scan:\n$pplan")
+
+    // a post-compaction delete rides the tombstones param: stats shift
+    val lateDeleted = b2(1)._1
+    val probeT = StreamOps.bm25Compacted(s, "bm25_postings_spec",
+      s"$dir/compacted", termsSeq, Some(Seq(lateDeleted).toDF("doc_id")))
+    val finalDocs2 = finalDocs.filter(col("doc_id") =!= lateDeleted)
+    val tf2 = finalDocs2
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl2 = tf2.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val oneShot2 = TextOps.bm25TopK(tf2, dl2, qterms)
+      .orderBy("term", "rn").collect().map(_.toSeq)
+    assert(probeT.orderBy("term", "rn").collect().map(_.toSeq).toSeq
+      == oneShot2.toSeq,
+      "post-compaction tombstone must shift df and corpus stats")
     tf.unpersist(); qterms.unpersist()
   }
 }
