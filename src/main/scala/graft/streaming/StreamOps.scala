@@ -1009,6 +1009,44 @@ object StreamOps {
       spark.read.parquet(s"$statePath/pr/iter=${graft.ops.TextOps.PrIters}"),
       "doc_id")
 
+  /** Compact a [[pagerankDeltaStream]] trajectory state: collapse each
+    * iteration's `batch=N` overlay partitions to ONE latest-wins
+    * partition, so the partition count stays bounded under an unbounded
+    * batch history (each batch adds K small overlay partitions; without
+    * maintenance a year of crawl batches is a year of partitions per
+    * iteration). The collapsed rows publish UNDER THE CURRENT MAX batch
+    * id — they subsume every older partition in the latest-wins order, so
+    * a reader at ANY point during compaction (before the publish, between
+    * publish and the deletes, after) serves the identical trajectory;
+    * then the superseded older partitions are dropped. Re-running a
+    * crashed compaction is a no-op rewrite (the overwrite-replaces
+    * contract). The `edges/batch=N` partitions are NOT compacted here:
+    * edge reads are unions, not latest-wins, so a mid-compaction reader
+    * of a collapsed edge set would double-count outdegrees — and at one
+    * small novel-edge partition per batch they are the cheap side.
+    */
+  def compactPagerankState(spark: SparkSession, statePath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (i <- 1 to graft.ops.TextOps.PrIters) {
+      val root = s"$statePath/pr/iter=$i"
+      val raw = spark.read.parquet(root)
+      val maxBatch =
+        raw.agg(max("batch")).head.getAs[Number](0).longValue
+      latestPerId(raw, "doc_id")
+        .write.mode("overwrite").parquet(s"$statePath.tmp/prc/iter=$i")
+      publishPartition(spark, s"$statePath.tmp/prc/iter=$i",
+        s"$root/batch=$maxBatch")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(conf)
+      fs.listStatus(rootPath).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch=") &&
+            name.stripPrefix("batch=").toLong < maxBatch)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Streaming BM25 postings maintenance — the streaming member of the
     * lexical-retrieval family (one-shot t149 / here), the index a live
     * document feed keeps warm: each micro-batch of (doc_id, text) reduces

@@ -76,6 +76,22 @@ class PagerankStreamSpec extends SparkSpec {
     // and the full build really did publish all nodes once
     assert(s.read.parquet(s"$state/pr/iter=${TextOps.PrIters}")
       .filter(col("batch") === 0).count() == nn)
+
+    // compaction: each iteration collapses to ONE partition under the max
+    // batch id, the served trajectory is unchanged, and a re-run is a
+    // no-op rewrite
+    StreamOps.compactPagerankState(s, state)
+    StreamOps.compactPagerankState(s, state)
+    for (i <- 1 to TextOps.PrIters) {
+      val parts = new java.io.File(s"$state/pr/iter=$i")
+        .listFiles.filter(_.getName.startsWith("batch=")).map(_.getName)
+      assert(parts.toSeq == Seq("batch=1"),
+        s"iter $i must hold exactly the max-batch partition, got ${parts.toSeq}")
+    }
+    val servedC = StreamOps.pagerankState(s, state)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(servedC.toSeq == oneShot.toSeq,
+      "compaction must not change the served trajectory")
     docs.unpersist()
   }
 }
