@@ -141,6 +141,13 @@ object BpeOps {
     */
   def learnBpeOn(docs: DataFrame): (DataFrame, Seq[MergeRule]) = {
     var vocab = CacheRegistry.harness.add(bpeVocab0(docs).persist())
+    // at most TWO vocab snapshots stay cached at any point: round r's
+    // argmax action fills round r−1's cache, after which round r−2's
+    // snapshot can never be read again (each round reads only its direct
+    // predecessor) — unpersist it eagerly instead of holding K+1
+    // Heaps-sized tables until the harness registry drains (bounded at
+    // K=10, a genuine cache leak at a realistic 30k-merge K)
+    var prev: DataFrame = null
     val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
     for (r <- 1 to BpeMerges) {
       val row = vocab
@@ -149,12 +156,19 @@ object BpeOps {
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .head()
+      if (prev != null) prev.unpersist()
+      prev = vocab
       rules += MergeRule(r.toLong, row.getString(0), row.getLong(1))
       vocab = CacheRegistry.harness.add(
         vocab.select(col("word"), col("freq"),
           applyMerge(col("seq"), lit(row.getString(0))).as("seq"))
           .persist())
     }
+    // materialize the final vocab before dropping its predecessor — an
+    // unpersisted ancestor chain would otherwise force a full relearn on
+    // the caller's first action
+    vocab.count()
+    if (prev != null) prev.unpersist()
     (vocab, rules.toSeq)
   }
 

@@ -2866,11 +2866,8 @@ object TextOps {
     */
   def t149Bm25(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val terms = docs.select(col("doc_id"),
-      explode(words(col("text"))).as("term"))
     // tf feeds df, dl, and the scored join — same persist rationale as t71
-    val tf = CacheRegistry.harness.add(
-      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).persist())
+    val tf = CacheRegistry.harness.add(docPostings(docs).persist())
     val dl = CacheRegistry.harness.add(
       tf.groupBy("doc_id").agg(sum("tf").as("dl")).persist())
     val qterms = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -2878,6 +2875,20 @@ object TextOps {
       .orderBy(col("df").asc, col("term")).limit(10)
     bm25TopK(tf, dl, qterms.select("term")).orderBy("term", "rn")
   }
+
+  /** A document batch's term-frequency postings — (doc_id, term, tf), one
+    * map-side explode + a partial-aggregated count. THE batch-local
+    * reduction of the lexical-index family: [[t149Bm25]] runs it over the
+    * whole corpus, [[d151IncrementalPostings]] per incremental batch, and
+    * the streaming sink ([[graft.streaming.StreamOps.postingsStream]]) per
+    * micro-batch — one definition, so the three members cannot drift. A
+    * doc's postings depend only on its own text, which is what makes the
+    * incremental/streaming state a pure union of batch partials.
+    */
+  private[graft] def docPostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** The BM25 serving scorer over a postings artifact — shared by
     * [[t149Bm25]] (postings built in-query) and the streaming postings
@@ -2893,27 +2904,45 @@ object TextOps {
     * argument (quantized idf, summation-free IEEE chain, floor(·1e6)).
     */
   private[graft] def bm25TopK(tf: DataFrame, dl: DataFrame,
-      qterms: DataFrame): DataFrame = {
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      qterms: DataFrame, stats: Option[DataFrame] = None): DataFrame = {
+    val w = Window.partitionBy("term")
+      .orderBy(col("score_q").desc, col("doc_id"))
+    bm25Scores(tf, dl, qterms, stats)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("term", "doc_id", "tf", "dl", "idf_q", "score_q", "rn")
+  }
+
+  /** The BM25 scored postings of the queried terms, BEFORE any top-k cut —
+    * (term, doc_id, tf, dl, idf_q, score_q), one row per posting of a
+    * query term. [[bm25TopK]] is the per-term top-5 window over this; the
+    * hybrid fusion (t150) instead sums a query's terms' scores per doc, so
+    * it needs the untruncated scores. `stats` optionally supplies the
+    * corpus statistics as a precomputed 1-row (n_docs, sum_dl) artifact
+    * (the compaction layout writes one); when absent they are derived from
+    * `dl` — the one-shot path. The aggregation that builds the artifact is
+    * IDENTICAL to the derivation (one count + one BIGINT sum), so serving
+    * from the artifact is exact, not approximate.
+    */
+  private[graft] def bm25Scores(tf: DataFrame, dl: DataFrame,
+      qterms: DataFrame, stats: Option[DataFrame] = None): DataFrame = {
+    val st = stats.getOrElse(
+      dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")))
     val qdf = tf.join(broadcast(qterms), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
     val tfD = col("tf").cast("double")
     val dlRatio = (col("dl").cast("double") * col("n_docs").cast("double")) /
       col("sum_dl").cast("double")
-    val scored = tf.join(broadcast(qdf), Seq("term"))
+    tf.join(broadcast(qdf), Seq("term"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(st))
       .withColumn("idf_q", expr("(n_docs * 100) div df"))
       .withColumn("score_q",
         floor(col("idf_q").cast("double") *
           ((tfD * lit(2.2)) /
             (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dlRatio))) *
           lit(1e6)).cast("long"))
-    val w = Window.partitionBy("term")
-      .orderBy(col("score_q").desc, col("doc_id"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
-      .select("term", "doc_id", "tf", "dl", "idf_q", "score_q", "rn")
+      .select("term", "doc_id", "tf", "dl", "idf_q", "score_q")
   }
 
   /** Temperature-based corpus mixing (T=0.5): re-weight languages so the
@@ -3334,34 +3363,52 @@ object TextOps {
     * BIT-exact, not approximate, because the trajectory is truncated and
     * integer-quantized.
     */
+  /** Above this row count an affected/delta-src set is no longer
+    * broadcast-hinted into the edge semi-joins: the explicit hint bypasses
+    * `autoBroadcastJoinThreshold` and the 8 GB broadcast cap, and a dense
+    * graph's [[PrIters]]-hop influence cone can approach the full node
+    * set — past the cap the semi-join falls back to a shuffle, which is
+    * the correct plan at that size (the affected side IS corpus-scale
+    * then, and shuffling it is cheaper than OOMing the driver).
+    */
+  private[graft] val PrBroadcastCap = 5000000L
+
   private[graft] def prOverlays(nn: Long, served: Int => DataFrame,
       newEdges: DataFrame, outdegNew: DataFrame, deltaSrcs: DataFrame,
       reg: CacheRegistry): (Vector[DataFrame], Seq[Long]) = {
+    // gated hint: broadcast only sets we have COUNTED below the cap (the
+    // sets are persisted, so the count is one cheap action over cache)
+    def gated(keys: DataFrame, cnt: Long): DataFrame =
+      if (cnt <= PrBroadcastCap) broadcast(keys) else keys
+    val deltaSrcsP = reg.add(deltaSrcs.persist())
     val directly = reg.add(
-      newEdges.join(broadcast(deltaSrcs), Seq("src"), "left_semi")
+      newEdges
+        .join(gated(deltaSrcsP, deltaSrcsP.count()), Seq("src"), "left_semi")
         .select(col("dst").as("doc_id")).distinct().persist())
 
     val affectedCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     var ovs = Vector.empty[DataFrame]
     var aCur = directly
+    var aCnt = directly.count()
     for (i <- 1 to PrIters) {
       if (i > 1) {
         val frontier = newEdges
-          .join(broadcast(aCur.select(col("doc_id").as("src"))),
+          .join(gated(aCur.select(col("doc_id").as("src")), aCnt),
             Seq("src"), "left_semi")
           .select(col("dst").as("doc_id"))
         aCur = reg.add(
           directly.unionByName(frontier).distinct().persist())
+        aCnt = aCur.count()
       }
       val prev =
         if (i == 1) served(0) // p0 is delta-independent at a frozen node set
         else prOverlaid(served(i - 1), ovs.last)
       val edgesIn = newEdges
-        .join(broadcast(aCur.select(col("doc_id").as("dst"))),
+        .join(gated(aCur.select(col("doc_id").as("dst")), aCnt),
           Seq("dst"), "left_semi")
       ovs = ovs :+ reg.add(prStep(aCur, prev, edgesIn, outdegNew, nn)
         .persist())
-      affectedCounts += aCur.count()
+      affectedCounts += aCnt
     }
     (ovs, affectedCounts.toSeq)
   }

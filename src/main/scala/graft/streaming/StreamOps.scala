@@ -883,7 +883,13 @@ object StreamOps {
     * (sibling-`.tmp` + atomic rename). The K rules are collected once per
     * batch — a bounded ~10-row artifact read, the probed-list-literal
     * convention. A re-delivered or revised doc supersedes via
-    * latest-batch-wins in [[bpeTokenState]].
+    * latest-batch-wins in [[bpeTokenState]] — ACROSS batches; within ONE
+    * micro-batch there is no delivery order to break ties with, so a
+    * doc_id delivered twice in the same batch is collapsed to one
+    * deterministic representative ([[dedupWithinBatch]]) before the
+    * summary is computed — without it the two versions' pieces would
+    * merge into one garbage summary under the same batch id, which
+    * latest-batch-wins can never heal.
     */
   def bpeTokenizeStream(spark: SparkSession, docs: DataFrame,
       rulesPath: String, statePath: String)
@@ -893,7 +899,7 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val pairs = spark.read.parquet(rulesPath)
           .orderBy("rnk").collect().map(_.getAs[String]("pair")).toSeq
-        val b = batch.toDF()
+        val b = dedupWithinBatch(batch.toDF())
         val tok = graft.ops.BpeOps.tokTableFor(b, pairs)
         graft.ops.BpeOps.docSummary(graft.ops.BpeOps.piecesOver(b, tok))
           .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
@@ -1027,6 +1033,11 @@ object StreamOps {
     */
   def compactPagerankState(spark: SparkSession, statePath: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val prRoot = new org.apache.hadoop.fs.Path(
+      s"$statePath/pr/iter=${graft.ops.TextOps.PrIters}")
+    // no effective batch has published yet (an empty-delta stream, or
+    // compaction scheduled before first data): a no-op, not a read error
+    if (!prRoot.getFileSystem(conf).exists(prRoot)) return
     for (i <- 1 to graft.ops.TextOps.PrIters) {
       val root = s"$statePath/pr/iter=$i"
       val raw = spark.read.parquet(root)
@@ -1058,8 +1069,13 @@ object StreamOps {
     * latest-batch postings rows, so stale term rows of an earlier
     * version — including terms the revision no longer contains — stop
     * counting, and document frequencies and corpus stats shift with
-    * them. Doc deletes ride [[tombstoneStream]]'s `doc_id` tombstones
-    * (healed by the shared [[liveRaw]] anti-join).
+    * them. That supersession is an ACROSS-batch rule; a doc_id delivered
+    * twice in ONE micro-batch has no order to supersede by, and summing
+    * both versions' term counts under the same batch id would be
+    * unhealable — so the batch is first collapsed to one deterministic
+    * row per doc_id ([[dedupWithinBatch]]). Doc deletes ride
+    * [[tombstoneStream]]'s `doc_id` tombstones (healed by the shared
+    * [[liveRaw]] anti-join).
     */
   def postingsStream(spark: SparkSession, docs: DataFrame,
       statePath: String)
@@ -1067,10 +1083,7 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", s"$statePath.checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.toDF()
-          .select(col("doc_id"),
-            explode(graft.ops.TextOps.words(col("text"))).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        graft.ops.TextOps.docPostings(dedupWithinBatch(batch.toDF()))
           .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
         publishPartition(spark, s"$statePath.tmp/batch=$id",
           s"$statePath/batch=$id")
@@ -1113,9 +1126,12 @@ object StreamOps {
     * sink layout stays append-only, the serving layout is probe-optimal.
     * Writes (a) the live postings (latest version per doc, tombstones
     * applied PHYSICALLY) bucketed+sorted on `term`, so a query-term probe
-    * reads only its terms' buckets, and (b) the per-doc length table +
-    * implied corpus stats as `<path>.dl` — the artifact BM25 needs beyond
-    * the postings themselves. Both writes are full overwrites (a re-run
+    * reads only its terms' buckets, (b) the per-doc length table as
+    * `<path>.dl`, and (c) the corpus statistics as the 1-row
+    * `<path>.stats` artifact (n_docs, sum_dl) — so a serve reads corpus
+    * stats as one row instead of re-aggregating one `.dl` row per live
+    * doc per query (billions of rows at scale for two numbers that only
+    * change at compaction). All writes are full overwrites (a re-run
     * replaces, never doubles; the `batch=N` sink stays the source of
     * truth).
     */
@@ -1125,9 +1141,11 @@ object StreamOps {
     served.write.mode("overwrite")
       .bucketBy(nBuckets, "term").sortBy("term")
       .option("path", path).saveAsTable(tableName)
-    served.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .write.mode("overwrite").parquet(s"$path.dl")
-    served.unpersist()
+    val dl = served.groupBy("doc_id").agg(sum("tf").as("dl")).persist()
+    dl.write.mode("overwrite").parquet(s"$path.dl")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path.stats")
+    dl.unpersist(); served.unpersist()
   }
 
   /** BM25 top-5 per query term over a [[compactPostingsState]] layout —
@@ -1135,11 +1153,21 @@ object StreamOps {
     * IN-filter on the bucket column (the probed-list-literal convention),
     * so the scan reads only the queried terms' buckets
     * (SelectedBucketsCount — Bm25StreamSpec asserts it) and never
-    * exchanges the state; document lengths and corpus stats come from the
-    * compacted `.dl` artifact (one small scan — one row per live doc);
-    * `tombstones` carries doc_ids deleted since the last compaction
-    * (broadcast anti-joins below the score, the v127/v130 convention —
-    * redundant after the next compaction applies them physically).
+    * exchanges the state; document lengths join from the compacted `.dl`
+    * artifact (one row per live doc, touched only for the scored
+    * candidates) and corpus stats come from the 1-row `.stats` artifact —
+    * never re-aggregated from `.dl` per serve (Bm25StreamSpec asserts the
+    * plan scans `.dl` exactly once); `tombstones` carries doc_ids deleted
+    * since the last compaction (broadcast anti-joins below the score, the
+    * v127/v130 convention; the stats row is adjusted by the tombstoned
+    * docs' own O(tombstones) count/length aggregate, so served statistics
+    * stay exact — redundant after the next compaction applies them
+    * physically). STALENESS SCOPE: `tombstones` covers post-compaction
+    * DELETES only. A post-compaction REVISION lands in the `batch=N` sink
+    * and is invisible to this probe until the next compaction rebuilds
+    * the layout — a reader that needs revision-fresh ranking between
+    * compactions must serve from [[bm25Served]] (the direct read), which
+    * is exactly the freshness/latency trade the compacted layout buys.
     */
   def bm25Compacted(spark: SparkSession, tableName: String, path: String,
       qterms: Seq[String],
@@ -1149,8 +1177,21 @@ object StreamOps {
       df.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
     val postings = heal(
       spark.table(tableName).filter(col("term").isin(qterms: _*)))
-    val dl = heal(spark.read.parquet(s"$path.dl"))
-    graft.ops.TextOps.bm25TopK(postings, dl, qterms.toDF("term"))
+    val dlRaw = spark.read.parquet(s"$path.dl")
+    val base = spark.read.parquet(s"$path.stats")
+    val stats = tombstones.fold(base) { t =>
+      // exact O(tombstones) adjustment: subtract the deleted docs' own
+      // count and summed length from the compacted 1-row artifact
+      val gone = dlRaw
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("d_docs"),
+          coalesce(sum("dl"), lit(0L)).as("d_dl"))
+      base.crossJoin(broadcast(gone))
+        .select((col("n_docs") - col("d_docs")).as("n_docs"),
+          (col("sum_dl") - col("d_dl")).as("sum_dl"))
+    }
+    graft.ops.TextOps.bm25TopK(postings, heal(dlRaw), qterms.toDF("term"),
+      Some(stats))
   }
 
   /** The live view of an accumulated `batch=N` state under its
@@ -1163,6 +1204,19 @@ object StreamOps {
   def liveState(spark: SparkSession, statePath: String,
       idCol: String = "doc_id"): DataFrame =
     liveRaw(spark, statePath, idCol).drop("batch")
+
+  /** Collapse a (doc_id, text) micro-batch to ONE row per doc_id. The
+    * cross-batch revision story is latest-batch-wins, but WITHIN a batch
+    * there is no delivery order — Spark gives foreachBatch an unordered
+    * Dataset — so "latest" is undefined and any per-partition pick
+    * (`dropDuplicates`) would make replays nondeterministic. The pick here
+    * is arbitrary but TOTAL (max text per doc_id), so a replayed batch
+    * republishes an identical partition; a source that delivers two
+    * versions of a doc in one trigger should treat which one wins as
+    * undefined and re-deliver the intended version in a later batch.
+    */
+  private def dedupWithinBatch(batch: DataFrame): DataFrame =
+    batch.groupBy("doc_id").agg(max("text").as("text"))
 
   /** The tombstone-healed accumulated state with the `batch` column KEPT —
     * the compaction jobs' shared input (their latest-batch-wins collapse

@@ -103,13 +103,29 @@ class RetrievalOpsSpec extends SparkSpec {
 
   test("plan shapes: t149 broadcasts the query set; t147 windows per doc") {
     // t149's scored join must reach the postings via a broadcast of the
-    // 10-row query set — scoring touches only queried terms' postings
+    // 10-row query set — scoring touches only queried terms' postings.
+    // "contains a BroadcastHashJoin" is not enough (the dl join or the
+    // stats cross-join could satisfy it): assert there is a broadcast
+    // hash join whose BUILD side is rooted at the TakeOrderedAndProject
+    // that produces the 10-term query set — i.e. the query set is what
+    // gets broadcast into the postings
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val bm = TextOps.t149Bm25(spark, sf)
     bm.collect()
-    val bplan = bm.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert(bplan.contains("BroadcastHashJoin"),
-      "the query-set join must be broadcast, not shuffled")
+    val plan = bm.queryExecution.executedPlan
+    val bhj = graft.PlanWalk.allNodes(plan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    val qsetBuilds = bhj.filter { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case _ => j.right
+      }
+      graft.PlanWalk.allNodes(build)
+        .exists(_.isInstanceOf[TakeOrderedAndProjectExec])
+    }
+    assert(qsetBuilds.nonEmpty,
+      s"no broadcast hash join builds from the limit-10 query set:\n$plan")
     CacheRegistry.harness.release()
 
     // t147's cumulative-offset window must partition BY DOC — a global

@@ -92,6 +92,14 @@ class Bm25StreamSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert(pplan.contains("SelectedBucketsCount"),
       s"query terms must bucket-prune the postings scan:\n$pplan")
+    // corpus stats serve from the compacted 1-row `.stats` artifact: the
+    // plan scans `.dl` exactly ONCE (the per-doc length join) — the former
+    // per-serve count/sum over one `.dl` row per live doc is gone
+    val exec = probe.queryExecution.executedPlan
+    assert(graft.PlanWalk.scansOf(exec, "compacted.dl").size == 1,
+      s"the probe must scan .dl exactly once (lengths join only):\n$exec")
+    assert(graft.PlanWalk.scansOf(exec, "compacted.stats").size == 1,
+      s"corpus stats must come from the 1-row .stats artifact:\n$exec")
 
     // a post-compaction delete rides the tombstones param: stats shift
     val lateDeleted = b2(1)._1
