@@ -22,6 +22,23 @@ object PlanWalk {
     case _ => p +: p.children.flatMap(allNodes)
   }
 
+  /** Like [[allNodes]], but does NOT descend through broadcast exchanges:
+    * the nodes returned are the ones whose ROWS actually flow through the
+    * subtree root. Use under a `ShuffleExchangeExec` to ask "what is being
+    * shuffled here" — a scan sitting below a broadcast inside the subtree
+    * is shipped as a broadcast variable, not moved by the shuffle.
+    */
+  def nonBroadcastNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      Seq(b)
+    case b: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec =>
+      Seq(b)
+    case a: AdaptiveSparkPlanExec => p +: nonBroadcastNodes(a.executedPlan)
+    case s: QueryStageExec => p +: nonBroadcastNodes(s.plan)
+    case r: ReusedExchangeExec => p +: nonBroadcastNodes(r.child)
+    case _ => p +: p.children.flatMap(nonBroadcastNodes)
+  }
+
   /** File scans whose root path contains `pathFragment`. */
   def scansOf(p: SparkPlan, pathFragment: String): Seq[FileSourceScanExec] =
     allNodes(p).collect {

@@ -94,4 +94,127 @@ class PagerankStreamSpec extends SparkSpec {
       "compaction must not change the served trajectory")
     docs.unpersist()
   }
+
+  test("edge compaction: read barrier, bucket-pruned novelty, no state exchange") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("predges").toString
+    s.sql("DROP TABLE IF EXISTS g_pr_edges_spec_v1")
+    s.sql("DROP TABLE IF EXISTS g_pr_edges_spec_v2")
+
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select("doc_id").persist()
+    val nodes = docs.collect().map(_.getLong(0)).sorted
+    val nn = nodes.length.toLong
+    def edge(i: Int, j: Int): (Long, Long) =
+      (nodes(i), nodes(((i * 13 + j * 41 + 3) % nn).toInt))
+    val batch1 = nodes.indices
+      .flatMap(i => Seq(edge(i, 0), edge(i, 1)))
+      .filter(e => e._1 != e._2).distinct
+    val batch2 = nodes.indices.filter(_ % 23 == 0).map(edge(_, 2))
+      .filter(e => e._1 != e._2).distinct.filter(!batch1.contains(_))
+    val batch3 = nodes.indices.filter(_ % 31 == 0).map(edge(_, 3))
+      .filter(e => e._1 != e._2).distinct
+      .filter(e => !batch1.contains(e) && !batch2.contains(e))
+    assert(batch2.nonEmpty && batch3.nonEmpty)
+
+    val state = s"$dir/state"
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.pagerankDeltaStream(s,
+      mem.toDF().toDF("src", "dst"), docs, state)
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+
+    // maintenance at a quiescent point: generation v=1 absorbs batches 0,1
+    StreamOps.compactPagerankEdges(s, state, "g_pr_edges_spec")
+    val v1 = StreamOps.prEdgeVersion(s, state)
+    assert(v1.exists(_._1 == 1L), s"expected generation 1, got $v1")
+    assert(v1.exists(_._2 == "g_pr_edges_spec_v1"))
+
+    // a delta batch arriving AFTER compaction must serve exactly the
+    // full recompute over the union graph
+    mem.addData(batch3: _*)
+    q.processAllAvailable()
+    q.stop()
+    val union = (batch1 ++ batch2 ++ batch3).distinct.toDF("src", "dst")
+    val outdeg = union.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = TextOps.prInit(docs, nn)
+    for (_ <- 1 to TextOps.PrIters)
+      ranks = TextOps.prStep(docs, ranks, union, outdeg, nn)
+    val oneShot = ranks.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val served = StreamOps.pagerankState(s, state)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.toSeq == oneShot.toSeq,
+      "post-compaction delta must serve the full-recompute trajectory")
+
+    // plan shape of a post-compaction delta batch's novelty probe: the
+    // batch's srcs bucket-prune the compacted scan, and NO shuffle
+    // exchange moves the accumulated edge state (the only allowed
+    // shuffle is over the batch's own rows)
+    val probeBatch = Seq(edge(1, 4), edge(5, 4)).toDF("src", "dst")
+    val delta = StreamOps.prNoveltyDelta(s, probeBatch, state, 99L)
+    delta.collect()
+    val dplan = delta.queryExecution.executedPlan
+    val dnodes = graft.PlanWalk.allNodes(dplan)
+    assert(dnodes.exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.bucketedScan && f.toString.contains("SelectedBucketsCount")
+      case _ => false
+    }, s"novelty probe must bucket-prune the compacted edge table:\n$dplan")
+    // a shuffle is offending only if edge-state ROWS flow through it —
+    // a state scan below a broadcast inside the subtree is shipped as a
+    // broadcast variable, not moved by the shuffle
+    val edgeStateShuffles = dnodes
+      .collect { case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e }
+      .filter(e => graft.PlanWalk.nonBroadcastNodes(e).exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("/edges"))
+        case _ => false
+      })
+    assert(edgeStateShuffles.isEmpty,
+      s"the accumulated edge state must never be exchanged:\n$dplan")
+
+    // served outdegree comes from the mergeable count state — its plan
+    // never reads an edge row, and its values match a recompute
+    val od = StreamOps.prServedOutdeg(s, state)
+    val odRows = od.orderBy("src").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val odPlan = od.queryExecution.executedPlan
+    assert(!graft.PlanWalk.allNodes(odPlan).exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("/edges"))
+      case _ => false
+    }, s"outdegree must merge count partials, not re-scan edges:\n$odPlan")
+    val odExpect = union.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .orderBy("src").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(odRows.toSeq == odExpect.toSeq)
+
+    // second compaction: absorbs batch 2, retires partitions <= v1 but
+    // KEEPS generation v1 on disk for readers that pinned it
+    StreamOps.compactPagerankEdges(s, state, "g_pr_edges_spec")
+    val v2 = StreamOps.prEdgeVersion(s, state)
+    assert(v2.exists(_._1 == 2L))
+    val leftover = new java.io.File(s"$state/edges")
+      .listFiles.filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(leftover == Seq("batch=2"),
+      s"partitions <= v1 must be retired, got $leftover")
+    assert(new java.io.File(s"$state/edgesc/v=1").exists,
+      "the pinned-reader generation must survive one cycle")
+    // idempotence: nothing new ingested => a re-run is a no-op
+    StreamOps.compactPagerankEdges(s, state, "g_pr_edges_spec")
+    assert(StreamOps.prEdgeVersion(s, state).exists(_._1 == 2L))
+    // served trajectory unchanged through both compactions
+    val served2 = StreamOps.pagerankState(s, state)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served2.toSeq == oneShot.toSeq)
+
+    docs.unpersist()
+    s.sql("DROP TABLE IF EXISTS g_pr_edges_spec_v1")
+    s.sql("DROP TABLE IF EXISTS g_pr_edges_spec_v2")
+  }
 }
