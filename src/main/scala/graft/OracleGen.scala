@@ -1887,7 +1887,10 @@ object OracleGen {
     * unfiltered v134 and the filtered v143 (whose shortlist is already
     * attribute-pure because the filter ran in `sc`).
     */
-  private val ivfPqRerankTail: String =
+  /** The shortlist/re-rank CTE chain WITHOUT the final select — so the
+    * hybrid fusion oracle (t150) can keep composing CTEs on top of `rk`.
+    */
+  private val ivfPqRerankCtes: String =
     s""",
        short AS (
          SELECT query_id, vec_id FROM (
@@ -1906,7 +1909,10 @@ object OracleGen {
        rk AS (
          SELECT query_id, neighbor_id, round(ex, 4) AS exact_r,
            row_number() OVER (PARTITION BY query_id
-             ORDER BY ex DESC, neighbor_id) AS rnk FROM rr)
+             ORDER BY ex DESC, neighbor_id) AS rnk FROM rr)"""
+
+  private val ivfPqRerankTail: String = ivfPqRerankCtes +
+    s"""
      SELECT query_id, neighbor_id, exact_r, rnk FROM rk WHERE rnk <= 3
      ORDER BY query_id, rnk"""
 
@@ -2624,4 +2630,87 @@ object OracleGen {
          FROM sc)
      SELECT term, doc_id, tf, dl, idf_q, score_q, rn
      FROM r WHERE rn <= 5 ORDER BY term, rn"""
+
+  /** Hybrid lexical+dense retrieval fusion (t150) matching
+    * [[graft.ops.FusionOps.t150HybridFusion]]: the dense half is v134's
+    * exact-re-ranked top-3 (the shared residual-IVFADC CTEs up to `rk`,
+    * so the two oracles cannot drift), the lexical half is
+    * query-by-document BM25 — each query doc's 3 rarest df≥3 terms as a
+    * pseudo-query, summed per-term t149 scores per candidate doc (BIGINT
+    * sums, self excluded), top-5 per query — and the fusion is
+    * reciprocal-rank fusion with each 1/(60+rank) term integer-quantized
+    * as 1000000 // (60+rank) (the idf_q convention), summed over the two
+    * modalities and ranked (rrf DESC, doc_id). Absent modalities
+    * contribute 0 and surface as rank 0 in the output.
+    */
+  val hybridFusion: String = ivfPqResidualCtes() + ivfPqRerankCtes +
+    s""",
+       dense AS (
+         SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rn
+         FROM rk WHERE rnk <= 3),
+       lxt AS (
+         SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         FROM documents),
+       lxtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM lxt GROUP BY 1, 2),
+       lxdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              FROM lxtf GROUP BY 1),
+       lxst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(dl) AS BIGINT) AS sum_dl FROM lxdl),
+       lxdf AS (
+         SELECT term, CAST(count(*) AS BIGINT) AS df
+         FROM lxtf GROUP BY 1 HAVING count(*) >= 3),
+       lxq AS (
+         SELECT query_id, term FROM (
+           SELECT t.doc_id AS query_id, t.term,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY d.df ASC, t.term) AS qrn
+           FROM lxtf t JOIN lxdf d USING (term)
+           WHERE t.doc_id < 5) z
+         WHERE qrn <= 3),
+       lxsc AS (
+         SELECT t2.term, t2.doc_id,
+           CAST(floor(CAST((s.n_docs * 100) // d.df AS DOUBLE) *
+             ((CAST(t2.tf AS DOUBLE) * 2.2) /
+              (CAST(t2.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+               ((CAST(l.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE))
+                 / CAST(s.sum_dl AS DOUBLE))))) *
+             1000000.0) AS BIGINT) AS score_q
+         FROM lxtf t2
+         JOIN (SELECT DISTINCT term FROM lxq) qt USING (term)
+         JOIN lxdf d USING (term)
+         JOIN lxdl l USING (doc_id)
+         CROSS JOIN lxst s),
+       lxs AS (
+         SELECT q.query_id, c.doc_id,
+           CAST(sum(c.score_q) AS BIGINT) AS lex_q
+         FROM lxsc c JOIN lxq q USING (term)
+         WHERE c.doc_id <> q.query_id
+         GROUP BY 1, 2),
+       lx AS (
+         SELECT query_id, doc_id, lex_rn FROM (
+           SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY lex_q DESC, doc_id) AS BIGINT) AS lex_rn
+           FROM lxs) z
+         WHERE lex_rn <= 5),
+       fu AS (
+         SELECT coalesce(l.query_id, d.query_id) AS query_id,
+           coalesce(l.doc_id, d.doc_id) AS doc_id,
+           coalesce(l.lex_rn, 0) AS lex_rn,
+           coalesce(d.dense_rn, 0) AS dense_rn,
+           (CASE WHEN l.lex_rn IS NULL THEN 0
+                 ELSE 1000000 // (60 + l.lex_rn) END
+            + CASE WHEN d.dense_rn IS NULL THEN 0
+                   ELSE 1000000 // (60 + d.dense_rn) END) AS rrf_q
+         FROM lx l FULL OUTER JOIN dense d
+           ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+       fr AS (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf_q DESC, doc_id) AS BIGINT) AS rn FROM fu)
+     SELECT query_id, doc_id, CAST(lex_rn AS BIGINT) AS lex_rn,
+       CAST(dense_rn AS BIGINT) AS dense_rn,
+       CAST(rrf_q AS BIGINT) AS rrf_q, rn
+     FROM fr WHERE rn <= 3 ORDER BY query_id, rn"""
 }

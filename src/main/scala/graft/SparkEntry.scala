@@ -192,6 +192,8 @@ object SparkEntry {
     "t147_bpe_chunk" -> (BpeOps.t147BpeChunk _),
     "t148_bpe_efficiency" -> (BpeOps.t148BpeEfficiency _),
     "t149_bm25" -> (TextOps.t149Bm25 _),
+    "d151_incremental_postings" -> (TextOps.d151IncrementalPostings _),
+    "t150_hybrid_fusion" -> (FusionOps.t150HybridFusion _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -688,6 +690,12 @@ object SparkEntry {
     // BM25 lexical retrieval: rarest-df query terms, quantized-idf Okapi
     // scoring, per-term top-5 — the dense-ANN stack's lexical twin
     "t149_bm25" -> OracleGen.bm25,
+    // the incremental index must be indistinguishable from a one-shot
+    // build: the oracle IS t149's SQL (the d84/d101 proof standard)
+    "d151_incremental_postings" -> OracleGen.bm25,
+    // RRF over v134's dense top-3 and query-by-document BM25 top-5, each
+    // 1/(60+rank) term quantized as 1000000 div (60+rank)
+    "t150_hybrid_fusion" -> OracleGen.hybridFusion,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Hybrid lexical+dense retrieval fusion — the t150 query, the ranking a
+  * production RAG stack actually serves: the engine already has both
+  * halves (BM25 — t149/`bm25Compacted`; residual IVFADC + exact re-rank —
+  * v133/v134/v143), and reciprocal-rank fusion (Cormack, Clarke &
+  * Büttcher, SIGIR 2009 — public method) composes their two top-k lists
+  * per query without score calibration: fused(d) = Σ_modality
+  * 1/(60 + rank_modality(d)), with a doc absent from a modality simply
+  * contributing nothing. Reference anchor: `select` composing multiple
+  * `where` predicates over one index (betfairdatabase/database.py:144-151)
+  * — here the composed artifacts are two audited retrieval chains joined
+  * on doc_id.
+  *
+  * Engine-exactness: both input rank lists are integer ranks from already
+  * bit-exact chains (v134's exact re-rank; BM25's BIGINT score sums), and
+  * each RRF term is integer-quantized as `1000000 div (60 + rank)` (the
+  * idf_q convention — 1/(60+r) is a libm-free rational, but quantizing
+  * keeps the SUM of terms a BIGINT, immune to float summation order), so
+  * the fused ranking is BIGINT-exact end to end.
+  *
+  * Scale: the dense half is v134's audited plan (bucket-prunable ADC scan,
+  * broadcast LUT, queries×R exact re-rank). The lexical half is
+  * query-by-document BM25 — each query doc's 3 rarest df≥3 terms form the
+  * pseudo-query, so scoring touches ONLY those ≤ 3·|queries| terms'
+  * postings (the probed-list-restriction shape, via [[TextOps.bm25Scores]]'
+  * broadcast query set), and the per-query score sum is a BIGINT
+  * partial-agg over those postings. The fusion itself joins two top-k
+  * lists — O(queries × k) rows, a full-outer join on (query_id, doc_id)
+  * that never sees anything corpus-sized.
+  */
+object FusionOps {
+
+  /** Reciprocal-rank fusion of two per-query rank lists. `lex` carries
+    * (query_id, doc_id, lex_rn), `dense` (query_id, doc_id, dense_rn) —
+    * 1-based integer ranks. Full-outer on (query_id, doc_id): a doc
+    * ranked by only one modality stays in the race with the other term
+    * absent (surfaced as rank 0 in the output, contributing 0). Returns
+    * the per-query top-`k` by (rrf_q DESC, doc_id). Factored out of
+    * [[t150HybridFusion]] so FusionSpec can pin the fusion semantics on
+    * synthetic lists.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, dense: DataFrame,
+      k: Int = 3): DataFrame = {
+    val dn = dense.select(col("query_id").as("dq"),
+      col("doc_id").as("dd"), col("dense_rn"))
+    val fused = lex.select("query_id", "doc_id", "lex_rn")
+      .join(dn, col("query_id") === col("dq") && col("doc_id") === col("dd"),
+        "full_outer")
+      .select(
+        coalesce(col("query_id"), col("dq")).as("query_id"),
+        coalesce(col("doc_id"), col("dd")).as("doc_id"),
+        coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
+        coalesce(col("dense_rn"), lit(0L)).as("dense_rn"))
+      .withColumn("rrf_q",
+        when(col("lex_rn") === 0, lit(0L))
+          .otherwise(expr("1000000 div (60 + lex_rn)")) +
+        when(col("dense_rn") === 0, lit(0L))
+          .otherwise(expr("1000000 div (60 + dense_rn)")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "lex_rn", "dense_rn", "rrf_q", "rn")
+  }
+
+  /** The t150 query: RRF over v134's exact-re-ranked dense top-3 and a
+    * query-by-document BM25 top-5, per query doc (doc_id/vec_id < 5 —
+    * the v134 query set). The lexical pseudo-query is the query doc's 3
+    * rarest corpus terms with df ≥ 3 (rarest = (df ASC, term) — a total
+    * order, so both engines pick identical pseudo-queries); its candidate
+    * scores are the summed per-term t149 BM25 scores (BIGINT — no float
+    * summation), self excluded to match the dense side's self exclusion.
+    */
+  def t150HybridFusion(s: SparkSession, d: String): DataFrame = {
+    val dense = VectorOps.v134IvfPqRerank(s, d)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("dense_rn"))
+    val docs = documents(s, d).select("doc_id", "text")
+    // tf feeds df, dl, the query-term pick, and the scored join — persist
+    // (the t149/t71 multi-consumer finding)
+    val tf = CacheRegistry.harness.add(TextOps.docPostings(docs).persist())
+    val dl = CacheRegistry.harness.add(
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")).persist())
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("df").asc, col("term"))
+    val qmap = CacheRegistry.harness.add(
+      tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("term"))
+        .join(df, Seq("term"))
+        .withColumn("qrn", row_number().over(wq))
+        .filter(col("qrn") <= 3)
+        .select("query_id", "term").persist())
+    val scored = TextOps.bm25Scores(tf, dl, qmap.select("term").distinct())
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("lex_q").desc, col("doc_id"))
+    val lex = scored.join(broadcast(qmap), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(sum("score_q").as("lex_q"))
+      .withColumn("lex_rn", row_number().over(wl).cast("long"))
+      .filter(col("lex_rn") <= 5)
+      .select("query_id", "doc_id", "lex_rn")
+    rrfFuse(lex, dense).orderBy("query_id", "rn")
+  }
+}

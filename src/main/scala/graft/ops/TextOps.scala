@@ -2876,6 +2876,50 @@ object TextOps {
     bm25TopK(tf, dl, qterms.select("term")).orderBy("term", "rn")
   }
 
+  /** Batch-incremental postings maintenance — the d151 query, completing
+    * the lexical index's one-shot / incremental / streaming trio on the
+    * same proof standard as every other stateful family (the d84/d101
+    * convention: the incremental path's served output must hash-match the
+    * ONE-SHOT oracle through the driver's DuckDB gate, not just a spec).
+    * The corpus arrives as two batches (even doc_ids, then odd), each
+    * reduced to its postings partial by [[docPostings]] WITHOUT seeing
+    * the other batch — the accumulated state is the union of the
+    * partials, exactly what [[graft.streaming.StreamOps.postingsStream]]
+    * publishes per micro-batch. Batch 2 additionally RE-DELIVERS every
+    * tenth even doc (the replayed-delivery case), so the serving read
+    * must run the latest-batch-wins collapse (each doc's newest batch's
+    * rows only — the [[graft.streaming.StreamOps.bm25Served]] rule) to
+    * avoid double-counting; df, document lengths, and corpus stats are
+    * then derived from the served state. Oracle: t149's own SQL — the
+    * incremental index is indistinguishable from one built in one shot.
+    *
+    * Scale: per-batch cost is the batch's own explode + partial
+    * aggregation (the state is never re-read to ingest); the collapse is
+    * one (doc_id, max batch) equi-join on the doc partitioning the
+    * postings already have; serving is [[bm25TopK]]'s audited plan.
+    */
+  def d151IncrementalPostings(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
+    val state = CacheRegistry.harness.add(
+      docPostings(b1).withColumn("batch", lit(1L))
+        .unionByName(docPostings(b2).withColumn("batch", lit(2L)))
+        .persist())
+    val latest = state.groupBy("doc_id").agg(max("batch").as("batch"))
+    // served feeds df, dl, AND the scored join — persist (the t149/t71
+    // multi-consumer finding)
+    val served = CacheRegistry.harness.add(
+      state.join(latest, Seq("doc_id", "batch"))
+        .select("doc_id", "term", "tf").persist())
+    val dl = CacheRegistry.harness.add(
+      served.groupBy("doc_id").agg(sum("tf").as("dl")).persist())
+    val qterms = served.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .orderBy(col("df").asc, col("term")).limit(10)
+    bm25TopK(served, dl, qterms.select("term")).orderBy("term", "rn")
+  }
+
   /** A document batch's term-frequency postings — (doc_id, term, tf), one
     * map-side explode + a partial-aggregated count. THE batch-local
     * reduction of the lexical-index family: [[t149Bm25]] runs it over the
