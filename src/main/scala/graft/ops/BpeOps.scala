@@ -175,6 +175,78 @@ object BpeOps {
   def learnBpe(s: SparkSession, d: String): (DataFrame, Seq[MergeRule]) =
     learnBpeOn(documents(s, d))
 
+  /** Driver-local merge learning over the COLLECTED vocabulary — the
+    * REALISTIC-K production path, and the documented K-scaling decision:
+    *
+    * [[learnBpeOn]] is the oracle-checkable distributed reference, but
+    * its shape assumes small K — at a production vocabulary (30k-100k
+    * merges) the learn loop is K sequential Spark jobs (each a cluster
+    * round-trip for one argmax over a driver-collectable table) and the
+    * K-deep literal-replace serving fold ([[applyMerges]]) exceeds any
+    * codegen budget. The honest production shape follows from the
+    * two-table design's own premise: merge learning never touches the
+    * corpus — only the Heaps'-law-bounded word-frequency vocabulary,
+    * which FITS ON THE DRIVER (that bound is precisely why the corpus is
+    * touched once to build it). So: collect the vocab once, run the K
+    * rounds as in-memory loops with zero per-round job latency, ship the
+    * rules as the frozen artifact, and SERVE via the word→sequence vocab
+    * table join (t140's path — one corpus equi-join, K-independent),
+    * never the K-deep fold. The fold remains the serving path only for
+    * out-of-vocabulary words (t146/streaming), which production handles
+    * with the same local loop applied batch-side.
+    *
+    * Semantics are EQUAL to the distributed loop by construction — same
+    * weighted adjacent-pair counts, same (count DESC, pair ASC) integer
+    * argmax (symbols are ASCII, so Java string order ≡ Spark's UTF8
+    * binary order), same leftmost-greedy non-overlapping merge
+    * application (the property BpeSpec pins for the literal-replace
+    * trick) — and BpeSpec asserts rule-sequence equality against
+    * [[learnBpeOn]] at K=[[BpeMerges]]. Each round here is O(vocab); a
+    * tuned implementation would maintain the pair→words inverted index
+    * and update counts incrementally (Sennrich's reference
+    * implementation), an in-memory optimization orthogonal to the
+    * distributed design.
+    */
+  def learnBpeDriverLocal(docs: DataFrame,
+      k: Int = BpeMerges): Seq[MergeRule] = {
+    val vocab0 = bpeVocab0(docs).select("word", "freq").collect()
+      .map(r => (r.getString(0).map(_.toString).toVector :+ "_",
+        r.getLong(1)))
+    var vocab = vocab0
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    for (r <- 1 to k) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((sy, f) <- vocab; i <- 0 until sy.length - 1) {
+        val p = (sy(i), sy(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      val (pair, cnt) = counts.reduceLeft { (a, b) =>
+        val (pa, pb) = (s"${a._1._1} ${a._1._2}", s"${b._1._1} ${b._1._2}")
+        if (b._2 > a._2 || (b._2 == a._2 && pb < pa)) b else a
+      }
+      rules += MergeRule(r.toLong, s"${pair._1} ${pair._2}", cnt)
+      vocab = vocab.map { case (sy, f) => (mergeLocal(sy, pair), f) }
+    }
+    rules.toSeq
+  }
+
+  /** Leftmost-greedy non-overlapping single-rule application — the local
+    * twin of [[applyMerge]]'s delimiter-replace trick (BpeSpec pins both
+    * against the same hazard cases).
+    */
+  private def mergeLocal(sy: Vector[String],
+      p: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < sy.length) {
+      if (i < sy.length - 1 && sy(i) == p._1 && sy(i + 1) == p._2) {
+        out += sy(i) + sy(i + 1); i += 2
+      } else { out += sy(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** Merge-rule learning — the t139 query: the [[BpeMerges]] learned rules
     * in order, each with its winning adjacent-pair count. Oracle: the same
     * rounds unrolled as CTE triples (pair counts → argmax → applied vocab).

@@ -125,6 +125,20 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("driver-local learn == distributed learn, rule for rule") {
+    // the realistic-K production path (collect the Heaps-bounded vocab,
+    // learn in memory) must produce the IDENTICAL merge sequence as the
+    // oracle-checked distributed loop — same weighted counts, same
+    // (count DESC, pair ASC) argmax, same leftmost-greedy application
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val local = BpeOps.learnBpeDriverLocal(docs)
+    val (_, distributed) = BpeOps.learnBpeOn(docs)
+    assert(local == distributed,
+      s"local=$local\ndistributed=$distributed")
+    CacheRegistry.harness.release()
+  }
+
   test("pack ids consume the budget contiguously per shard") {
     val out = BpeOps.t141BpePack(spark, sf).persist()
     // offsets are within budget, pack ids non-negative and consistent
