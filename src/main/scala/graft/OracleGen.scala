@@ -1402,6 +1402,35 @@ object OracleGen {
      ORDER BY n.vec_id"""
   }
 
+  /** Cluster-density data pruning (v154) matching
+    * [[graft.ops.VectorOps.v154DensityPrune]]: the v60 Lloyd's chain's
+    * final assignment, each vector's pinned-arithmetic cosine to its OWN
+    * centroid, per-cluster prototypicality ranks (sim DESC, vec_id), and
+    * the integer keep rule `4·rank > cluster_size`.
+    */
+  val densityPrune: String = {
+    val iters = VectorOps.KmeansIters
+    s"""WITH ${kmeansCtes("")},
+       sims AS (
+         SELECT a.vec_id, a.cid,
+           CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(c.cvec, c.cvec)) = 0
+                THEN 0.0
+                ELSE list_dot_product(a.v, c.cvec)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(c.cvec, c.cvec))) END AS sim
+         FROM a$iters a JOIN c$iters c USING (cid)),
+       ranked AS (
+         SELECT vec_id, cid,
+           CAST(row_number() OVER (PARTITION BY cid
+             ORDER BY sim DESC, vec_id) AS BIGINT) AS proto_rank,
+           CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs
+         FROM sims)
+     SELECT vec_id, cid, proto_rank, n_vecs,
+       proto_rank * 4 > n_vecs AS keep
+     FROM ranked ORDER BY vec_id"""
+  }
+
   /** Shingle-overlap decontamination matching
     * [[graft.ops.TextOps.t67Decontaminate]] (benchmark = docs 0-9).
     */
@@ -2085,6 +2114,100 @@ object OracleGen {
            FROM docs d CROSS JOIN n, unnest([3]) AS t(j)
            WHERE d.doc_id % 97 = 0) x
          WHERE dst <> src""")
+
+  /** HITS hubs-and-authorities (t153) matching [[TextOps.t153Hits]]: the
+    * same deterministic 3-outlink graph as t135, [[TextOps.HitsIters]]
+    * mutual-recursion rounds unrolled as CTE triples per half-step (raw
+    * BIGINT inflow sum — order-independent; 1-row integer denominator
+    * `S div N`; renormalized score `(raw * 1e6) div denom` — two exact
+    * integer divisions in place of the textbook L2 sqrt), authority 0 for
+    * inbound-less nodes via LEFT JOIN + COALESCE. `//` is DuckDB's floor
+    * integer division = Spark's `div` on positive operands.
+    */
+  val hits: String = {
+    val rounds = (1 to TextOps.HitsIters).map { i =>
+      s"""ar$i AS (
+         SELECT e.dst AS doc_id, CAST(sum(h.hq) AS BIGINT) AS raw
+         FROM e JOIN h${i - 1} h ON h.doc_id = e.src GROUP BY e.dst),
+       ad$i AS (SELECT CAST(s.s // n.nn AS BIGINT) AS denom
+                FROM (SELECT sum(raw) AS s FROM ar$i) s CROSS JOIN n),
+       a$i AS (
+         SELECT d.doc_id,
+           CAST(coalesce((r.raw * 1000000) // s.denom, 0) AS BIGINT) AS aq
+         FROM docs d CROSS JOIN ad$i s LEFT JOIN ar$i r USING (doc_id)),
+       hr$i AS (
+         SELECT e.src AS doc_id, CAST(sum(a.aq) AS BIGINT) AS raw
+         FROM e JOIN a$i a ON a.doc_id = e.dst GROUP BY e.src),
+       hd$i AS (SELECT CAST(s.s // n.nn AS BIGINT) AS denom
+                FROM (SELECT sum(raw) AS s FROM hr$i) s CROSS JOIN n),
+       h$i AS (
+         SELECT d.doc_id,
+           CAST(coalesce((r.raw * 1000000) // s.denom, 0) AS BIGINT) AS hq
+         FROM docs d CROSS JOIN hd$i s LEFT JOIN hr$i r USING (doc_id))"""
+    }.mkString(",\n       ")
+    val k = TextOps.HitsIters
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       n AS (SELECT count(*) AS nn FROM docs),
+       e AS (SELECT src, dst FROM (
+           SELECT d.doc_id AS src,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || '#' || t.j::VARCHAR),
+               1, 12))::BIGINT % n.nn AS dst
+           FROM docs d CROSS JOIN n, unnest([0, 1, 2]) AS t(j)) x
+         WHERE dst <> src),
+       h0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS hq FROM docs),
+       $rounds
+     SELECT a.doc_id, a.aq AS auth_q, h.hq AS hub_q
+     FROM a$k a JOIN h$k h USING (doc_id)
+     ORDER BY a.doc_id"""
+  }
+
+  /** DSIR importance-resampling selection (t152) matching
+    * [[TextOps.t152DsirSelect]]: adjacent-word bigrams (an index-offset
+    * self-join here; the Spark side builds them map-side with zip_with —
+    * same pairs) hashed into [[TextOps.DsirBuckets]] md5-prefix buckets,
+    * add-1-smoothed target/raw bag counts, the integer probability-ratio
+    * per-feature score `((c_t+1) * 1e6) // (c_r+1)`, per-doc BIGINT sums,
+    * top-[[TextOps.DsirK]] on (weight DESC, doc_id).
+    */
+  val dsirSelect: String = {
+    val b = TextOps.DsirBuckets
+    val k = TextOps.DsirK
+    val tgt = TextOps.DsirTargetSource
+    s"""WITH base AS (
+         SELECT doc_id, source = '$tgt' AS is_target,
+           string_split_regex(trim(lower(text)), '\\s+') AS ws
+         FROM documents),
+       tok AS (
+         SELECT doc_id, is_target,
+           generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+         FROM base),
+       feats AS (
+         SELECT a.doc_id, a.is_target,
+           ('0x' || substr(md5(a.w || ' ' || b.w), 1, 12))::BIGINT % $b AS b
+         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       ct AS (SELECT b, count(*) AS c_t FROM feats WHERE is_target
+              GROUP BY b),
+       cr AS (SELECT b, count(*) AS c_r FROM feats WHERE NOT is_target
+              GROUP BY b),
+       wq AS (
+         SELECT coalesce(ct.b, cr.b) AS b,
+           ((coalesce(c_t, 0) + 1) * 1000000) // (coalesce(c_r, 0) + 1)
+             AS w_q
+         FROM ct FULL JOIN cr ON ct.b = cr.b),
+       sums AS (
+         SELECT f.doc_id, CAST(sum(w.w_q) AS BIGINT) AS dsir_q
+         FROM feats f JOIN wq w USING (b)
+         WHERE NOT f.is_target GROUP BY f.doc_id),
+       topk AS (
+         SELECT p.doc_id, coalesce(s.dsir_q, 0) AS dsir_q
+         FROM (SELECT doc_id FROM documents WHERE source <> '$tgt') p
+         LEFT JOIN sums s USING (doc_id)
+         ORDER BY dsir_q DESC, doc_id LIMIT $k)
+     SELECT doc_id, CAST(dsir_q AS BIGINT) AS dsir_q,
+       CAST(row_number() OVER (ORDER BY dsir_q DESC, doc_id) AS BIGINT)
+         AS rnk
+     FROM topk ORDER BY rnk"""
+  }
 
   /** Quality-keeper near-dup resolution (d137) matching
     * [[TextOps.d137QualityKeeper]]: the d46 reachability chain for

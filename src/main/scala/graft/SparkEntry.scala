@@ -194,6 +194,10 @@ object SparkEntry {
     "t149_bm25" -> (TextOps.t149Bm25 _),
     "d151_incremental_postings" -> (TextOps.d151IncrementalPostings _),
     "t150_hybrid_fusion" -> (FusionOps.t150HybridFusion _),
+    "t152_dsir_select" -> (TextOps.t152DsirSelect _),
+    "t153_hits" -> (TextOps.t153Hits _),
+    "v154_density_prune" -> (VectorOps.v154DensityPrune _),
+    "d155_incremental_dsir" -> (TextOps.d155IncrementalDsir _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -696,6 +700,19 @@ object SparkEntry {
     // RRF over v134's dense top-3 and query-by-document BM25 top-5, each
     // 1/(60+rank) term quantized as 1000000 div (60+rank)
     "t150_hybrid_fusion" -> OracleGen.hybridFusion,
+    // DSIR distribution-matching selection: hashed-bigram bag models,
+    // integer probability-ratio feature scores, top-k by BIGINT weight
+    "t152_dsir_select" -> OracleGen.dsirSelect,
+    // HITS mutual recursion over the t135 link graph: integer-mass
+    // half-steps, exact L1-style renormalization in place of the L2 sqrt
+    "t153_hits" -> OracleGen.hits,
+    // prototype pruning: per-cluster cosine-to-centroid ranks over the
+    // v60 assignment, drop the most-prototypical quarter (integer cut)
+    "v154_density_prune" -> OracleGen.densityPrune,
+    // the incremental postings state's served selection must be
+    // indistinguishable from a one-shot score: the oracle IS t152's SQL
+    // (the d84/d101 proof standard)
+    "d155_incremental_dsir" -> OracleGen.dsirSelect,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

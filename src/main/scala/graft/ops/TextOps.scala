@@ -3194,6 +3194,157 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** t152 feature-hash bucket count (the paper's hashed n-gram feature
+    * space), selection size, and the curated target source. The target is
+    * the corpus's own `src0` slice — the "trusted reference set" role
+    * Wikipedia plays in the published pipelines; any small curated subset
+    * works, and a source tag is how a real crawl marks one.
+    */
+  val DsirBuckets = 4096L
+  val DsirK = 100
+  val DsirTargetSource = "src0"
+
+  /** Importance-resampling data selection — the t152 query, the DSIR
+    * recipe (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling", arXiv:2302.03169 — public method): score
+    * every raw-pool document by how much more likely its hashed-bigram
+    * features are under the TARGET distribution than under the raw pool's
+    * own, and keep the top-k — the distribution-matching selection pass a
+    * pretraining pipeline runs to tilt a web crawl toward a curated
+    * domain. Features are adjacent-word bigrams hashed into
+    * [[DsirBuckets]] buckets (the paper's hashed n-gram model); both bag
+    * models are add-1 smoothed.
+    *
+    * Engine-exactness — the integer probability-ratio surrogate (the t71
+    * idf_q convention): the paper's per-feature term log(p_t(b)/p_r(b))
+    * is transcendental, and libm logs differ across engines in the last
+    * ulp — a selection-boundary hazard. The per-feature score here is the
+    * quantized ratio `((c_t(b)+1) * 1e6) div (c_r(b)+1)` — BIGINT-exact in
+    * both engines — and the doc weight is its order-independent integer
+    * SUM. The smoothed normalizers (T+B)/(R+B) are corpus-level constants
+    * multiplying every feature's ratio uniformly, so dropping them
+    * rescales all doc weights monotonically and moves no rank.
+    *
+    * Scale: the corpus is tokenized ONCE (bigrams built map-side with
+    * zip_with over adjacent slices — no explode-and-self-join); the two
+    * bag models are ≤[[DsirBuckets]]-row aggregates of that stream; the
+    * bucket score table is broadcast back onto it (a 4096-row build side);
+    * the per-doc weight is a partial-aggregable sum; selection is
+    * orderBy(k).limit — TakeOrderedAndProject, never a global sort. Two
+    * passes over the feature stream total, zero corpus-sized shuffles
+    * beyond the per-doc sum.
+    */
+  def t152DsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirSelectOn(documents(s, d))
+
+  /** [[t152DsirSelect]] over an arbitrary (doc_id, source, text) frame —
+    * the one-shot ground truth the incremental (d155) and streaming
+    * (dsirIngestStream) members are held to.
+    */
+  private[graft] def dsirSelectOn(docs: DataFrame): DataFrame = {
+    // persist(): the postings feed the target bag, the raw bag, and the
+    // scoring join from one tokenize pass
+    val posts = CacheRegistry.harness.add(dsirPostings(docs).persist())
+    dsirServe(
+      docs.filter(col("source") =!= DsirTargetSource).select("doc_id"),
+      posts)
+  }
+
+  /** Per-doc hashed-bigram bucket postings (doc_id, is_target, b, n_f) —
+    * the SHARED batch reduction behind the DSIR family: t152 folds it
+    * inline, d155 materializes it as mergeable state. Bigrams are built
+    * map-side (zip_with over adjacent slices — no explode-and-self-join);
+    * the reduction is one partial-aggregable groupBy.
+    */
+  private[graft] def dsirPostings(df: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val bigrams = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(col("doc_id"),
+        (col("source") === DsirTargetSource).as("is_target"),
+        explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("is_target"),
+        (h48(col("bg")) % DsirBuckets).as("b"))
+      .agg(count(lit(1)).as("n_f"))
+  }
+
+  /** DSIR serving over a postings table: bag models by bucket (≤
+    * [[DsirBuckets]]-row aggregates), the integer-ratio score table
+    * broadcast back onto the postings, per-doc BIGINT weight sums
+    * (Σ n_f·w_q — identical to summing per-occurrence scores), top-k via
+    * TakeOrderedAndProject. `pool` keeps featureless docs in the race at
+    * weight 0.
+    */
+  private[graft] def dsirServe(pool: DataFrame, posts: DataFrame)
+      : DataFrame = {
+    val ct = posts.filter(col("is_target"))
+      .groupBy("b").agg(sum("n_f").as("c_t"))
+    val cr = posts.filter(!col("is_target"))
+      .groupBy("b").agg(sum("n_f").as("c_r"))
+    val wq = ct.join(cr, Seq("b"), "full")
+      .select(col("b"),
+        expr("((coalesce(c_t, 0) + 1) * 1000000) div (coalesce(c_r, 0) + 1)")
+          .as("w_q"))
+    val sums = posts.filter(!col("is_target"))
+      .join(broadcast(wq), Seq("b"))
+      .groupBy("doc_id").agg(sum(col("n_f") * col("w_q")).as("dsir_q"))
+    val w = Window.orderBy(col("dsir_q").desc, col("doc_id"))
+    pool
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dsir_q"), lit(0L)).as("dsir_q"))
+      .orderBy(col("dsir_q").desc, col("doc_id")).limit(DsirK)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy("rnk")
+  }
+
+  /** Batch-incremental DSIR — the d155 query, the selection family's
+    * oracle-gated incremental member (the d84/d101 proof standard: the
+    * incremental state's served selection must be hash-indistinguishable
+    * from the one-shot [[t152DsirSelect]], so the oracle IS t152's SQL).
+    * A curation pipeline re-scores its selection as the raw pool grows —
+    * and every new batch shifts EVERY bucket's raw count, so per-doc
+    * weights are not cacheable; what IS incremental is the expensive
+    * part: each document is tokenized once ever, its bucket postings
+    * landing as state (the [[dsirPostings]] reduction — one compact row
+    * per (doc, bucket)), and the bag models are additive per-bucket count
+    * partials re-derivable from the novel postings alone. Serving joins
+    * the CURRENT ≤4096-row score table back onto the accumulated
+    * postings — O(postings) scoring with zero re-tokenization.
+    *
+    * Batch 2 re-delivers every tenth even doc (the d151 replay
+    * convention); the doc_id novelty anti-join must drop them, or their
+    * features double-count in both bag models and the weights drift.
+    *
+    * Scale: per batch, tokenization + the postings reduction are
+    * O(batch); the novelty check is one anti-join against the roster
+    * (doc_id-keyed state — at scale a bucket-pruned probe, the d151
+    * layout); the merge is append-only. Serving is the t152 cost minus
+    * its tokenize pass.
+    */
+  def d155IncrementalDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "source", "text")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 20 === 0))
+
+    def ingest(roster: DataFrame, posts: DataFrame, batch: DataFrame)
+        : (DataFrame, DataFrame) = {
+      val novel = batch.join(roster, Seq("doc_id"), "left_anti")
+      (roster.unionByName(
+        novel.select(col("doc_id"),
+          (col("source") === DsirTargetSource).as("is_target"))),
+        posts.unionByName(dsirPostings(novel)))
+    }
+    val roster0 = docs.filter(lit(false))
+      .select(col("doc_id"), lit(false).as("is_target"))
+    val posts0 = dsirPostings(docs.filter(lit(false)))
+    val (roster1, posts1) = ingest(roster0, posts0, b1)
+    val (roster2, posts2) = ingest(roster1, posts1, b2)
+    val posts = CacheRegistry.harness.add(posts2.persist())
+    dsirServe(roster2.filter(!col("is_target")).select("doc_id"), posts)
+  }
+
   /** Link-graph PageRank over the document corpus — the t135 query, the
     * graph-centrality source-quality signal large curation pipelines
     * compute over the crawl graph (CommonCrawl ranks its URLs by
@@ -3262,6 +3413,82 @@ object TextOps {
         (h48(concat(col("src").cast("string"), lit("#"),
           col("j").cast("string"))) % nn).as("dst"))
       .filter(col("dst") =!= col("src"))
+
+  /** t153 fixed HITS iteration count — fixed so the trajectory is
+    * deterministic and the oracle can unroll it (the t135/v60 convention
+    * for iterative algorithms).
+    */
+  val HitsIters = 3
+
+  /** HITS hubs-and-authorities — the t153 query (Kleinberg 1999,
+    * "Authoritative Sources in a Hyperlinked Environment" — public
+    * method), the second graph-centrality signal next to t135's PageRank:
+    * a curation pipeline that ranks crawl sources wants both "pointed-to
+    * by good hubs" (authority — quality of the page) and "points to good
+    * authorities" (hub — quality of the page AS a directory). Same
+    * deterministic [[linkEdges]] graph as t135/t145, so the two
+    * centralities are directly comparable per doc.
+    *
+    * Engine-exactness — the integer-mass trajectory (the t135 quantization
+    * convention, applied to HITS's mutual recursion): scores live as
+    * BIGINT micro-units (initial hub mass 1e6 per node). One half-step
+    * sums the counterpart mass over edges — an order-independent INTEGER
+    * sum — then renormalizes to mean ~1e6 via `(raw * 1e6) div (S div N)`
+    * where S is the integer total: two integer divisions both engines
+    * compute identically, replacing the textbook L2 normalization (a
+    * sqrt — transcendental, cross-engine last-ulp hazard) with an exact
+    * L1-style one that preserves the ranking at every step. Inbound-less
+    * nodes keep authority 0 via left join + coalesce.
+    *
+    * Scale — the t135 iterative-shuffle pattern, doubled for the mutual
+    * recursion: the edge table is materialized twice, once partitioned on
+    * src (the hub→authority flow joins scores on src) and once on dst
+    * (the authority→hub flow joins on dst), each persisted ONCE — so per
+    * iteration only the two compact (node, score) tables move through an
+    * exchange, plus one 1-row total broadcast per half-step; the edges
+    * never re-shuffle.
+    */
+  def t153Hits(s: SparkSession, d: String): DataFrame = {
+    val docs = CacheRegistry.harness.add(
+      documents(s, d).select("doc_id").persist())
+    val nn = docs.count()
+    val e = linkEdges(docs, nn, lit(0L), lit(1L), lit(2L))
+    val eSrc = CacheRegistry.harness.add(e.repartition(col("src")).persist())
+    val eDst = CacheRegistry.harness.add(e.repartition(col("dst")).persist())
+    var hub = docs.select(col("doc_id"), lit(1000000L).as("score"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      auth = CacheRegistry.harness.add(
+        hitsHalfStep(docs, hub, eSrc, "src", "dst", nn).persist())
+      hub = CacheRegistry.harness.add(
+        hitsHalfStep(docs, auth, eDst, "dst", "src", nn).persist())
+    }
+    docs
+      .join(auth.withColumnRenamed("score", "auth_q"), Seq("doc_id"))
+      .join(hub.withColumnRenamed("score", "hub_q"), Seq("doc_id"))
+      .select(col("doc_id"), col("auth_q"), col("hub_q"))
+      .orderBy("doc_id")
+  }
+
+  /** One HITS half-step: sum `scores` over the edges' `joinKey` endpoint,
+    * grouped by the opposite `outKey` endpoint, renormalized to integer
+    * micro-units (see [[t153Hits]]). The 1-row denominator is broadcast;
+    * the edge table arrives pre-partitioned on `joinKey` so only the
+    * compact score table shuffles.
+    */
+  private def hitsHalfStep(docs: DataFrame, scores: DataFrame,
+      edges: DataFrame, joinKey: String, outKey: String, nn: Long)
+      : DataFrame = {
+    val raw = scores.join(edges, col("doc_id") === col(joinKey))
+      .groupBy(col(outKey).as("nid"))
+      .agg(sum(col("score")).as("raw"))
+    val denom = raw.agg(sum(col("raw")).as("sraw"))
+      .select(expr(s"sraw div ${nn}L").as("denom"))
+    docs.join(raw, col("doc_id") === col("nid"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("doc_id"),
+        coalesce(expr("(raw * 1000000) div denom"), lit(0L)).as("score"))
+  }
 
   /** Uniform initial mass, 6dp-truncated — identical for any edge set at a
     * frozen node count.

@@ -456,6 +456,52 @@ object VectorOps {
         col("t.cid").as("cid"))
   }
 
+  /** Cluster-density data pruning — the v154 query, the self-supervised
+    * prototype-pruning recipe (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power-law scaling via data pruning",
+    * arXiv:2206.14486 — public method): k-means-cluster the embeddings
+    * (the SAME Lloyd's loop v60 trains, shared via [[kmeansLoop]]), rank
+    * each cluster's members by cosine to their OWN centroid — high
+    * similarity = prototypical = "easy" — and drop the most-prototypical
+    * quarter per cluster (the paper's data-abundant regime: prune easy
+    * examples; their metric is exactly distance-to-assigned-prototype).
+    * Completes the embedding-side curation family: dedup picks among
+    * near-identical copies (v83), pruning cuts redundant-but-distinct
+    * mass the scaling law says a big corpus doesn't need.
+    *
+    * Engine-exactness: the rank orders the same pinned cosine doubles the
+    * assignment itself computes (one dot, two sqrts, one divide, in the
+    * same op order as the oracle — the kmeansLoop convention), with
+    * vec_id as the total tiebreak; the keep rule `4·rank > cluster_size`
+    * is pure BIGINT arithmetic, so the cut line cannot drift between
+    * engines even when similarities tie exactly.
+    *
+    * Scale: the loop is the audited v60 cost; the scoring join is a
+    * broadcast of the k-row codebook (map-side); the rank window
+    * partitions by cid — the published method's contract (k grows with
+    * the corpus so clusters stay bounded; the SemDeDup/v83 premise) makes
+    * each cluster's sort one partition-local task, never a global order.
+    */
+  def v154DensityPrune(s: SparkSession, d: String): DataFrame = {
+    val (assigned0, cg) = kmeansLoop(s, d)
+    val assigned = CacheRegistry.harness.add(assigned0.persist())
+    val codebook = codebookOf(cg)
+    val vd = col("embedding").cast("array<double>")
+    val denom = sqrt(planeDot(s, vd, vd)) *
+      sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec")))
+    val sim = when(denom === 0d, lit(0d))
+      .otherwise(planeDot(s, col("embedding"), col("cvec")) / denom)
+    val wr = Window.partitionBy("cid").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(codebook), Seq("cid"))
+      .withColumn("sim", sim)
+      .withColumn("proto_rank", row_number().over(wr).cast("long"))
+      .withColumn("n_vecs",
+        count(lit(1)).over(Window.partitionBy("cid")))
+      .select(col("vec_id"), col("cid"), col("proto_rank"), col("n_vecs"),
+        (col("proto_rank") * 4 > col("n_vecs")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Incremental semantic dedup — the d84 pattern applied to the third
     * dedup modality (exact ✓ d84 minhash ✓ semantic): deduplicating batch
     * N+1 against the accumulated corpus at FIXED centroids costs O(batch),

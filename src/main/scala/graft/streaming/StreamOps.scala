@@ -1357,6 +1357,84 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming DSIR postings maintenance — the selection family's sink,
+    * completing its one-shot (t152) / incremental (d155) / streaming trio.
+    * Input columns: (doc_id, source, text). Per micro-batch: collapse to
+    * ONE deterministic row per doc_id — max (text, source) struct, a
+    * total order, so a replay lands identical bytes and a within-batch
+    * double delivery cannot double-count features under one batch id
+    * (which latest-batch-wins supersession could never heal; revisions
+    * are only correct ACROSS batches) — then land the
+    * [[graft.ops.TextOps.dsirPostings]] reduction as `posts/batch=N` and
+    * the per-doc (doc_id, is_target) roster row as `roster/batch=N`
+    * (featureless docs have no postings rows; the roster keeps them in
+    * the selection pool at weight 0, and its (doc_id, max batch) is the
+    * authoritative version pointer — a revision that LOSES all bigrams
+    * must still supersede its old postings).
+    *
+    * Ingest is batch-local: tokenize + one partial-aggregable reduction
+    * over the batch, zero reads of accumulated state. Deletes ride the
+    * shared [[tombstoneStream]] at the same `statePath`.
+    */
+  def dsirIngestStream(spark: SparkSession, docs: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val one = batch.toDF().groupBy("doc_id")
+          .agg(max(struct(col("text"), col("source"))).as("ts"))
+          .select(col("doc_id"), col("ts.source").as("source"),
+            col("ts.text").as("text"))
+        graft.ops.TextOps.dsirPostings(one)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/posts/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/posts/batch=$id",
+          s"$statePath/posts/batch=$id")
+        one.select(col("doc_id"),
+            (col("source") === graft.ops.TextOps.DsirTargetSource)
+              .as("is_target"))
+          .write.mode("overwrite").parquet(s"$statePath.tmp/roster/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/roster/batch=$id",
+          s"$statePath/roster/batch=$id")
+      }
+      .start()
+
+  /** The DSIR selection over a [[dsirIngestStream]] state — the serving
+    * read: tombstone-healed roster rows collapse to each doc's LATEST
+    * batch (the authoritative version pointer — see the sink's scaladoc),
+    * that (doc_id, batch) pair prunes the postings to the newest
+    * version's rows, and the scorer is [[graft.ops.TextOps.dsirServe]] —
+    * the t152 query's own engine, so the served selection ≡ the one-shot
+    * score over the current corpus by construction (DsirStreamSpec pins
+    * it, including a revision shifting BOTH bag models and a tombstoned
+    * doc's features vanishing from the raw distribution).
+    *
+    * Note the DSIR-specific serving truth: a revision or delete shifts
+    * EVERY bucket's raw count, so per-doc weights are never cacheable —
+    * what the state saves is the tokenize pass (each doc reduced once at
+    * ingest), and serving re-scores the compact postings against the
+    * current ≤4096-row score table.
+    */
+  def dsirServed(spark: SparkSession, statePath: String): DataFrame = {
+    val tPath = new org.apache.hadoop.fs.Path(s"$statePath.tombstones")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def heal(df: DataFrame): DataFrame =
+      if (!fs.exists(tPath)) df
+      else df.join(
+        broadcast(spark.read.parquet(s"$statePath.tombstones")
+          .select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val roster = heal(spark.read.parquet(s"$statePath/roster"))
+    val latest = roster.groupBy("doc_id").agg(max("batch").as("batch"))
+    val rosterLive = roster.join(latest, Seq("doc_id", "batch"))
+      .select("doc_id", "is_target")
+    val posts = heal(spark.read.parquet(s"$statePath/posts"))
+      .join(latest, Seq("doc_id", "batch"))
+      .select("doc_id", "is_target", "b", "n_f")
+    graft.ops.TextOps.dsirServe(
+      rosterLive.filter(!col("is_target")).select("doc_id"), posts)
+  }
+
   /** BM25 top-5 per query term over a [[postingsStream]] state — the
     * serving read: tombstone-healed postings collapse to each doc's
     * LATEST batch (all of a doc's term rows carry its ingest batch, so
