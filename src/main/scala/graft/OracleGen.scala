@@ -1431,6 +1431,47 @@ object OracleGen {
      FROM ranked ORDER BY vec_id"""
   }
 
+  /** Batch-incremental density pruning (v156) matching
+    * [[graft.ops.VectorOps.v156IncrementalPrune]] — the fixed-centroid
+    * one-shot the incremental path must equal (the d92 convention):
+    * centroids train on the even-vec_id half only, ALL vectors assign to
+    * those frozen final centroids, then the v154 rank + integer-cut tail.
+    */
+  val incrementalPrune: String = {
+    val iters = VectorOps.KmeansIters
+    s"""WITH ${kmeansCtes("WHERE vec_id % 2 = 0")},
+       af AS (
+         SELECT vec_id, v, cid FROM (
+           SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec)) = 0
+                    THEN 0.0
+                    ELSE list_dot_product(e.v, c.cvec)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) END DESC,
+               c.cid) AS arn
+           FROM e, c$iters c) t WHERE arn = 1),
+       sims AS (
+         SELECT a.vec_id, a.cid,
+           CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(c.cvec, c.cvec)) = 0
+                THEN 0.0
+                ELSE list_dot_product(a.v, c.cvec)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(c.cvec, c.cvec))) END AS sim
+         FROM af a JOIN c$iters c USING (cid)),
+       ranked AS (
+         SELECT vec_id, cid,
+           CAST(row_number() OVER (PARTITION BY cid
+             ORDER BY sim DESC, vec_id) AS BIGINT) AS proto_rank,
+           CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs
+         FROM sims)
+     SELECT vec_id, cid, proto_rank, n_vecs,
+       proto_rank * 4 > n_vecs AS keep
+     FROM ranked ORDER BY vec_id"""
+  }
+
   /** Shingle-overlap decontamination matching
     * [[graft.ops.TextOps.t67Decontaminate]] (benchmark = docs 0-9).
     */

@@ -198,6 +198,7 @@ object SparkEntry {
     "t153_hits" -> (TextOps.t153Hits _),
     "v154_density_prune" -> (VectorOps.v154DensityPrune _),
     "d155_incremental_dsir" -> (TextOps.d155IncrementalDsir _),
+    "v156_incremental_prune" -> (VectorOps.v156IncrementalPrune _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -713,6 +714,9 @@ object SparkEntry {
     // indistinguishable from a one-shot score: the oracle IS t152's SQL
     // (the d84/d101 proof standard)
     "d155_incremental_dsir" -> OracleGen.dsirSelect,
+    // frozen even-half codebook, O(batch) assignment ingest with replay
+    // anti-join; oracle = the fixed-centroid one-shot (the d92 standard)
+    "v156_incremental_prune" -> OracleGen.incrementalPrune,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

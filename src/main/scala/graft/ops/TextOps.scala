@@ -3286,6 +3286,18 @@ object TextOps {
       .select(col("b"),
         expr("((coalesce(c_t, 0) + 1) * 1000000) div (coalesce(c_r, 0) + 1)")
           .as("w_q"))
+    dsirScoreWith(pool, posts, wq)
+  }
+
+  /** The DSIR scoring tail at a GIVEN score table — shared by
+    * [[dsirServe]] (score table derived from the postings) and the
+    * compacted-layout serve (score table from the pre-aggregated `.bags`
+    * artifact, which yields the identical w_q values: the artifact's
+    * conditional sums are 0 exactly where dsirServe's full join
+    * coalesces to 0).
+    */
+  private[graft] def dsirScoreWith(pool: DataFrame, posts: DataFrame,
+      wq: DataFrame): DataFrame = {
     val sums = posts.filter(!col("is_target"))
       .join(broadcast(wq), Seq("b"))
       .groupBy("doc_id").agg(sum(col("n_f") * col("w_q")).as("dsir_q"))

@@ -485,7 +485,16 @@ object VectorOps {
   def v154DensityPrune(s: SparkSession, d: String): DataFrame = {
     val (assigned0, cg) = kmeansLoop(s, d)
     val assigned = CacheRegistry.harness.add(assigned0.persist())
-    val codebook = codebookOf(cg)
+    prototypicalityRanks(s, assigned, codebookOf(cg))
+  }
+
+  /** The density-pruning serve shared by v154 (loop-trained centroids)
+    * and v156 (frozen even-half centroids over accumulated assignment
+    * state): cosine to the OWN centroid in the assignment's pinned op
+    * order, per-cluster (sim DESC, vec_id) ranks, integer keep cut.
+    */
+  private def prototypicalityRanks(s: SparkSession, assigned: DataFrame,
+      codebook: DataFrame): DataFrame = {
     val vd = col("embedding").cast("array<double>")
     val denom = sqrt(planeDot(s, vd, vd)) *
       sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec")))
@@ -500,6 +509,42 @@ object VectorOps {
       .select(col("vec_id"), col("cid"), col("proto_rank"), col("n_vecs"),
         (col("proto_rank") * 4 > col("n_vecs")).as("keep"))
       .orderBy("vec_id")
+  }
+
+  /** Batch-incremental density pruning — the v156 query, the d92
+    * frozen-codebook pattern applied to v154: a growing corpus keeps its
+    * pruning decisions refreshable without re-assigning history. The
+    * codebook trains ONCE on the first batch (the even half) and freezes
+    * — the published method's own contract (cluster ids must stay
+    * comparable across batches; retraining is a re-index, not an ingest
+    * step); each later batch assigns at O(batch) against the broadcast
+    * codebook with a replay anti-join (a re-delivered subset must not
+    * duplicate state rows); serving re-ranks the accumulated assignment
+    * state per cluster — the window cost is inherent (a new member can
+    * shift every cluster-mate's rank), the saved cost is the corpus-scale
+    * re-assignment. Oracle = the fixed-centroid one-shot (train on
+    * evens, assign ALL, rank) — the d84/d92 proof standard.
+    */
+  def v156IncrementalPrune(s: SparkSession, d: String): DataFrame = {
+    // persist(): both batch filters and the k-row init scan read this once
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d).select(col("vec_id"), col("embedding")).persist())
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    // batch 2 re-delivers every tenth even vector — the replay the
+    // anti-join must drop, or duplicate state rows corrupt the ranks
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .unionByName(emb.filter(col("vec_id") % 20 === 0))
+    val codebook = CacheRegistry.harness.add(
+      codebookOf(kmeansLoopOn(s, evens)._2).persist())
+    def ingest(state: DataFrame, batch: DataFrame): DataFrame = {
+      val novel = batch.join(state.select("vec_id"), Seq("vec_id"),
+        "left_anti")
+      state.unionByName(assignToCentroids(s, novel, codebook))
+    }
+    val empty = assignToCentroids(s, emb.filter(lit(false)), codebook)
+    val state = CacheRegistry.harness.add(
+      ingest(ingest(empty, evens), odds).persist())
+    prototypicalityRanks(s, state, codebook)
   }
 
   /** Incremental semantic dedup — the d84 pattern applied to the third

@@ -1416,6 +1416,19 @@ object StreamOps {
     * current ≤4096-row score table.
     */
   def dsirServed(spark: SparkSession, statePath: String): DataFrame = {
+    val (rosterLive, posts) = dsirLive(spark, statePath)
+    graft.ops.TextOps.dsirServe(
+      rosterLive.filter(!col("is_target")).select("doc_id"), posts)
+  }
+
+  /** The current (roster, postings) of a [[dsirIngestStream]] state:
+    * tombstone-healed, collapsed to each doc's LATEST roster batch (the
+    * authoritative version pointer — see the sink's scaladoc). Shared by
+    * [[dsirServed]] (direct read) and [[compactDsirState]] (serving
+    * rebuild).
+    */
+  private def dsirLive(spark: SparkSession, statePath: String)
+      : (DataFrame, DataFrame) = {
     val tPath = new org.apache.hadoop.fs.Path(s"$statePath.tombstones")
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def heal(df: DataFrame): DataFrame =
@@ -1431,8 +1444,75 @@ object StreamOps {
     val posts = heal(spark.read.parquet(s"$statePath/posts"))
       .join(latest, Seq("doc_id", "batch"))
       .select("doc_id", "is_target", "b", "n_f")
-    graft.ops.TextOps.dsirServe(
-      rosterLive.filter(!col("is_target")).select("doc_id"), posts)
+    (rosterLive, posts)
+  }
+
+  /** Compact a [[dsirIngestStream]] `batch=N` state into the serving
+    * layout — the selection member of the compaction family: the live
+    * postings and roster (latest version per doc, tombstones applied
+    * PHYSICALLY) each land as one generation, and the bag models are
+    * pre-aggregated as the ≤[[graft.ops.TextOps.DsirBuckets]]-row
+    * `<path>.bags` artifact (b, c_t, c_r as conditional sums — zero
+    * exactly where the direct serve's full join coalesces to zero, so
+    * the derived score table is value-identical) — a compacted serve
+    * reads two bucket-count columns instead of re-aggregating the
+    * corpus-sized postings per query. All writes are full overwrites (a
+    * re-run replaces, never doubles; the `batch=N` sink stays the source
+    * of truth).
+    */
+  def compactDsirState(spark: SparkSession, statePath: String,
+      path: String): Unit = {
+    val (rosterLive, postsLive0) = dsirLive(spark, statePath)
+    val postsLive = postsLive0.persist()
+    postsLive.write.mode("overwrite").parquet(s"$path/posts")
+    rosterLive.write.mode("overwrite").parquet(s"$path/roster")
+    postsLive.groupBy("b")
+      .agg(sum(when(col("is_target"), col("n_f")).otherwise(0L)).as("c_t"),
+        sum(when(!col("is_target"), col("n_f")).otherwise(0L)).as("c_r"))
+      .write.mode("overwrite").parquet(s"$path.bags")
+    postsLive.unpersist()
+  }
+
+  /** The DSIR selection over a [[compactDsirState]] layout — the
+    * production serve: the score table derives from the 4096-row `.bags`
+    * artifact (no corpus-sized bag aggregation), the scoring tail is
+    * [[graft.ops.TextOps.dsirScoreWith]] — t152's own engine. Deletes
+    * arriving AFTER the compaction pass as `tombstones` (doc_id rows)
+    * and are applied EXACTLY: the dead docs' postings leave the scoring
+    * side by an anti-join, and their bucket counts are subtracted from
+    * the artifact (an O(dead postings) delta — every surviving doc's
+    * weight shifts correctly because DSIR weights depend on the raw
+    * distribution). A post-compaction REVISION, however, is invisible to
+    * this layout until the next compaction (the bm25Compacted staleness
+    * window) — a reader needing revision-fresh selection between
+    * compactions serves [[dsirServed]] from the batch=N state instead.
+    */
+  def dsirCompacted(spark: SparkSession, path: String,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val posts0 = spark.read.parquet(s"$path/posts")
+    val roster0 = spark.read.parquet(s"$path/roster")
+    val bags0 = spark.read.parquet(s"$path.bags")
+    val (posts, roster, bags) = tombstones match {
+      case None => (posts0, roster0, bags0)
+      case Some(t) =>
+        val ids = broadcast(t.select("doc_id"))
+        val dead = posts0.join(ids, Seq("doc_id"), "left_semi")
+        val deltas = dead.groupBy("b")
+          .agg(sum(when(col("is_target"), col("n_f")).otherwise(0L))
+            .as("d_t"),
+            sum(when(!col("is_target"), col("n_f")).otherwise(0L))
+              .as("d_r"))
+        (posts0.join(ids, Seq("doc_id"), "left_anti"),
+          roster0.join(ids, Seq("doc_id"), "left_anti"),
+          bags0.join(deltas, Seq("b"), "left")
+            .select(col("b"),
+              (col("c_t") - coalesce(col("d_t"), lit(0L))).as("c_t"),
+              (col("c_r") - coalesce(col("d_r"), lit(0L))).as("c_r")))
+    }
+    val wq = bags.select(col("b"),
+      expr("((c_t + 1) * 1000000) div (c_r + 1)").as("w_q"))
+    graft.ops.TextOps.dsirScoreWith(
+      roster.filter(!col("is_target")).select("doc_id"), posts, wq)
   }
 
   /** BM25 top-5 per query term over a [[postingsStream]] state — the

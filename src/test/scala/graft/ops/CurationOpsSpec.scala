@@ -117,6 +117,26 @@ class CurationOpsSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("v156 keeps the v154 invariants over the frozen-codebook state") {
+    // the oracle gate pins v156 == fixed-centroid one-shot; here: the
+    // structural invariants hold on the incremental state too, and the
+    // re-delivered subset did not duplicate state rows
+    val p = VectorOps.v156IncrementalPrune(spark, sf).persist()
+    val emb = graft.Tables.embeddings(spark, sf)
+    assert(p.count() == emb.count(),
+      "replayed vectors must not duplicate state rows")
+    assert(p.select(countDistinct("vec_id")).head.getLong(0) == p.count())
+    val bad = p.groupBy("cid")
+      .agg(count(lit(1)).as("n"), min("proto_rank").as("rmin"),
+        max("proto_rank").as("rmax"),
+        countDistinct("proto_rank").as("rdist"))
+      .filter(col("rmin") =!= 1 || col("rmax") =!= col("n") ||
+        col("rdist") =!= col("n"))
+    assert(bad.count() == 0, "ranks must be a per-cluster permutation")
+    p.unpersist()
+    CacheRegistry.harness.release()
+  }
+
   test("v154 ranks are per-cluster permutations; drop set = floor(n/4)") {
     val p = VectorOps.v154DensityPrune(spark, sf).persist()
     val emb = graft.Tables.embeddings(spark, sf)

@@ -79,6 +79,32 @@ class DsirStreamSpec extends SparkSpec {
     // the tombstoned doc never serves
     assert(StreamOps.dsirServed(s, state)
       .filter(col("doc_id") === deletedId).count() == 0)
+
+    // compaction: the serving layout (posts/roster generations + the
+    // 4096-row .bags artifact) must serve the identical selection, with
+    // the tombstone applied physically
+    val cpath = s"$dir/compacted"
+    StreamOps.compactDsirState(s, state, cpath)
+    val compacted = StreamOps.dsirCompacted(s, cpath)
+      .collect().map(_.toSeq)
+    assert(compacted.toSeq == oneShot.toSeq,
+      "compacted serve must equal the direct serve")
+    assert(s.read.parquet(s"$cpath/posts")
+      .filter(col("doc_id") === deletedId).count() == 0,
+      "compaction must apply tombstones physically")
+
+    // a post-compaction delete passes as the tombstones param and is
+    // EXACT: every surviving doc's weight shifts (bag counts adjust)
+    val deleted2 = b1.find(c =>
+      c._2 != TextOps.DsirTargetSource && c._1 != revised._1 &&
+        c._1 != conflicted._1).get._1
+    val postDocs = finalDocs.filter(col("doc_id") =!= deleted2)
+    val postOne = TextOps.dsirSelectOn(postDocs).collect().map(_.toSeq)
+    CacheRegistry.harness.release()
+    val postServed = StreamOps.dsirCompacted(s, cpath,
+      Some(Seq(deleted2).toDF("doc_id"))).collect().map(_.toSeq)
+    assert(postServed.toSeq == postOne.toSeq,
+      "post-compaction tombstones must adjust the bag counts exactly")
     CacheRegistry.harness.release()
   }
 }
