@@ -2250,6 +2250,52 @@ object OracleGen {
      FROM topk ORDER BY rnk"""
   }
 
+  /** Held-out bigram LM scoring with backoff (t157) matching
+    * [[TextOps.t157BigramLm]]: adjacent-word pairs (index-offset
+    * self-join; the Spark side builds them map-side — same pairs), model
+    * counts from the even-doc_id half only, per-position integer info_q
+    * (seen bigram: (c1(w1)·100) // c2; unseen: penalty + unigram info
+    * with OOV dividing by 1), per-doc counts and the 4dp-floor average.
+    */
+  val bigramLm: String = {
+    val pen = TextOps.BackoffPenaltyQ
+    s"""WITH base AS (
+         SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') AS ws
+         FROM documents),
+       tok AS (
+         SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+         FROM base),
+       pairs AS (
+         SELECT a.doc_id, a.w AS w1, b.w AS w2
+         FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       c1 AS (SELECT w, count(*) AS c FROM tok WHERE doc_id % 2 = 0
+              GROUP BY w),
+       n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM c1),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs
+              WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+       scored AS (
+         SELECT p.doc_id,
+           CASE WHEN c2.c2 IS NOT NULL THEN (u1.c * 100) // c2.c2
+                ELSE $pen + (n.nt * 100) // coalesce(u2.c, 1) END AS info_q,
+           CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS bo
+         FROM pairs p CROSS JOIN n
+         LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+         LEFT JOIN c1 u1 ON u1.w = p.w1
+         LEFT JOIN c1 u2 ON u2.w = p.w2),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(bo) AS BIGINT) AS n_backoff,
+           floor(avg(info_q) * 1e4) / 1e4 AS lm2_score
+         FROM scored GROUP BY doc_id)
+     SELECT d.doc_id,
+       coalesce(a.n_scored, 0) AS n_scored,
+       coalesce(a.n_backoff, 0) AS n_backoff,
+       coalesce(a.lm2_score, 0.0) AS lm2_score
+     FROM documents d LEFT JOIN agg a USING (doc_id)
+     ORDER BY d.doc_id"""
+  }
+
   /** Quality-keeper near-dup resolution (d137) matching
     * [[TextOps.d137QualityKeeper]]: the d46 reachability chain for
     * component labels, the t21 truncated quality score, keeper = first row

@@ -199,6 +199,7 @@ object SparkEntry {
     "v154_density_prune" -> (VectorOps.v154DensityPrune _),
     "d155_incremental_dsir" -> (TextOps.d155IncrementalDsir _),
     "v156_incremental_prune" -> (VectorOps.v156IncrementalPrune _),
+    "t157_bigram_lm" -> (TextOps.t157BigramLm _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -717,6 +718,9 @@ object SparkEntry {
     // frozen even-half codebook, O(batch) assignment ingest with replay
     // anti-join; oracle = the fixed-centroid one-shot (the d92 standard)
     "v156_incremental_prune" -> OracleGen.incrementalPrune,
+    // held-out bigram LM: model trained on the even half scores ALL docs,
+    // unseen bigrams pay the quantized Katz-style backoff
+    "t157_bigram_lm" -> OracleGen.bigramLm,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

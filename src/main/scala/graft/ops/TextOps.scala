@@ -1405,6 +1405,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t157 additive backoff penalty in info_q units — the integer analog of
+    * a Katz backoff weight: a position scored through the unigram
+    * fallback pays a fixed rarity surcharge over its unigram information,
+    * so backed-off positions always read as less fluent than a seen
+    * bigram over the same words.
+    */
+  val BackoffPenaltyQ = 400L
+
+  /** Held-out bigram LM scoring with backoff — the t157 query, the CCNet
+    * recipe at its published shape (Wenzek et al. 2020 score crawl text
+    * under an LM trained on a CURATED corpus; t94's unigram stand-in
+    * trains on the scored corpus itself, so no token is ever
+    * out-of-model): the bigram model trains on the even-doc_id half (the
+    * t66 split convention) and scores EVERY document, so held-out docs
+    * genuinely contain unseen bigrams and the backoff path (Katz 1987 —
+    * public method) does real work. Per scored position (each adjacent
+    * word pair):
+    *
+    *  - seen bigram: info_q = (c1_train(w1)·100) div c2_train(w1,w2) —
+    *    monotone in 1/p(w2|w1), integers only (the t71/t94 idf_q
+    *    convention);
+    *  - unseen bigram: info_q = [[BackoffPenaltyQ]] +
+    *    (N_train·100) div c1_train(w2), i.e. the unigram information plus
+    *    the fixed penalty; an out-of-vocabulary w2 divides by 1 (maximum
+    *    rarity).
+    *
+    * Per doc: scored-position count, backoff count, and the 4dp-floor
+    * average (both engines average the identical BIGINT sum over the
+    * identical count — no float-order hazard). Docs under two words score
+    * 0 with 0 positions.
+    *
+    * Scale: pairs are built map-side (the t152 zip_with shape — no
+    * self-join to form adjacency); the model tables are vocab-sized
+    * aggregates; scoring is ONE token-scale shuffle join keyed on the
+    * bigram (the standard LM-scoring exchange, t94's cost class) plus two
+    * vocab-table joins AQE broadcasts when they fit; the per-doc average
+    * is partial-aggregable. No windows, nothing quadratic.
+    */
+  def t157BigramLm(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val pairsCol = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    // persist(): the pair stream feeds the train bigram counts AND the
+    // scoring join from one tokenize pass
+    val pairs = CacheRegistry.harness.add(
+      documents(s, d)
+        .select(col("doc_id"), explode(pairsCol).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .persist())
+    val trainToks = documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select(explode(words(col("text"))).as("w"))
+    // persist(): c1 feeds both unigram joins and the 1-row total
+    val c1 = CacheRegistry.harness.add(
+      trainToks.groupBy("w").agg(count(lit(1)).as("c")).persist())
+    val nt = c1.agg(sum(col("c")).as("nt"))
+    val c2 = pairs.filter(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = pairs
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w").as("w1"), col("c").as("c1w1")),
+        Seq("w1"), "left")
+      .join(c1.select(col("w").as("w2"), col("c").as("c1w2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(nt))
+      .select(col("doc_id"),
+        when(col("c2").isNotNull, expr("(c1w1 * 100) div c2"))
+          .otherwise(lit(BackoffPenaltyQ) +
+            expr("(nt * 100) div coalesce(c1w2, 1)")).as("info_q"),
+        when(col("c2").isNull, lit(1L)).otherwise(lit(0L)).as("bo"))
+    val agg = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum(col("bo")).as("n_backoff"),
+        (floor(avg(col("info_q")) * lit(1e4)) / lit(1e4)).as("lm2_score"))
+    documents(s, d).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("lm2_score"), lit(0.0)).as("lm2_score"))
+      .orderBy("doc_id")
+  }
+
   /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix
     * table misses any pair whose differing bits are all in the high half and
     * its occupancy grows ∝ n/65536; four rotations (0/8/16/24 bits) cover

@@ -117,6 +117,32 @@ class CurationOpsSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("t157 scores every position; train docs never back off") {
+    val lm = TextOps.t157BigramLm(spark, sf).persist()
+    val t20 = TextOps.t20TokenCount(spark, sf)
+
+    // one row per doc; scored positions = whitespace tokens - 1
+    assert(lm.count() ==
+      graft.Tables.documents(spark, sf).count())
+    val bad = lm.join(t20, Seq("doc_id"))
+      .filter(col("n_scored") =!=
+        greatest(col("ws_tokens") - 1, lit(0L)))
+    assert(bad.count() == 0, "scored positions must tile every doc")
+
+    // every bigram of a train-half doc is in the model by construction
+    assert(lm.filter(col("doc_id") % 2 === 0 && col("n_backoff") > 0)
+      .count() == 0, "train docs can never back off")
+    // held-out docs genuinely exercise the backoff path
+    assert(lm.filter(col("doc_id") % 2 === 1 && col("n_backoff") > 0)
+      .count() > 0, "no held-out doc backed off — the split is broken")
+    // backoff count is bounded by scored positions; scores non-negative
+    assert(lm.filter(col("n_backoff") > col("n_scored") ||
+      col("lm2_score") < 0).count() == 0)
+
+    lm.unpersist()
+    CacheRegistry.harness.release()
+  }
+
   test("v156 keeps the v154 invariants over the frozen-codebook state") {
     // the oracle gate pins v156 == fixed-centroid one-shot; here: the
     // structural invariants hold on the incremental state too, and the
