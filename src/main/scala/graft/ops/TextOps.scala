@@ -3552,16 +3552,32 @@ object TextOps {
     var hub = docs.select(col("doc_id"), lit(1000000L).as("score"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      auth = CacheRegistry.harness.add(
-        hitsHalfStep(docs, hub, eSrc, "src", "dst", nn).persist())
-      hub = CacheRegistry.harness.add(
-        hitsHalfStep(docs, auth, eDst, "dst", "src", nn).persist())
+      auth = hitsCheckpoint(hitsHalfStep(docs, hub, eSrc, "src", "dst", nn))
+      hub = hitsCheckpoint(hitsHalfStep(docs, auth, eDst, "dst", "src", nn))
     }
     docs
       .join(auth.withColumnRenamed("score", "auth_q"), Seq("doc_id"))
       .join(hub.withColumnRenamed("score", "hub_q"), Seq("doc_id"))
       .select(col("doc_id"), col("auth_q"), col("hub_q"))
       .orderBy("doc_id")
+  }
+
+  /** Eager localCheckpoint + fresh-attribute rebuild, backing RDD
+    * registered for harness release — the [[connectedComponents]]
+    * truncation convention applied to the HITS trajectory: each half-step
+    * consumes a 1-node LogicalRDD instead of the alternating cached
+    * chain, whose plan TEXT repeats the entire prior lineage inside every
+    * later step (a plain persist leaves lineage in the plan; by step 6
+    * Catalyst analysis and AQE's per-execution plan-description string
+    * grow combinatorially — measured as minutes of driver CPU inside
+    * generateTreeString at sf0.001 before this cut).
+    */
+  private def hitsCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(CacheRegistry.harness.addRdd)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
   /** One HITS half-step: sum `scores` over the edges' `joinKey` endpoint,
@@ -3573,9 +3589,15 @@ object TextOps {
   private def hitsHalfStep(docs: DataFrame, scores: DataFrame,
       edges: DataFrame, joinKey: String, outKey: String, nn: Long)
       : DataFrame = {
-    val raw = scores.join(edges, col("doc_id") === col(joinKey))
-      .groupBy(col(outKey).as("nid"))
-      .agg(sum(col("score")).as("raw"))
+    // persist(): the raw inflow table feeds BOTH the 1-row denominator
+    // and the renormalization join — without it the scores⋈edges
+    // aggregation (the half-step's only corpus-scale work) executes
+    // twice per half-step, 12 redundant joins across the trajectory
+    val raw = CacheRegistry.harness.add(
+      scores.join(edges, col("doc_id") === col(joinKey))
+        .groupBy(col(outKey).as("nid"))
+        .agg(sum(col("score")).as("raw"))
+        .persist())
     val denom = raw.agg(sum(col("raw")).as("sraw"))
       .select(expr(s"sraw div ${nn}L").as("denom"))
     docs.join(raw, col("doc_id") === col("nid"), "left")
