@@ -221,6 +221,11 @@ object BpeOps {
         val p = (sy(i), sy(i + 1))
         counts(p) = counts.getOrElse(p, 0L) + f
       }
+      // a small vocabulary can exhaust its adjacent pairs before k rounds
+      // (every word fully merged to one symbol) — and this is the path
+      // advertised for realistic K, where that is plausible: stop with
+      // the rules learned so far instead of reducing an empty collection
+      if (counts.isEmpty) return rules.toSeq
       val (pair, cnt) = counts.reduceLeft { (a, b) =>
         val (pa, pb) = (s"${a._1._1} ${a._1._2}", s"${b._1._1} ${b._1._2}")
         if (b._2 > a._2 || (b._2 == a._2 && pb < pa)) b else a

@@ -3585,6 +3585,16 @@ object TextOps {
     * micro-units (see [[t153Hits]]). The 1-row denominator is broadcast;
     * the edge table arrives pre-partitioned on `joinKey` so only the
     * compact score table shuffles.
+    *
+    * OVERFLOW BOUND: a node's raw inflow is at most (in-degree ·
+    * max-score); with mean-1e6 renormalized scores a skewed hub can push
+    * `raw` past ~9.2e12 at a few million nodes, where `raw * 1000000`
+    * would exceed BIGINT — Spark (non-ANSI) wraps silently while DuckDB
+    * errors, silently breaking the cross-engine exactness claim. The
+    * multiply therefore runs through a DECIMAL(38,0) intermediate (exact
+    * 128-bit integer arithmetic; `div` keeps integral semantics on
+    * decimals), and only the quotient — which is mean ~1e6 by
+    * construction of the denominator — is cast back to BIGINT.
     */
   private def hitsHalfStep(docs: DataFrame, scores: DataFrame,
       edges: DataFrame, joinKey: String, outKey: String, nn: Long)
@@ -3603,7 +3613,10 @@ object TextOps {
     docs.join(raw, col("doc_id") === col("nid"), "left")
       .crossJoin(broadcast(denom))
       .select(col("doc_id"),
-        coalesce(expr("(raw * 1000000) div denom"), lit(0L)).as("score"))
+        coalesce(
+          expr("CAST((CAST(raw AS DECIMAL(38,0)) * 1000000) div denom" +
+            " AS BIGINT)"),
+          lit(0L)).as("score"))
   }
 
   /** Uniform initial mass, 6dp-truncated — identical for any edge set at a

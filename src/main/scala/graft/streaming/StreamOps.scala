@@ -972,7 +972,11 @@ object StreamOps {
     * exactly the prior-graph state. Run [[compactPagerankEdges]] /
     * [[compactPagerankState]] only at a quiescent stream point (between
     * committed batches) — the read barrier protects concurrent READERS,
-    * not a writer replaying a crashed batch.
+    * not a writer replaying a crashed batch. That contract is ENFORCED,
+    * not assumed: each batch checks its id against the compacted
+    * generation's version (= the highest batch id the generation
+    * absorbed) and fails the query fast when it replays at or below it,
+    * instead of silently publishing nothing (see the in-batch guard).
     */
   def pagerankDeltaStream(spark: SparkSession, edges: DataFrame,
       docs: DataFrame, statePath: String)
@@ -980,6 +984,22 @@ object StreamOps {
     edges.writeStream
       .option("checkpointLocation", s"$statePath.checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // ENFORCED quiescent-point contract (not just documented): the
+        // compacted generation's version is the highest batch id it
+        // absorbed. A replaying batch at id <= that version finds its own
+        // edges already inside the generation (no batch column left to
+        // exclude), computes an empty delta, and would silently skip
+        // publishing its PageRank overlays — served ranks would then
+        // permanently omit the batch's influence. Fail the query fast
+        // instead; the operator re-runs compaction AFTER the checkpoint
+        // commits (or restores the pre-compaction state).
+        prEdgeVersion(spark, statePath).foreach { case (m, _) =>
+          if (id <= m) throw new IllegalStateException(
+            s"pagerankDeltaStream: batch $id replayed at or below the " +
+              s"compacted edge generation v=$m — compaction absorbed a " +
+              "batch whose streaming checkpoint had not committed; its " +
+              "overlays cannot be recomputed from the remaining state")
+        }
         val reg = new graft.ops.CacheRegistry
         val nodes = reg.add(docs.select("doc_id").persist())
         val nn = nodes.count()
@@ -988,7 +1008,7 @@ object StreamOps {
         val fs = new org.apache.hadoop.fs.Path(statePath)
           .getFileSystem(conf)
         val delta = reg.add(
-          prNoveltyDelta(spark, batch.toDF(), statePath, id).persist())
+          prNoveltyDelta(spark, batch.toDF(), statePath, id, reg).persist())
         if (delta.count() > 0) {
           delta.write.mode("overwrite")
             .parquet(s"$statePath.tmp/edges/batch=$id")
@@ -1090,9 +1110,17 @@ object StreamOps {
     * set is never exchanged — the only shuffle is the batch's own
     * distinct. `excludeBatch` masks the batch's own partition so a
     * crashed-and-replayed batch recomputes the identical delta.
+    *
+    * The prior view is persist()ed (registered on `reg`, released by the
+    * registry's owner) because it has exactly two consumers — the
+    * broadcast-gate count and the anti-join — and both are delta-bounded
+    * but not free: without the cache every delta batch would evaluate the
+    * bucket-pruned compacted scan + uncompacted-partition union twice.
     */
   private[graft] def prNoveltyDelta(spark: SparkSession, batchDf: DataFrame,
-      statePath: String, excludeBatch: Long): DataFrame = {
+      statePath: String, excludeBatch: Long,
+      reg: graft.ops.CacheRegistry = graft.ops.CacheRegistry.harness)
+      : DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val b = batchDf.select("src", "dst").distinct()
@@ -1115,7 +1143,8 @@ object StreamOps {
     }
     val prior = (recent.toSeq ++ compacted.toSeq)
       .reduceOption(_.unionByName(_))
-    prior.fold(b) { p =>
+    prior.fold(b) { p0 =>
+      val p = reg.add(p0.persist())
       val hinted =
         if (p.count() <= graft.ops.TextOps.PrBroadcastCap) broadcast(p)
         else p

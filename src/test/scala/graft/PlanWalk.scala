@@ -39,6 +39,20 @@ object PlanWalk {
     case _ => p +: p.children.flatMap(nonBroadcastNodes)
   }
 
+  /** Like [[allNodes]], but additionally descends into the BUILD plan of
+    * every InMemoryRelation encountered — a persist()ed intermediate
+    * hides its source scans inside the cache's own plan, and a spec
+    * asserting scan properties (bucket pruning, pushed filters) of a
+    * cached view must look there: those scans genuinely execute at first
+    * materialization.
+    */
+  def allNodesThroughCaches(p: SparkPlan): Seq[SparkPlan] =
+    allNodes(p).flatMap {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        im +: allNodesThroughCaches(im.relation.cachedPlan)
+      case n => Seq(n)
+    }
+
   /** File scans whose root path contains `pathFragment`. */
   def scansOf(p: SparkPlan, pathFragment: String): Seq[FileSourceScanExec] =
     allNodes(p).collect {

@@ -139,6 +139,23 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("driver-local learn stops cleanly when the pair table exhausts") {
+    // the realistic-K path must tolerate k far beyond what a small
+    // vocabulary can supply: once every word is fully merged to one
+    // symbol there are no adjacent pairs left, and the loop must return
+    // the rules learned so far instead of reducing an empty collection
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((0L, "ab ab"), (1L, "ab")).toDF("doc_id", "text")
+    val rules = BpeOps.learnBpeDriverLocal(tiny, k = 1000)
+    assert(rules.nonEmpty && rules.length < 1000,
+      s"expected early exhaustion, got ${rules.length} rules")
+    // the learned prefix at the same k matches the un-exhausted learn
+    val prefix = BpeOps.learnBpeDriverLocal(tiny, k = rules.length)
+    assert(prefix == rules)
+    CacheRegistry.harness.release()
+  }
+
   test("pack ids consume the budget contiguously per shard") {
     val out = BpeOps.t141BpePack(spark, sf).persist()
     // offsets are within budget, pack ids non-negative and consistent

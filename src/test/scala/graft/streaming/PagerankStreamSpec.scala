@@ -159,7 +159,14 @@ class PagerankStreamSpec extends SparkSpec {
     val delta = StreamOps.prNoveltyDelta(s, probeBatch, state, 99L)
     delta.collect()
     val dplan = delta.queryExecution.executedPlan
-    val dnodes = graft.PlanWalk.allNodes(dplan)
+    val dnodes = graft.PlanWalk.allNodesThroughCaches(dplan)
+    // the prior view is persist()ed so the broadcast-gate count and the
+    // anti-join share ONE evaluation of the pruned scan — the join plan
+    // must read it through an InMemoryTableScan, and the bucket-pruned
+    // compacted scan lives in that cache's build plan
+    assert(dnodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      s"the prior view must be cached (one evaluation per batch):\n$dplan")
     assert(dnodes.exists {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.bucketedScan && f.toString.contains("SelectedBucketsCount")
@@ -214,7 +221,40 @@ class PagerankStreamSpec extends SparkSpec {
     assert(served2.toSeq == oneShot.toSeq)
 
     docs.unpersist()
+    graft.ops.CacheRegistry.harness.release()
     s.sql("DROP TABLE IF EXISTS g_pr_edges_spec_v1")
     s.sql("DROP TABLE IF EXISTS g_pr_edges_spec_v2")
+  }
+
+  test("a batch replaying at or below the compacted generation fails fast") {
+    // the quiescent-point contract, ENFORCED: if compaction absorbed a
+    // batch whose streaming checkpoint had not committed, the replayed
+    // batch would find its edges already in the compacted generation,
+    // compute an empty delta, and silently skip its overlays. The sink
+    // must fail the query instead. Simulated by a fresh stream (first
+    // batch id 0) against a state pinning generation v=5.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("prguard").toString
+    val state = s"$dir/state"
+    new java.io.File(s"$state/edgesc").mkdirs()
+    val ok = new java.io.PrintWriter(s"$state/edgesc/v=5.ok")
+    ok.print("g_pr_guard_spec_v5"); ok.close()
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.pagerankDeltaStream(s,
+      mem.toDF().toDF("src", "dst"), docs, state)
+    mem.addData((1L, 2L))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("replayed at or below")),
+      s"expected the compaction-overrun guard, got: $ex")
+    q.stop()
   }
 }
