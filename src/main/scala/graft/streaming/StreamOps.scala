@@ -1073,38 +1073,73 @@ object StreamOps {
         n.stripPrefix("batch=").toLong }
   }
 
-  /** The current compacted edge generation: (version, bucketed table
-    * name), read from the highest `v=M.ok` read-barrier file under
-    * `edgesc/`. The sentinel is written LAST by [[compactPagerankEdges]],
-    * so a version is visible only when its artifacts are complete; its
-    * content is the catalog name of the src-bucketed edge table.
+  /** One compacted edge generation: its version (= the highest batch id
+    * it absorbed), the catalog name of its src-bucketed table, and
+    * whether it is MAJOR (covers the whole graph up to its version) or
+    * MINOR (covers only the batch range since the previous generation).
     */
-  private[graft] def prEdgeVersion(spark: SparkSession,
-      statePath: String): Option[(Long, String)] = {
+  private[graft] final case class PrEdgeGen(version: Long, table: String,
+    major: Boolean)
+
+  /** Every published edge generation under `edgesc/`, ascending by
+    * version — read from the `v=M.ok` read-barrier sentinels. A sentinel
+    * is written LAST by [[compactPagerankEdges]], so a generation is
+    * visible only when its artifacts are complete; line 1 of its content
+    * is the table's catalog name, line 2 the generation kind
+    * (`major`/`minor`; absent = major, the pre-tiering format).
+    */
+  private[graft] def prEdgeGens(spark: SparkSession,
+      statePath: String): Seq[PrEdgeGen] = {
     val root = new org.apache.hadoop.fs.Path(s"$statePath/edgesc")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val vs = fs.listStatus(root).map(_.getPath.getName).toSeq
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).map(_.getPath.getName).toSeq
       .collect { case n if n.startsWith("v=") && n.endsWith(".ok") =>
         n.stripPrefix("v=").stripSuffix(".ok").toLong }
-    if (vs.isEmpty) None
-    else {
-      val m = vs.max
-      val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/v=$m.ok"))
-      val name =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      Some((m, name))
-    }
+      .sorted
+      .map { v =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/v=$v.ok"))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        PrEdgeGen(v, lines.head.trim,
+          lines.drop(1).headOption.forall(_.trim != "minor"))
+      }
   }
+
+  /** The CONSISTENT read set of a tiered edge state: the highest MAJOR
+    * generation plus every minor generation above it, ascending. Minor
+    * generations cover disjoint batch ranges by construction and the
+    * major covers everything below itself, so the union of exactly this
+    * set holds each edge once — reading a superseded generation that is
+    * still on disk for a pinned reader would double-count its edges
+    * (fatal for outdegrees and flow mass, not just wasteful).
+    */
+  private[graft] def prLiveEdgeGens(spark: SparkSession,
+      statePath: String): Seq[PrEdgeGen] = {
+    val gens = prEdgeGens(spark, statePath)
+    val lastMajor = gens.lastIndexWhere(_.major)
+    if (lastMajor < 0) gens else gens.drop(lastMajor)
+  }
+
+  /** The current compacted edge frontier: (max version, that generation's
+    * table name) — the version is what splits compacted from uncompacted
+    * batch partitions. Readers wanting edge ROWS use [[prLiveEdgeGens]].
+    */
+  private[graft] def prEdgeVersion(spark: SparkSession,
+      statePath: String): Option[(Long, String)] =
+    prEdgeGens(spark, statePath).lastOption.map(g => (g.version, g.table))
 
   /** A batch's NOVEL edges against the accumulated graph — the
     * [[pagerankDeltaStream]] novelty check, costed for a delta batch:
-    * the accumulated side is the compacted SRC-BUCKETED table probed
-    * with the batch's srcs as pruning literals (only their buckets are
-    * read — SelectedBucketsCount; gated at [[PrSrcLiteralCap]]) plus the
-    * few uncompacted `batch=N` partitions newer than the read barrier
-    * (their count is bounded by the compaction cadence); the anti-join
+    * the accumulated side is the [[prLiveEdgeGens]] read set of
+    * SRC-BUCKETED generation tables (the highest major + the minors
+    * above it), EACH probed with the batch's srcs as pruning literals
+    * (only their buckets are read — SelectedBucketsCount per
+    * generation; gated at [[PrSrcLiteralCap]]) plus the few uncompacted
+    * `batch=N` partitions newer than the read barrier (their count is
+    * bounded by the compaction cadence, as is the generation count by
+    * the major-compaction cadence); the anti-join
     * broadcasts that prior view below the
     * [[graft.ops.TextOps.PrBroadcastCap]] gate, so the accumulated edge
     * set is never exchanged — the only shuffle is the batch's own
@@ -1124,8 +1159,8 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val b = batchDf.select("src", "dst").distinct()
-    val ver = prEdgeVersion(spark, statePath)
-    val after = ver.map(_._1).getOrElse(-1L)
+    val gens = prLiveEdgeGens(spark, statePath)
+    val after = gens.lastOption.map(_.version).getOrElse(-1L)
     val recent =
       if (batchIds(fs, s"$statePath/edges").exists(n =>
           n > after && n != excludeBatch))
@@ -1133,15 +1168,18 @@ object StreamOps {
           .filter(col("batch") > after && col("batch") =!= excludeBatch)
           .select("src", "dst"))
       else None
-    val compacted = ver.map { case (_, tbl) =>
-      val state = spark.table(tbl).select("src", "dst")
-      val srcs = b.select("src").distinct()
+    // ONE bounded literal cut shared by every generation's pruned scan
+    val srcs =
+      if (gens.isEmpty) Seq.empty[Long]
+      else b.select("src").distinct()
         .limit(PrSrcLiteralCap + 1).collect().map(_.getLong(0)).toSeq
+    val compacted = gens.map { g =>
+      val state = spark.table(g.table).select("src", "dst")
       if (srcs.length <= PrSrcLiteralCap)
         state.filter(col("src").isin(srcs: _*))
       else state
     }
-    val prior = (recent.toSeq ++ compacted.toSeq)
+    val prior = (recent.toSeq ++ compacted)
       .reduceOption(_.unionByName(_))
     prior.fold(b) { p0 =>
       val p = reg.add(p0.persist())
@@ -1164,16 +1202,20 @@ object StreamOps {
       statePath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ver = prEdgeVersion(spark, statePath)
-    val after = ver.map(_._1).getOrElse(-1L)
+    val gens = prLiveEdgeGens(spark, statePath)
+    val after = gens.lastOption.map(_.version).getOrElse(-1L)
     val recent =
       if (batchIds(fs, s"$statePath/outdeg").exists(_ > after))
         Some(spark.read.parquet(s"$statePath/outdeg")
           .filter(col("batch") > after).select("src", "cnt"))
       else None
-    val compacted = ver.map { case (v, _) =>
-      spark.read.parquet(s"$statePath/outdegc/v=$v").select("src", "cnt") }
-    (recent.toSeq ++ compacted.toSeq).reduce(_.unionByName(_))
+    // counts are additive, so the tiered read set merges for free: each
+    // generation's outdegc covers exactly the batch range its edge table
+    // does, and one groupBy-sum over the union is the served outdegree
+    val compacted = gens.map(g =>
+      spark.read.parquet(s"$statePath/outdegc/v=${g.version}")
+        .select("src", "cnt"))
+    (recent.toSeq ++ compacted).reduce(_.unionByName(_))
       .groupBy("src").agg(sum("cnt").as("outdeg"))
   }
 
@@ -1186,8 +1228,8 @@ object StreamOps {
       excludeBatch: Long, delta: DataFrame): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ver = prEdgeVersion(spark, statePath)
-    val after = ver.map(_._1).getOrElse(-1L)
+    val gens = prLiveEdgeGens(spark, statePath)
+    val after = gens.lastOption.map(_.version).getOrElse(-1L)
     var all = delta.select("src", "dst")
     if (batchIds(fs, s"$statePath/edges").exists(n =>
         n > after && n != excludeBatch))
@@ -1195,8 +1237,8 @@ object StreamOps {
         spark.read.parquet(s"$statePath/edges")
           .filter(col("batch") > after && col("batch") =!= excludeBatch)
           .select("src", "dst"))
-    ver.foreach { case (_, tbl) =>
-      all = all.unionByName(spark.table(tbl).select("src", "dst")) }
+    gens.foreach { g =>
+      all = all.unionByName(spark.table(g.table).select("src", "dst")) }
     all
   }
 
@@ -1214,42 +1256,65 @@ object StreamOps {
     * src-bucketed serving generation — the maintenance job that bounds
     * what every delta batch's novelty probe has to touch: without it an
     * unbounded crawl accumulates one `edges/batch=N` partition per batch
-    * forever. Generation M (M = the highest ingested batch id) is the
-    * prior generation's table plus the partitions it had not absorbed,
-    * written as a `src`-bucketed, (src, dst)-sorted catalog table (the
+    * forever. TIERED (the LSM shape): a MINOR compaction (the default)
+    * absorbs ONLY the uncompacted `batch=N` partitions into generation
+    * M (M = the highest ingested batch id) — its write volume is
+    * proportional to the absorbed partitions, never to the accumulated
+    * graph — and readers union the [[prLiveEdgeGens]] read set (highest
+    * major + minors above it, each still bucket-pruned per probe). A
+    * MAJOR compaction (`major = true`) rewrites that whole read set into
+    * one generation, bounding the per-probe generation count; it is the
+    * only O(graph) write in the lifecycle and runs at its own (much
+    * slower) cadence. Each generation is a `src`-bucketed,
+    * (src, dst)-sorted catalog table (the
     * [[graft.ops.TextOps.writeBandBucketedState]] layout convention —
     * bucket pruning on the single `src` column is what makes the novelty
-    * probe read only the batch's srcs' buckets), with the outdegree
-    * partials merged into `outdegc/v=M` alongside.
+    * probe read only the batch's srcs' buckets), with the generation's
+    * outdegree partials merged into `outdegc/v=M` alongside (counts are
+    * additive, so per-generation outdegc tiers for free).
     *
     * READER-SAFE PUBLISH (the read barrier): all of generation M's
-    * artifacts are written first; the `v=M.ok` sentinel (content = the
-    * table's catalog name) is renamed into place LAST. Readers pin a
-    * generation by taking the highest sentinel, so mid-compaction they
-    * serve generation P (still complete on disk) and post-publish they
-    * serve M — never a half generation. Retirement is DEFERRED one
-    * generation: this run deletes batch partitions ≤ P and generations
-    * OLDER than P, so a reader that pinned P before the publish keeps
-    * every file it needs; the grace contract is that a read completes
-    * within one compaction cycle. A crashed run is healed by re-running
-    * (pre-sentinel artifacts are overwritten; post-sentinel leftovers are
-    * retired by the next run).
+    * artifacts are written first; the `v=M.ok` sentinel (line 1 = the
+    * table's catalog name, line 2 = `major`/`minor`) is renamed into
+    * place LAST. Readers pin the read set derived from the sentinels
+    * present at pin time, so mid-compaction they serve the prior set
+    * (still complete on disk) and post-publish the new one — never a
+    * half generation, and never a generation twice (a superseded
+    * generation awaiting retirement is EXCLUDED from the read set by
+    * the highest-major rule — unioning it would double-count edges).
+    * Retirement is DEFERRED one cycle: this run deletes batch
+    * partitions ≤ P (P = the frontier before this run — their covering
+    * generation published a full cycle ago) and generations a major
+    * superseded BEFORE this run; the grace contract is that a read
+    * completes within one compaction cycle. A crashed run is healed by
+    * re-running (pre-sentinel artifacts are overwritten; post-sentinel
+    * leftovers are retired by the next run).
     */
   def compactPagerankEdges(spark: SparkSession, statePath: String,
-      tableBase: String, nBuckets: Int = 32): Unit = {
+      tableBase: String, nBuckets: Int = 32, major: Boolean = false)
+      : Unit = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val edgeBatches = batchIds(fs, s"$statePath/edges")
     if (edgeBatches.isEmpty) return
     val m = edgeBatches.max
-    val prev = prEdgeVersion(spark, statePath)
-    val after = prev.map(_._1).getOrElse(-1L)
+    val allGens = prEdgeGens(spark, statePath)
+    val live = {
+      val i = allGens.lastIndexWhere(_.major)
+      if (i < 0) allGens else allGens.drop(i)
+    }
+    val after = live.lastOption.map(_.version).getOrElse(-1L)
     if (m <= after) return // nothing new since the last generation
+    // the first generation has no prior to tier over — it is a major by
+    // construction, whatever was asked for
+    val isMajor = major || live.isEmpty
     val recent = spark.read.parquet(s"$statePath/edges")
       .filter(col("batch") > after && col("batch") <= m)
       .select("src", "dst")
-    val newEdges = prev.fold(recent) { case (_, tbl) =>
-      spark.table(tbl).select("src", "dst").unionByName(recent) }
+    val newEdges =
+      if (!isMajor) recent
+      else live.map(g => spark.table(g.table).select("src", "dst"))
+        .foldLeft(recent)(_.unionByName(_))
     val tbl = s"${tableBase}_v$m"
     spark.sql(s"DROP TABLE IF EXISTS $tbl") // a crashed prior attempt
     newEdges.write.mode("overwrite")
@@ -1258,10 +1323,13 @@ object StreamOps {
     val recentOd = spark.read.parquet(s"$statePath/outdeg")
       .filter(col("batch") > after && col("batch") <= m)
       .select("src", "cnt")
-    prev.fold(recentOd) { case (v, _) =>
-      spark.read.parquet(s"$statePath/outdegc/v=$v").select("src", "cnt")
-        .unionByName(recentOd) }
-      .groupBy("src").agg(sum("cnt").as("cnt"))
+    val newOd =
+      if (!isMajor) recentOd
+      else live.map(g =>
+        spark.read.parquet(s"$statePath/outdegc/v=${g.version}")
+          .select("src", "cnt"))
+        .foldLeft(recentOd)(_.unionByName(_))
+    newOd.groupBy("src").agg(sum("cnt").as("cnt"))
       .write.mode("overwrite").parquet(s"$statePath.tmp/outdegc/v=$m")
     publishPartition(spark, s"$statePath.tmp/outdegc/v=$m",
       s"$statePath/outdegc/v=$m")
@@ -1269,34 +1337,38 @@ object StreamOps {
     val okPath = new org.apache.hadoop.fs.Path(s"$statePath/edgesc/v=$m.ok")
     val okTmp = new org.apache.hadoop.fs.Path(s"$statePath/edgesc/v=$m.ok.tmp")
     val out = fs.create(okTmp, true)
-    try out.write(tbl.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$tbl\n${if (isMajor) "major" else "minor"}"
+      .getBytes("UTF-8")) finally out.close()
     if (fs.exists(okPath)) fs.delete(okPath, true)
     if (!fs.rename(okTmp, okPath))
       throw new java.io.IOException(s"sentinel rename failed: $okPath")
-    // deferred retire: generation `after` stays for readers that pinned
-    // it; batch partitions <= after and generations OLDER than it go
-    prev.foreach { case (pv, _) =>
+    // deferred retire (one full cycle each):
+    //  - batch partitions <= P: covered by generations published at
+    //    least one cycle ago (a reader pinned at P's read set reads
+    //    batches > P only);
+    //  - generations a major had already superseded BEFORE this run
+    //    (they left the read set when that major published — this run's
+    //    own supersessions, major or not, retire next run).
+    if (live.nonEmpty) {
       Seq("edges", "outdeg").foreach { side =>
         val root = new org.apache.hadoop.fs.Path(s"$statePath/$side")
         if (fs.exists(root)) fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
-          if (n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= pv)
+          if (n.startsWith("batch=") &&
+              n.stripPrefix("batch=").toLong <= after)
             fs.delete(st.getPath, true)
         }
       }
-      val cRoot = new org.apache.hadoop.fs.Path(s"$statePath/edgesc")
-      fs.listStatus(cRoot).map(_.getPath.getName)
-        .collect { case n if n.startsWith("v=") && n.endsWith(".ok") =>
-          n.stripPrefix("v=").stripSuffix(".ok").toLong }
-        .filter(_ < pv).foreach { v =>
-          spark.sql(s"DROP TABLE IF EXISTS ${tableBase}_v$v")
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$statePath/edgesc/v=$v"), true)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$statePath/edgesc/v=$v.ok"), true)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$statePath/outdegc/v=$v"), true)
-        }
+    }
+    val liveSet = live.map(_.version).toSet
+    allGens.filterNot(g => liveSet.contains(g.version)).foreach { g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${g.table}")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$statePath/edgesc/v=${g.version}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$statePath/edgesc/v=${g.version}.ok"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$statePath/outdegc/v=${g.version}"), true)
     }
   }
 

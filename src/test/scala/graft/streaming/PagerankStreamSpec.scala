@@ -226,6 +226,119 @@ class PagerankStreamSpec extends SparkSpec {
     s.sql("DROP TABLE IF EXISTS g_pr_edges_spec_v2")
   }
 
+  test("tiered edge compaction: minor absorbs only new partitions, major bounds the tier") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("prtier").toString
+    (1 to 4).foreach(v => s.sql(s"DROP TABLE IF EXISTS g_pr_tier_spec_v$v"))
+
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select("doc_id").persist()
+    val nodes = docs.collect().map(_.getLong(0)).sorted
+    val nn = nodes.length.toLong
+    def edge(i: Int, j: Int): (Long, Long) =
+      (nodes(i), nodes(((i * 19 + j * 53 + 11) % nn).toInt))
+    val batches = Seq(
+      nodes.indices.flatMap(i => Seq(edge(i, 0), edge(i, 1))),
+      nodes.indices.filter(_ % 17 == 0).map(edge(_, 2)),
+      nodes.indices.filter(_ % 19 == 0).map(edge(_, 3)),
+      nodes.indices.filter(_ % 23 == 0).map(edge(_, 4)),
+      nodes.indices.filter(_ % 29 == 0).map(edge(_, 5)))
+      .map(_.filter(e => e._1 != e._2).distinct)
+    val state = s"$dir/state"
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.pagerankDeltaStream(s,
+      mem.toDF().toDF("src", "dst"), docs, state)
+    def oneShot(upTo: Int): Seq[(Long, Double)] = {
+      val union = batches.take(upTo).flatten.distinct.toDF("src", "dst")
+      val outdeg = union.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      var ranks = TextOps.prInit(docs, nn)
+      for (_ <- 1 to TextOps.PrIters)
+        ranks = TextOps.prStep(docs, ranks, union, outdeg, nn)
+      ranks.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    def served(): Seq[(Long, Double)] =
+      StreamOps.pagerankState(s, state).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    mem.addData(batches(0): _*); q.processAllAvailable()
+    mem.addData(batches(1): _*); q.processAllAvailable()
+    // first compaction: major by construction (no prior), absorbs 0-1
+    StreamOps.compactPagerankEdges(s, state, "g_pr_tier_spec")
+    assert(StreamOps.prLiveEdgeGens(s, state).map(g =>
+      (g.version, g.major)) == Seq((1L, true)))
+
+    mem.addData(batches(2): _*); q.processAllAvailable()
+    val batch2Novel = s.read.parquet(s"$state/edges")
+      .filter(col("batch") === 2).count()
+    assert(batch2Novel > 0)
+    // MINOR compaction: generation 2 holds ONLY the absorbed partition's
+    // rows — write volume proportional to the delta, never the graph
+    StreamOps.compactPagerankEdges(s, state, "g_pr_tier_spec")
+    val gens2 = StreamOps.prLiveEdgeGens(s, state)
+    assert(gens2.map(g => (g.version, g.major)) ==
+      Seq((1L, true), (2L, false)), s"got $gens2")
+    assert(s.table("g_pr_tier_spec_v2").count() == batch2Novel,
+      "a minor generation must hold only the partitions it absorbed")
+    assert(s.table("g_pr_tier_spec_v1").count() > batch2Novel)
+
+    // a post-minor delta batch serves the full recompute, and its
+    // novelty probe bucket-prunes EVERY live generation with no
+    // edge-state exchange
+    mem.addData(batches(3): _*); q.processAllAvailable()
+    assert(served() == oneShot(4),
+      "post-minor-compaction delta must serve the full recompute")
+    val probeBatch = Seq(edge(2, 6), edge(7, 6)).toDF("src", "dst")
+    val delta = StreamOps.prNoveltyDelta(s, probeBatch, state, 99L)
+    delta.collect()
+    val dnodes = graft.PlanWalk.allNodesThroughCaches(
+      delta.queryExecution.executedPlan)
+    val prunedScans = dnodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.toString.contains("SelectedBucketsCount") => f
+    }
+    assert(prunedScans.length == 2,
+      s"both live generations must serve bucket-pruned, got ${prunedScans.length}")
+    assert(!dnodes.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        graft.PlanWalk.nonBroadcastNodes(e).exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(
+              _.toString.contains("/edges"))
+          case _ => false
+        }
+      case _ => false
+    }, "the accumulated edge state must never be exchanged")
+    graft.ops.CacheRegistry.harness.release()
+
+    // MAJOR compaction: one generation absorbs the whole read set;
+    // superseded generations stay on disk for their grace cycle
+    StreamOps.compactPagerankEdges(s, state, "g_pr_tier_spec",
+      major = true)
+    assert(StreamOps.prLiveEdgeGens(s, state).map(g =>
+      (g.version, g.major)) == Seq((3L, true)))
+    assert(new java.io.File(s"$state/edgesc/v=1").exists &&
+      new java.io.File(s"$state/edgesc/v=2").exists,
+      "superseded generations must survive one cycle for pinned readers")
+    assert(served() == oneShot(4))
+
+    // next (minor) compaction retires what the major superseded
+    mem.addData(batches(4): _*); q.processAllAvailable()
+    q.stop()
+    StreamOps.compactPagerankEdges(s, state, "g_pr_tier_spec")
+    assert(StreamOps.prLiveEdgeGens(s, state).map(g =>
+      (g.version, g.major)) == Seq((3L, true), (4L, false)))
+    assert(!new java.io.File(s"$state/edgesc/v=1").exists &&
+      !new java.io.File(s"$state/edgesc/v=2").exists,
+      "generations superseded a full cycle ago must be retired")
+    assert(served() == oneShot(5),
+      "the tiered lifecycle must keep serving the full recompute")
+    docs.unpersist()
+    (1 to 4).foreach(v => s.sql(s"DROP TABLE IF EXISTS g_pr_tier_spec_v$v"))
+  }
+
   test("a batch replaying at or below the compacted generation fails fast") {
     // the quiescent-point contract, ENFORCED: if compaction absorbed a
     // batch whose streaming checkpoint had not committed, the replayed
