@@ -200,6 +200,7 @@ object SparkEntry {
     "d155_incremental_dsir" -> (TextOps.d155IncrementalDsir _),
     "v156_incremental_prune" -> (VectorOps.v156IncrementalPrune _),
     "t157_bigram_lm" -> (TextOps.t157BigramLm _),
+    "d158_incremental_lm" -> (TextOps.d158IncrementalLm _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -721,6 +722,10 @@ object SparkEntry {
     // held-out bigram LM: model trained on the even half scores ALL docs,
     // unseen bigrams pay the quantized Katz-style backoff
     "t157_bigram_lm" -> OracleGen.bigramLm,
+    // the LM's unigram/bigram counts are additive mergeable state — the
+    // incremental member's served scores must be indistinguishable from
+    // the one-shot, so the oracle IS t157's SQL (the d84/d101 standard)
+    "d158_incremental_lm" -> OracleGen.bigramLm,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -1444,25 +1444,60 @@ object TextOps {
     * is partial-aggregable. No windows, nothing quadratic.
     */
   def t157BigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    lmScoreFrom(docs.select("doc_id"),
+      lmTokPartials(docs),
+      // persist(): the pair partials feed the train bigram counts AND
+      // the scoring join from one tokenize pass
+      CacheRegistry.harness.add(lmPairPartials(docs).persist()))
+  }
+
+  /** Per-doc token-count partials (doc_id, w, c) — half of the t157 LM's
+    * MERGEABLE state (the other half is [[lmPairPartials]]): unigram
+    * train counts are the partials' plain sum, so the incremental d158
+    * state merges by one groupBy — the purest additive state in the repo.
+    */
+  private[graft] def lmTokPartials(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+
+  /** Per-doc adjacent-bigram partials (doc_id, w1, w2, np) — pairs built
+    * map-side (the t152 zip_with shape), one partial-aggregable
+    * reduction. `np` is the pair's occurrence count in the doc, so the
+    * scoring join weights each DISTINCT pair once instead of exploding
+    * per position — identical sums, fewer joined rows.
+    */
+  private[graft] def lmPairPartials(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val n1 = greatest(size(ws) - 1, lit(0))
     val pairsCol = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    // persist(): the pair stream feeds the train bigram counts AND the
-    // scoring join from one tokenize pass
-    val pairs = CacheRegistry.harness.add(
-      documents(s, d)
-        .select(col("doc_id"), explode(pairsCol).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .persist())
-    val trainToks = documents(s, d).filter(col("doc_id") % 2 === 0)
-      .select(explode(words(col("text"))).as("w"))
+    docs.select(col("doc_id"), explode(pairsCol).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("np"))
+  }
+
+  /** The t157 scoring engine over the (token, pair) partials — shared by
+    * the one-shot (partials built inline) and d158 (partials served from
+    * mergeable state), so the incremental selection cannot drift from the
+    * one-shot's scores. Train counts come from the even-doc partials'
+    * sums; every doc's pairs score against them, weighted by `np` (the
+    * per-position average is Σ info_q·np / Σ np — the same exact integer
+    * sums as per-position scoring, since identical pairs score
+    * identically; both engines divide the identical exact-integer double
+    * once, so the 4dp floor cannot flip. The integer sums stay
+    * double-exact below 2^53 — ~1e11 per doc at sf0.1, bound documented
+    * here for the 100 TB reader: past 2^53 move the sum to DECIMAL).
+    */
+  private[graft] def lmScoreFrom(roster: DataFrame, toks: DataFrame,
+      pairs: DataFrame): DataFrame = {
     // persist(): c1 feeds both unigram joins and the 1-row total
     val c1 = CacheRegistry.harness.add(
-      trainToks.groupBy("w").agg(count(lit(1)).as("c")).persist())
+      toks.filter(col("doc_id") % 2 === 0)
+        .groupBy("w").agg(sum("c").as("c")).persist())
     val nt = c1.agg(sum(col("c")).as("nt"))
     val c2 = pairs.filter(col("doc_id") % 2 === 0)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .groupBy("w1", "w2").agg(sum("np").as("c2"))
     val scored = pairs
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1.select(col("w").as("w1"), col("c").as("c1w1")),
@@ -1470,21 +1505,68 @@ object TextOps {
       .join(c1.select(col("w").as("w2"), col("c").as("c1w2")),
         Seq("w2"), "left")
       .crossJoin(broadcast(nt))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("np"),
         when(col("c2").isNotNull, expr("(c1w1 * 100) div c2"))
           .otherwise(lit(BackoffPenaltyQ) +
             expr("(nt * 100) div coalesce(c1w2, 1)")).as("info_q"),
-        when(col("c2").isNull, lit(1L)).otherwise(lit(0L)).as("bo"))
+        when(col("c2").isNull, col("np")).otherwise(lit(0L)).as("bo"))
     val agg = scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_scored"), sum(col("bo")).as("n_backoff"),
-        (floor(avg(col("info_q")) * lit(1e4)) / lit(1e4)).as("lm2_score"))
-    documents(s, d).select("doc_id")
+      .agg(sum(col("np")).as("n_scored"), sum(col("bo")).as("n_backoff"),
+        (floor((sum(col("info_q") * col("np")).cast("double") /
+          sum(col("np")).cast("double")) * lit(1e4)) / lit(1e4))
+          .as("lm2_score"))
+    roster
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_scored"), lit(0L)).as("n_scored"),
         coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
         coalesce(col("lm2_score"), lit(0.0)).as("lm2_score"))
       .orderBy("doc_id")
+  }
+
+  /** Batch-incremental bigram-LM scoring — the d158 query, the curation
+    * family's last missing incremental member (the d84/d101 proof
+    * standard: served scores must be hash-indistinguishable from the
+    * one-shot [[t157BigramLm]], so the oracle IS t157's SQL). The LM's
+    * state is the purest mergeable state in the repo: unigram and bigram
+    * counts are ADDITIVE, so the state is the per-doc
+    * [[lmTokPartials]]/[[lmPairPartials]] reductions appended per batch —
+    * each document tokenized once ever — and the train model re-derives
+    * by one groupBy-sum per table at serve time. (Like DSIR, per-doc
+    * scores are deliberately NOT cached: every train-doc batch shifts
+    * c1/c2/nt and with them every doc's info_q.)
+    *
+    * Batch 2 re-delivers every tenth even doc (the d151/d155 replay
+    * convention); the roster novelty anti-join must drop them, or their
+    * counts double in the train model and every score drifts.
+    *
+    * Scale: per batch, tokenization + the two reductions are O(batch);
+    * the novelty check is one anti-join against the doc-id roster; the
+    * merge is append-only. Serving is t157's scoring join minus its
+    * tokenize pass — one token-scale bigram-keyed join (t94's cost
+    * class) over the compact pair partials.
+    */
+  def d158IncrementalLm(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 20 === 0))
+
+    def ingest(state: (DataFrame, DataFrame, DataFrame), batch: DataFrame)
+        : (DataFrame, DataFrame, DataFrame) = {
+      val (roster, toks, pairs) = state
+      val novel = batch.join(roster, Seq("doc_id"), "left_anti")
+      (roster.unionByName(novel.select("doc_id")),
+        toks.unionByName(lmTokPartials(novel)),
+        pairs.unionByName(lmPairPartials(novel)))
+    }
+    val none = docs.filter(lit(false))
+    val s0 = (none.select("doc_id"), lmTokPartials(none),
+      lmPairPartials(none))
+    val (roster, toks, pairs) = ingest(ingest(s0, b1), b2)
+    lmScoreFrom(roster,
+      CacheRegistry.harness.add(toks.persist()),
+      CacheRegistry.harness.add(pairs.persist()))
   }
 
   /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix

@@ -143,6 +143,24 @@ class CurationOpsSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("d158 incremental LM == one-shot t157, replay dropped") {
+    // the oracle gate pins d158 against t157's SQL; here the identity is
+    // also pinned engine-side (shared scorer over merged partials), plus
+    // the replay sensitivity: without the roster novelty anti-join the
+    // re-delivered subset would double its train counts and move scores
+    val one = TextOps.t157BigramLm(spark, sf).collect().toSeq
+    CacheRegistry.harness.release()
+    val inc = TextOps.d158IncrementalLm(spark, sf).collect().toSeq
+    CacheRegistry.harness.release()
+    assert(inc == one,
+      "incremental LM must serve the one-shot scores bit-exactly")
+
+    // sanity that the replay subset is non-empty at this sf (the
+    // anti-join has something to drop)
+    assert(graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 0).count() > 0)
+  }
+
   test("v156 keeps the v154 invariants over the frozen-codebook state") {
     // the oracle gate pins v156 == fixed-centroid one-shot; here: the
     // structural invariants hold on the incremental state too, and the
