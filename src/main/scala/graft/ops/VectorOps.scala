@@ -488,13 +488,15 @@ object VectorOps {
     prototypicalityRanks(s, assigned, codebookOf(cg))
   }
 
-  /** The density-pruning serve shared by v154 (loop-trained centroids)
-    * and v156 (frozen even-half centroids over accumulated assignment
-    * state): cosine to the OWN centroid in the assignment's pinned op
-    * order, per-cluster (sim DESC, vec_id) ranks, integer keep cut.
+  /** The density-pruning serve shared by v154 (loop-trained centroids),
+    * v156 (frozen even-half centroids over accumulated assignment
+    * state), and the streaming sink's read
+    * ([[graft.streaming.StreamOps.densityPruneServed]]): cosine to the
+    * OWN centroid in the assignment's pinned op order, per-cluster
+    * (sim DESC, vec_id) ranks, integer keep cut.
     */
-  private def prototypicalityRanks(s: SparkSession, assigned: DataFrame,
-      codebook: DataFrame): DataFrame = {
+  private[graft] def prototypicalityRanks(s: SparkSession,
+      assigned: DataFrame, codebook: DataFrame): DataFrame = {
     val vd = col("embedding").cast("array<double>")
     val denom = sqrt(planeDot(s, vd, vd)) *
       sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec")))

@@ -538,6 +538,56 @@ object StreamOps {
       latestPerId(liveRaw(spark, statePath, "vec_id"), "vec_id"),
       tableName, path, nBuckets, overwrite = true)
 
+  /** Streaming density-pruning ingest — the streaming member completing
+    * the v154/v156 prototype-pruning trio (one-shot / batch-incremental /
+    * here), the d92 → [[semanticDedupStream]] step applied to selection:
+    * a growing corpus keeps its pruning decisions refreshable while
+    * vectors arrive as a feed. The codebook is a FROZEN offline artifact
+    * at `codebookPath` (the v156/d92 contract: cluster ids must stay
+    * comparable across batches; retraining is a re-index, not an ingest
+    * step). Per micro-batch of (vec_id, embedding): assign against the
+    * broadcast codebook with the SHARED
+    * [[graft.ops.VectorOps.assignToCentroids]] (batch, incremental and
+    * stream cannot assign differently) — O(batch) work, stored vectors
+    * never re-read — and publish as this batch's own `batch=N` partition
+    * (sibling-`.tmp` + atomic rename). A re-delivered or revised vec_id
+    * supersedes at READ time (latest-batch-wins in
+    * [[densityPruneServed]]); deletes ride [[tombstoneStream]] at the
+    * same `statePath` with idCol `vec_id`.
+    */
+  def densityPruneStream(spark: SparkSession, emb: DataFrame,
+      codebookPath: String, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val codebook = spark.read.parquet(codebookPath)
+        graft.ops.VectorOps.assignToCentroids(spark, batch.toDF(), codebook)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** The served prototypicality ranks of a [[densityPruneStream]] state:
+    * tombstone-healed assignments collapse to each vector's LATEST batch
+    * (a revision moves the vector to its new cluster and the old row
+    * stops serving), then the SHARED
+    * [[graft.ops.VectorOps.prototypicalityRanks]] serve — so the served
+    * decision ≡ the fixed-codebook one-shot over the current corpus by
+    * construction (DensityStreamSpec pins it across a revision and a
+    * delete). The rank windows partition by cid (the bounded-cluster
+    * contract); the accumulated state is read once, never exchanged
+    * beyond the per-cluster rank shuffle the one-shot also pays — a
+    * revision or delete shifts its CLUSTER's ranks (and n), so per-vector
+    * ranks are deliberately not cached across batches.
+    */
+  def densityPruneServed(spark: SparkSession, statePath: String,
+      codebookPath: String): DataFrame =
+    graft.ops.VectorOps.prototypicalityRanks(spark,
+      latestPerId(liveRaw(spark, statePath, "vec_id"), "vec_id"),
+      spark.read.parquet(codebookPath))
+
   /** Compact an [[imageDedupStream]]/[[audioDedupStream]] `batch=N` hash
     * state into the Hamming serving layout
     * ([[graft.multimodal.Multimodal.writeHammingBucketedState]]): member
