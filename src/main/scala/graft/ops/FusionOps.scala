@@ -69,6 +69,27 @@ object FusionOps {
       .select("query_id", "doc_id", "lex_rn", "dense_rn", "rrf_q", "rn")
   }
 
+  /** The per-query lexical top-k over BM25-scored postings: join the
+    * broadcast (query_id, term) pseudo-query map onto the scored
+    * postings, sum each query's terms' BIGINT scores per doc (self
+    * excluded — matching the dense side's self exclusion), rank top-`k`
+    * per query. The ONE lexical-half definition shared by [[
+    * t150HybridFusion]] (scores built from in-query postings) and the
+    * serving read path ([[graft.streaming.StreamOps.fusedServe]], scores
+    * from the compacted bucket-pruned layout) — the two cannot drift.
+    */
+  private[graft] def lexTopK(scored: DataFrame, qmap: DataFrame,
+      k: Int = 5): DataFrame = {
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("lex_q").desc, col("doc_id"))
+    scored.join(broadcast(qmap), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(sum("score_q").as("lex_q"))
+      .withColumn("lex_rn", row_number().over(wl).cast("long"))
+      .filter(col("lex_rn") <= k)
+      .select("query_id", "doc_id", "lex_rn")
+  }
+
   /** The t150 query: RRF over v134's exact-re-ranked dense top-3 and a
     * query-by-document BM25 top-5, per query doc (doc_id/vec_id < 5 —
     * the v134 query set). The lexical pseudo-query is the query doc's 3
@@ -99,14 +120,6 @@ object FusionOps {
         .filter(col("qrn") <= 3)
         .select("query_id", "term").persist())
     val scored = TextOps.bm25Scores(tf, dl, qmap.select("term").distinct())
-    val wl = Window.partitionBy("query_id")
-      .orderBy(col("lex_q").desc, col("doc_id"))
-    val lex = scored.join(broadcast(qmap), Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id").agg(sum("score_q").as("lex_q"))
-      .withColumn("lex_rn", row_number().over(wl).cast("long"))
-      .filter(col("lex_rn") <= 5)
-      .select("query_id", "doc_id", "lex_rn")
-    rrfFuse(lex, dense).orderBy("query_id", "rn")
+    rrfFuse(lexTopK(scored, qmap), dense).orderBy("query_id", "rn")
   }
 }

@@ -1364,16 +1364,29 @@ object VectorOps {
   private def exactRerank(s: SparkSession, d: String, cands: DataFrame)
       : DataFrame = {
     val emb = embeddings(s, d)
+    exactRerankOn(s,
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")),
+      cands)
+  }
+
+  /** The exact re-rank stage over EXPLICIT query/neighbor vector tables —
+    * the serving form of [[exactRerank]]'s tail, shared with the hybrid
+    * fusion read path ([[graft.streaming.StreamOps.fusedServe]]), where
+    * the ADC candidates come from the compacted code state and the raw
+    * vectors from the deployment's own store. `qv` = (query_id, qv),
+    * `nb` = (neighbor_id, nv).
+    */
+  private[graft] def exactRerankOn(s: SparkSession, qv: DataFrame,
+      nb: DataFrame, cands: DataFrame): DataFrame = {
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     val shortlist = cands
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= RerankR)
       .select("query_id", "neighbor_id")
-    val qv = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val nb = emb.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("exact").desc, col("neighbor_id"))
     nb.join(broadcast(shortlist), Seq("neighbor_id"))

@@ -1749,6 +1749,22 @@ object StreamOps {
       qterms: Seq[String],
       tombstones: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    val (postings, dl, stats) =
+      bm25CompactedParts(spark, tableName, path, qterms, tombstones)
+    graft.ops.TextOps.bm25TopK(postings, dl, qterms.toDF("term"),
+      Some(stats))
+  }
+
+  /** The healed (postings, dl, stats) views of a [[compactPostingsState]]
+    * layout at a bounded query-term list — the shared scan layer of both
+    * compacted lexical reads: [[bm25Compacted]] (per-term top-5) and
+    * [[fusedServe]]'s lexical half (per-query score sums). The postings
+    * scan is bucket-pruned by the term IN-literal; the stats row is
+    * adjusted by the tombstoned docs' own O(tombstones) aggregate.
+    */
+  private def bm25CompactedParts(spark: SparkSession, tableName: String,
+      path: String, qterms: Seq[String], tombstones: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame) = {
     val heal = (df: DataFrame) => tombstones.fold(df)(t =>
       df.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
     val postings = heal(
@@ -1766,8 +1782,77 @@ object StreamOps {
         .select((col("n_docs") - col("d_docs")).as("n_docs"),
           (col("sum_dl") - col("d_dl")).as("sum_dl"))
     }
-    graft.ops.TextOps.bm25TopK(postings, heal(dlRaw), qterms.toDF("term"),
-      Some(stats))
+    (postings, heal(dlRaw), stats)
+  }
+
+  /** Hybrid lexical+dense retrieval served from the COMPACTED layouts —
+    * the production read path t150 proves in-query: a deployed hybrid RAG
+    * stack answers every query by composing exactly these two
+    * already-audited probes, so the fusion entry point composes them
+    * rather than re-deriving either (reference anchor: one `select`
+    * composing `where` predicates over one index,
+    * betfairdatabase/database.py:144-151).
+    *
+    *  - LEXICAL: the [[compactPostingsState]] layout probed at the
+    *    pseudo-query terms (`qmap` = (query_id, term), ≤3 terms per
+    *    query) — the bounded term list is the bucket-pruning IN-literal
+    *    (the probed-list-literal convention; FusedServeSpec asserts
+    *    SelectedBucketsCount through the composed plan), stats from the
+    *    1-row artifact, then [[graft.ops.FusionOps.lexTopK]] — t150's own
+    *    lexical tail;
+    *  - DENSE: the residual-IVFADC serving state probed via
+    *    [[graft.ops.VectorOps.probeIvfPqResidualState]] (bucket-pruned on
+    *    the probed clabels, broadcast LUT), exact-re-ranked against the
+    *    deployment's raw-vector store `rawVecs` by the shared
+    *    [[graft.ops.VectorOps.exactRerankOn]] — v134's own two-stage
+    *    serve;
+    *  - FUSION: [[graft.ops.FusionOps.rrfFuse]] over the two O(queries×k)
+    *    lists.
+    *
+    * `tombstones` (doc_id rows) heals BOTH sides: lexical postings, doc
+    * lengths and the stats row (exactly, O(tombstones)); dense code rows
+    * AND the raw-vector re-rank side (a deleted doc can neither score nor
+    * be re-ranked into a slot). Staleness scope is each side's own
+    * (post-compaction revisions invisible until the next compaction —
+    * the [[bm25Compacted]] window).
+    *
+    * Served ≡ t150 by construction (shared lexTopK/exactRerankOn/rrfFuse
+    * over state whose serve ≡ the in-query chains) — FusedServeSpec pins
+    * it bit-exactly over the same corpus, the DsirStreamSpec
+    * compacted-≡-direct standard.
+    */
+  def fusedServe(spark: SparkSession, bm25Table: String, bm25Path: String,
+      qmap: DataFrame, ivfPqTable: String, centroids: DataFrame,
+      pqCodebooks: DataFrame, queries: DataFrame, rawVecs: DataFrame,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    // the pseudo-query term list is bounded (≤3·|queries|) — the
+    // probed-list-literal convention makes it the pruning IN-filter
+    val qterms = qmap.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (postings, dl, stats) =
+      bm25CompactedParts(spark, bm25Table, bm25Path, qterms, tombstones)
+    val scored = graft.ops.TextOps.bm25Scores(postings, dl,
+      qterms.toDF("term"), Some(stats))
+    val lex = graft.ops.FusionOps.lexTopK(scored, qmap)
+    val probes = graft.ops.VectorOps.ivfQueryProbes(spark, queries,
+      centroids)
+    val lut = graft.ops.VectorOps.residualLut(spark, probes, centroids,
+      pqCodebooks)
+    val cands = graft.ops.VectorOps.probeIvfPqResidualState(spark,
+      ivfPqTable, lut,
+      tombstones.map(_.select(col("doc_id").as("vec_id"))))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val nbAll = rawVecs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val nb = tombstones.fold(nbAll)(t => nbAll.join(
+      broadcast(t.select(col("doc_id").as("neighbor_id"))),
+      Seq("neighbor_id"), "left_anti"))
+    val dense = graft.ops.VectorOps.exactRerankOn(spark, qv, nb, cands)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("dense_rn"))
+    graft.ops.FusionOps.rrfFuse(lex, dense).orderBy("query_id", "rn")
   }
 
   /** The live view of an accumulated `batch=N` state under its

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.betfair.SparkSpec
+import graft.ops.{FusionOps, TextOps, VectorOps}
+
+/** The production hybrid-retrieval read path: fusedServe composes the two
+  * COMPACTED serving layouts (term-bucketed BM25 postings + clabel-
+  * bucketed residual-IVFADC codes) through the shared fusion tail, and
+  * must answer bit-exactly what t150's in-query fusion answers over the
+  * same corpus (the compacted-≡-direct standard DsirStreamSpec set).
+  * Both sides' plan properties must survive the composition: each state
+  * scan bucket-pruned, stats from the 1-row artifact, `.dl` scanned
+  * once. Tombstones heal BOTH sides exactly — pinned against serving
+  * layouts physically rebuilt from the survivors.
+  */
+class FusedServeSpec extends SparkSpec {
+
+  test("fusedServe over compacted layouts == t150 in-query fusion") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("fusedserve").toString
+    val sf = "/root/testdata/sf0.001"
+    s.sql("DROP TABLE IF EXISTS fused_bm25_spec")
+    s.sql("DROP TABLE IF EXISTS fused_ivfpq_spec")
+    s.sql("DROP TABLE IF EXISTS fused_bm25_spec_t")
+    s.sql("DROP TABLE IF EXISTS fused_ivfpq_spec_t")
+
+    // lexical serving state: one postings partition, compacted into the
+    // term-bucketed layout + .dl/.stats artifacts
+    val docs = graft.Tables.documents(s, sf).select("doc_id", "text")
+    val state = s"$dir/poststate"
+    TextOps.docPostings(docs)
+      .write.mode("overwrite").parquet(s"$state/batch=0")
+    StreamOps.compactPostingsState(s, state, "fused_bm25_spec",
+      s"$dir/bm25c")
+
+    // dense serving state: the v133/v134 frozen artifacts (trained
+    // exactly as the in-query chain trains them), code table compacted
+    // into the clabel-bucketed layout
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").persist()
+    val cent = VectorOps.ivfCodebookOn(emb).persist()
+    val assigned = VectorOps.assignToIvfLists(s, emb, cent,
+      carry = Seq("label"))
+    val subs = VectorOps.pqSubvectors(
+      VectorOps.residualOf(assigned, cent, carry = Seq("label")),
+      carry = Seq("clabel", "label")).persist()
+    val cb = VectorOps.trainPqCodebooksOn(s, subs,
+      col("vec_id") < VectorOps.PqK).persist()
+    val codes = VectorOps.encodePq(s, subs, cb, carry = Seq("clabel"))
+      .select("vec_id", "clabel", "m", "cid").persist()
+    VectorOps.writeIvfPqBucketedState(codes, "fused_ivfpq_spec",
+      s"$dir/ivfpqc", overwrite = true)
+
+    // query inputs — the t150 derivation (production receives these)
+    val tf = TextOps.docPostings(docs).persist()
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("df").asc, col("term"))
+    val qmap = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .join(dfq, Seq("term"))
+      .withColumn("qrn", row_number().over(wq)).filter(col("qrn") <= 3)
+      .select("query_id", "term").persist()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding")
+    val rawVecs = emb.select("vec_id", "embedding")
+
+    val fused = StreamOps.fusedServe(s, "fused_bm25_spec", s"$dir/bm25c",
+      qmap, "fused_ivfpq_spec", cent, cb, queries, rawVecs)
+    val got = fused.collect().map(_.toSeq).toSeq
+    val expected = FusionOps.t150HybridFusion(s, sf)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      "the serving-layout fusion must answer the in-query fusion" +
+        s"\ngot:      $got\nexpected: $expected")
+
+    // both sides' plan properties survive the composition
+    val exec = fused.queryExecution.executedPlan
+    val prunedRoots = graft.PlanWalk.allNodesThroughCaches(exec).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.toString.contains("SelectedBucketsCount") =>
+        f.relation.location.rootPaths.head.toString
+    }
+    assert(prunedRoots.exists(_.contains("bm25c")),
+      s"the postings scan must stay bucket-pruned in the fused plan:\n$exec")
+    assert(prunedRoots.exists(_.contains("ivfpqc")),
+      s"the code scan must stay bucket-pruned in the fused plan:\n$exec")
+    assert(graft.PlanWalk.scansOf(exec, "bm25c.dl").size == 1,
+      s"the fused plan must scan .dl exactly once:\n$exec")
+    assert(graft.PlanWalk.scansOf(exec, "bm25c.stats").size == 1,
+      s"corpus stats must come from the 1-row .stats artifact:\n$exec")
+
+    // tombstones heal BOTH sides exactly: serving with the tombstone
+    // param == serving layouts physically rebuilt from the survivors
+    // (same frozen dense artifacts — compaction never retrains)
+    // kill a doc that HOLDS a fused slot (so the heal observably moves
+    // the answer) plus a spread of bystanders that shift df/stats
+    val slotHolder = got.map(r => r(1).asInstanceOf[Long]).find(_ >= 5).get
+    val dead = (slotHolder +: docs.select("doc_id").collect()
+      .map(_.getLong(0)).filter(id => id % 31 == 8).toSeq).distinct
+    assert(dead.forall(_ >= 5))
+    val tomb = dead.toDF("doc_id")
+    val gotT = StreamOps.fusedServe(s, "fused_bm25_spec", s"$dir/bm25c",
+      qmap, "fused_ivfpq_spec", cent, cb, queries, rawVecs, Some(tomb))
+      .collect().map(_.toSeq).toSeq
+    val docsLive = docs.filter(!col("doc_id").isin(dead: _*))
+    val state2 = s"$dir/poststate_t"
+    TextOps.docPostings(docsLive)
+      .write.mode("overwrite").parquet(s"$state2/batch=0")
+    StreamOps.compactPostingsState(s, state2, "fused_bm25_spec_t",
+      s"$dir/bm25c_t")
+    VectorOps.writeIvfPqBucketedState(
+      codes.filter(!col("vec_id").isin(dead: _*)), "fused_ivfpq_spec_t",
+      s"$dir/ivfpqc_t", overwrite = true)
+    val expectedT = StreamOps.fusedServe(s, "fused_bm25_spec_t",
+      s"$dir/bm25c_t", qmap, "fused_ivfpq_spec_t", cent, cb, queries,
+      rawVecs.filter(!col("vec_id").isin(dead: _*)))
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(gotT == expectedT,
+      "tombstoned serving must equal the survivor-rebuilt layouts")
+    assert(gotT != got, "the dead docs should have held fused slots")
+
+    emb.unpersist(); cent.unpersist(); subs.unpersist(); cb.unpersist()
+    codes.unpersist(); tf.unpersist(); qmap.unpersist()
+    Seq("fused_bm25_spec", "fused_ivfpq_spec", "fused_bm25_spec_t",
+      "fused_ivfpq_spec_t").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
