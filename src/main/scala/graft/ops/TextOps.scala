@@ -3628,7 +3628,19 @@ object TextOps {
     val docs = CacheRegistry.harness.add(
       documents(s, d).select("doc_id").persist())
     val nn = docs.count()
-    val e = linkEdges(docs, nn, lit(0L), lit(1L), lit(2L))
+    hitsOverEdges(s, docs, linkEdges(docs, nn, lit(0L), lit(1L), lit(2L)),
+      nn)
+  }
+
+  /** The HITS trajectory over an EXPLICIT (src, dst) edge set — the
+    * [[t153Hits]] core, shared with the maintained-state rebuild
+    * ([[graft.streaming.StreamOps.hitsFromEdgeState]]), so the periodic
+    * rebuild a deployment runs over its compacted crawl graph computes
+    * exactly the audited trajectory. `docs` is the node spine (isolated
+    * nodes score authority 0 but still count in the renormalization's N).
+    */
+  private[graft] def hitsOverEdges(s: SparkSession, docs: DataFrame,
+      e: DataFrame, nn: Long): DataFrame = {
     val eSrc = CacheRegistry.harness.add(e.repartition(col("src")).persist())
     val eDst = CacheRegistry.harness.add(e.repartition(col("dst")).persist())
     var hub = docs.select(col("doc_id"), lit(1000000L).as("score"))

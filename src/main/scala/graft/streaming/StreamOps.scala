@@ -1275,21 +1275,57 @@ object StreamOps {
     * deliberately NOT repartitioned or persisted here.
     */
   private def prUnionEdges(spark: SparkSession, statePath: String,
-      excludeBatch: Long, delta: DataFrame): DataFrame = {
+      excludeBatch: Long, delta: DataFrame): DataFrame =
+    prStateEdges(spark, statePath, excludeBatch)
+      .foldLeft(delta.select("src", "dst"))(_.unionByName(_))
+
+  /** The accumulated graph's stored (src, dst) views: the uncompacted
+    * `batch=N` partitions above the read frontier (minus `excludeBatch`)
+    * plus the [[prLiveEdgeGens]] read set — each edge exactly once (the
+    * stream lands only NOVEL edges and the read set covers disjoint batch
+    * ranges). Shared by the per-batch union graph ([[prUnionEdges]]) and
+    * the maintained-state rebuild reads ([[hitsFromEdgeState]]).
+    */
+  private def prStateEdges(spark: SparkSession, statePath: String,
+      excludeBatch: Long = -1L): Seq[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens = prLiveEdgeGens(spark, statePath)
     val after = gens.lastOption.map(_.version).getOrElse(-1L)
-    var all = delta.select("src", "dst")
-    if (batchIds(fs, s"$statePath/edges").exists(n =>
-        n > after && n != excludeBatch))
-      all = all.unionByName(
-        spark.read.parquet(s"$statePath/edges")
+    val recent =
+      if (batchIds(fs, s"$statePath/edges").exists(n =>
+          n > after && n != excludeBatch))
+        Seq(spark.read.parquet(s"$statePath/edges")
           .filter(col("batch") > after && col("batch") =!= excludeBatch)
           .select("src", "dst"))
-    gens.foreach { g =>
-      all = all.unionByName(spark.table(g.table).select("src", "dst")) }
-    all
+      else Seq.empty
+    recent ++ gens.map(g => spark.table(g.table).select("src", "dst"))
+  }
+
+  /** The second centrality served from the MAINTAINED edge state: the
+    * periodic HITS rebuild consumes [[prStateEdges]] (the compacted
+    * generations + uncompacted partitions [[pagerankDeltaStream]] keeps
+    * current) instead of re-deriving its graph in-query — the shared
+    * edge infrastructure is literally "what either centrality's rebuild
+    * reads". The trajectory is the audited [[graft.ops.TextOps.t153Hits]]
+    * core ([[graft.ops.TextOps.hitsOverEdges]]), so state-served scores
+    * ≡ the in-query HITS over the same edge set by construction
+    * (PagerankStreamSpec pins it). HITS is a rebuild, not a delta
+    * overlay, BY PROOF: its global renormalization moves every node's
+    * score under any delta (the PLANS round-14 scoping note), so the
+    * maintained state saves the graph scan/shuffle, never the iteration.
+    * `docs` is the node spine (the same roster the PageRank sink takes).
+    */
+  def hitsFromEdgeState(spark: SparkSession, statePath: String,
+      docs: DataFrame): DataFrame = {
+    val reg = graft.ops.CacheRegistry.harness
+    val nodes = reg.add(docs.select("doc_id").persist())
+    val nn = nodes.count()
+    val edges = prStateEdges(spark, statePath)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.range(0)
+        .select(col("id").as("src"), col("id").as("dst")))
+    graft.ops.TextOps.hitsOverEdges(spark, nodes, edges, nn)
   }
 
   /** The served iteration-i rank view of a [[pagerankDeltaStream]] state,

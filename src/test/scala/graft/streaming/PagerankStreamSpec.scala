@@ -339,6 +339,52 @@ class PagerankStreamSpec extends SparkSpec {
     (1 to 4).foreach(v => s.sql(s"DROP TABLE IF EXISTS g_pr_tier_spec_v$v"))
   }
 
+  test("HITS rebuild consumes the maintained edge state") {
+    // the shared edge infrastructure is "what either centrality's
+    // rebuild reads": HITS served from the compacted state (generations
+    // + uncompacted partitions) must equal the in-query trajectory over
+    // the same edge set — across a compaction, so both layout kinds feed
+    // the rebuild
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("hitsstate").toString
+    s.sql("DROP TABLE IF EXISTS g_pr_hits_spec_v1")
+
+    val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
+      .select("doc_id").persist()
+    val nodes = docs.collect().map(_.getLong(0)).sorted
+    val nn = nodes.length.toLong
+    def edge(i: Int, j: Int): (Long, Long) =
+      (nodes(i), nodes(((i * 37 + j * 29 + 5) % nn).toInt))
+    val batch1 = nodes.indices
+      .flatMap(i => Seq(edge(i, 0), edge(i, 1)))
+      .filter(e => e._1 != e._2).distinct
+    val batch2 = nodes.indices.filter(_ % 13 == 0).map(edge(_, 2))
+      .filter(e => e._1 != e._2).distinct
+
+    val state = s"$dir/state"
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.pagerankDeltaStream(s,
+      mem.toDF().toDF("src", "dst"), docs, state)
+    mem.addData(batch1: _*); q.processAllAvailable()
+    StreamOps.compactPagerankEdges(s, state, "g_pr_hits_spec")
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    val union = (batch1 ++ batch2).distinct.toDF("src", "dst")
+    val expected = TextOps.hitsOverEdges(s, docs, union, nn)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    val served = StreamOps.hitsFromEdgeState(s, state, docs)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(served == expected,
+      "state-served HITS must equal the in-query trajectory")
+    docs.unpersist()
+    s.sql("DROP TABLE IF EXISTS g_pr_hits_spec_v1")
+  }
+
   test("a batch replaying at or below the compacted generation fails fast") {
     // the quiescent-point contract, ENFORCED: if compaction absorbed a
     // batch whose streaming checkpoint had not committed, the replayed
