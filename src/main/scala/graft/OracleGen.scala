@@ -2524,8 +2524,30 @@ object OracleGen {
     * cumsum packing in shuffle order. Window sums cast to BIGINT at the
     * source (DuckDB widens to HUGEINT otherwise).
     */
-  val trainingManifest: String =
-    s"""WITH h100 AS (
+  val trainingManifest: String = manifestSqlWith("", "")
+
+  /** Curated-manifest capstone (t159) matching
+    * [[graft.ops.TextOps.t159CuratedManifest]]: the t125 oracle with the
+    * t152 DSIR chain composed ahead of the cap — the selection CTE is
+    * the dsirSelect oracle verbatim (as a derived table) unioned with
+    * the target source, joined into the manifest's survivor stage.
+    */
+  val curatedManifest: String = manifestSqlWith(
+    s"""dsel AS (
+         SELECT doc_id FROM ($dsirSelect) zsel
+         UNION ALL
+         SELECT doc_id FROM documents
+         WHERE source = '${TextOps.DsirTargetSource}'),
+       """,
+    "JOIN dsel USING (doc_id)")
+
+  /** The t125 manifest SQL, parameterized by an optional selection CTE
+    * (prepended to the WITH chain) and its join into the survivor stage
+    * `s1` — the shared body of [[trainingManifest]] (no selection) and
+    * [[curatedManifest]] (the DSIR keep set enters ahead of the cap).
+    */
+  private def manifestSqlWith(selCte: String, selJoin: String): String =
+    s"""WITH ${selCte}h100 AS (
          SELECT doc_id, source,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 12))::BIGINT
              AS h
@@ -2560,7 +2582,7 @@ object OracleGen {
              AS BIGINT) AS n_tokens
          FROM documents d
          JOIN capkeep USING (doc_id)
-         JOIN gate USING (doc_id)),
+         JOIN gate USING (doc_id) $selJoin),
        lc AS (SELECT lang, count(*) AS n_docs FROM s1 GROUP BY 1),
        lm AS (SELECT min(n_docs) AS n_min FROM lc),
        lr AS (

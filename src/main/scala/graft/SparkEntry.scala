@@ -201,6 +201,7 @@ object SparkEntry {
     "v156_incremental_prune" -> (VectorOps.v156IncrementalPrune _),
     "t157_bigram_lm" -> (TextOps.t157BigramLm _),
     "d158_incremental_lm" -> (TextOps.d158IncrementalLm _),
+    "t159_curated_manifest" -> (TextOps.t159CuratedManifest _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -726,6 +727,9 @@ object SparkEntry {
     // incremental member's served scores must be indistinguishable from
     // the one-shot, so the oracle IS t157's SQL (the d84/d101 standard)
     "d158_incremental_lm" -> OracleGen.bigramLm,
+    // the curated-manifest capstone: t125's pipeline with the DSIR keep
+    // set composed ahead of the cap — sub-oracles composed verbatim
+    "t159_curated_manifest" -> OracleGen.curatedManifest,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -2933,7 +2933,15 @@ object TextOps {
     * (compact) manifest rows — the corpus's text is read once (stage 3's
     * token counts ride along from the base scan).
     */
-  def t125TrainingManifest(s: SparkSession, d: String): DataFrame = {
+  def t125TrainingManifest(s: SparkSession, d: String): DataFrame =
+    manifestFrom(s, d, None)
+
+  /** The t125 pipeline over an optional SELECTION pool — shared by t125
+    * (no selection: the whole corpus enters the cap) and t159 (the DSIR
+    * keep set enters ahead of the cap). `sel` holds one `doc_id` column.
+    */
+  private def manifestFrom(s: SparkSession, d: String,
+      sel: Option[DataFrame]): DataFrame = {
     val cap = t100SourceCap(s, d).filter(col("kept")).select("doc_id")
     val gate = graft.multimodal.Multimodal.d118FullMultimodalGate(s, d)
       .filter(col("kept")).select("doc_id")
@@ -2942,7 +2950,8 @@ object TextOps {
     // persist(): the gated survivor table feeds the rate aggregation and
     // the mixture join
     val stage1 = CacheRegistry.harness.add(
-      base.join(cap, "doc_id").join(gate, "doc_id").persist())
+      sel.foldLeft(base.join(cap, "doc_id").join(gate, "doc_id"))(
+        (df, k) => df.join(k, "doc_id")).persist())
     val counts = stage1.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val nmin = counts.agg(min("n_docs").as("n_min"))
     val rates = counts.crossJoin(broadcast(nmin))
@@ -2967,6 +2976,32 @@ object TextOps {
         floor(col("start_tok") / 512.0).cast("long").as("pack_id"),
         (col("start_tok") % 512).as("pack_offset"))
       .orderBy("shard", "ord")
+  }
+
+  /** The curated-manifest capstone — the t159 query, t125's pipeline with
+    * the round-14 SELECTION family composed ahead of the t100 cap (the
+    * d118 composition pattern applied to selection): the pool entering
+    * the manifest is the DSIR keep set — [[t152DsirSelect]]'s top-k pool
+    * docs plus the curated target source itself (in-domain by
+    * definition, so selection never drops it) — and every downstream
+    * stage (cap, multimodal gate, temperature mixture, shuffle-shard,
+    * packing) runs over that selection. The composition point mirrors
+    * t125's: mixture rates compute over the docs that SURVIVED
+    * selection + cap + gate, so languages weight by what the trainer
+    * will actually read. Oracle: the t125 oracle with the t152 oracle's
+    * chain joined in as the selection CTE — sub-oracles composed
+    * verbatim, so the capstone proves the composed dataflow, not a
+    * re-derivation.
+    *
+    * Scale: the selection adds one broadcast-sized join (≤ DsirK +
+    * |target| ids) to t125's audited stages; t152's own plan is the
+    * audited one-tokenize-pass shape.
+    */
+  def t159CuratedManifest(s: SparkSession, d: String): DataFrame = {
+    val sel = t152DsirSelect(s, d).select("doc_id")
+      .unionByName(documents(s, d)
+        .filter(col("source") === DsirTargetSource).select("doc_id"))
+    manifestFrom(s, d, Some(sel))
   }
 
   /** TF-IDF top-terms per document with an integer-quantized IDF
