@@ -1498,6 +1498,19 @@ object TextOps {
     val nt = c1.agg(sum(col("c")).as("nt"))
     val c2 = pairs.filter(col("doc_id") % 2 === 0)
       .groupBy("w1", "w2").agg(sum("np").as("c2"))
+    lmScoreWith(roster, pairs, c1, c2, nt)
+  }
+
+  /** The t157 scoring tail at GIVEN model tables — shared by
+    * [[lmScoreFrom]] (model derived from the partials) and the
+    * compacted-layout serve
+    * ([[graft.streaming.StreamOps.lmCompacted]], model from the
+    * pre-aggregated artifacts, which hold the identical sums). `c1` =
+    * (w, c) train unigrams, `c2` = (w1, w2, c2) train bigrams, `nt` =
+    * the 1-row train token total.
+    */
+  private[graft] def lmScoreWith(roster: DataFrame, pairs: DataFrame,
+      c1: DataFrame, c2: DataFrame, nt: DataFrame): DataFrame = {
     val scored = pairs
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1.select(col("w").as("w1"), col("c").as("c1w1")),

@@ -588,6 +588,28 @@ object StreamOps {
       latestPerId(liveRaw(spark, statePath, "vec_id"), "vec_id"),
       spark.read.parquet(codebookPath))
 
+  /** The served ranks over a COMPACTED density state — the production
+    * read: a [[densityPruneStream]] state holds exactly the
+    * (vec_id, embedding, cid) assignment schema, so its compaction IS
+    * [[compactSemanticState]] (latest-wins collapse, physical
+    * tombstones, cid-bucketed serving table — per-cluster rank windows
+    * read each cluster's rows bucket-local). `tombstones` carries
+    * vec_ids deleted since the last compaction (anti-joined below the
+    * ranks — a dead vector must leave its cluster's n and ranks, the
+    * v127/v130 convention). A post-compaction revision is invisible
+    * until the next compaction ([[bm25Compacted]]'s staleness window);
+    * revision-fresh reads serve [[densityPruneServed]] instead.
+    */
+  def densityPruneCompacted(spark: SparkSession, tableName: String,
+      codebookPath: String, tombstones: Option[DataFrame] = None)
+      : DataFrame = {
+    val state = tombstones.fold(spark.table(tableName))(t =>
+      spark.table(tableName).join(broadcast(t.select("vec_id")),
+        Seq("vec_id"), "left_anti"))
+    graft.ops.VectorOps.prototypicalityRanks(spark, state,
+      spark.read.parquet(codebookPath))
+  }
+
   /** Compact an [[imageDedupStream]]/[[audioDedupStream]] `batch=N` hash
     * state into the Hamming serving layout
     * ([[graft.multimodal.Multimodal.writeHammingBucketedState]]): member
@@ -1348,9 +1370,11 @@ object StreamOps {
     * proportional to the absorbed partitions, never to the accumulated
     * graph — and readers union the [[prLiveEdgeGens]] read set (highest
     * major + minors above it, each still bucket-pruned per probe). A
-    * MAJOR compaction (`major = true`) rewrites that whole read set into
-    * one generation, bounding the per-probe generation count; it is the
-    * only O(graph) write in the lifecycle and runs at its own (much
+    * MAJOR compaction (`major = true`, or automatic once a minor would
+    * push the live set past `maxGens` — the backstop that bounds the
+    * read set without operator discipline) rewrites that whole read set
+    * into one generation, bounding the per-probe generation count; it is
+    * the only O(graph) write in the lifecycle and runs at its own (much
     * slower) cadence. Each generation is a `src`-bucketed,
     * (src, dst)-sorted catalog table (the
     * [[graft.ops.TextOps.writeBandBucketedState]] layout convention —
@@ -1377,8 +1401,8 @@ object StreamOps {
     * leftovers are retired by the next run).
     */
   def compactPagerankEdges(spark: SparkSession, statePath: String,
-      tableBase: String, nBuckets: Int = 32, major: Boolean = false)
-      : Unit = {
+      tableBase: String, nBuckets: Int = 32, major: Boolean = false,
+      maxGens: Int = 8): Unit = {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val edgeBatches = batchIds(fs, s"$statePath/edges")
@@ -1392,8 +1416,11 @@ object StreamOps {
     val after = live.lastOption.map(_.version).getOrElse(-1L)
     if (m <= after) return // nothing new since the last generation
     // the first generation has no prior to tier over — it is a major by
-    // construction, whatever was asked for
-    val isMajor = major || live.isEmpty
+    // construction, whatever was asked for. The maxGens backstop bounds
+    // the read set's generation count WITHOUT operator discipline (the
+    // enforce-don't-document theme): once a minor would make the live
+    // set exceed it, the run upgrades itself to a major.
+    val isMajor = major || live.isEmpty || live.size + 1 > maxGens
     val recent = spark.read.parquet(s"$statePath/edges")
       .filter(col("batch") > after && col("batch") <= m)
       .select("src", "dst")
@@ -1700,6 +1727,168 @@ object StreamOps {
       expr("((c_t + 1) * 1000000) div (c_r + 1)").as("w_q"))
     graft.ops.TextOps.dsirScoreWith(
       roster.filter(!col("is_target")).select("doc_id"), posts, wq)
+  }
+
+  /** Streaming bigram-LM maintenance — the LM family's sink, completing
+    * its one-shot (t157) / incremental (d158) / streaming trio on the
+    * additive count state. Input columns: (doc_id, text). Per
+    * micro-batch: collapse to ONE deterministic row per doc_id
+    * ([[dedupWithinBatch]] — a within-batch double delivery must not
+    * double its counts under one batch id), then land the
+    * [[graft.ops.TextOps.lmTokPartials]] /
+    * [[graft.ops.TextOps.lmPairPartials]] reductions as `toks/batch=N`
+    * and `pairs/batch=N`, plus the per-doc roster row as
+    * `roster/batch=N` — the roster's (doc_id, max batch) is the
+    * authoritative version pointer (a revision that loses all tokens
+    * must still supersede its old partials). Ingest is batch-local:
+    * tokenize + two partial-aggregable reductions, zero reads of
+    * accumulated state. Deletes ride the shared [[tombstoneStream]] at
+    * the same `statePath`.
+    */
+  def lmIngestStream(spark: SparkSession, docs: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val one = dedupWithinBatch(batch.toDF())
+        graft.ops.TextOps.lmTokPartials(one)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/toks/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/toks/batch=$id",
+          s"$statePath/toks/batch=$id")
+        graft.ops.TextOps.lmPairPartials(one)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/pairs/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/pairs/batch=$id",
+          s"$statePath/pairs/batch=$id")
+        one.select("doc_id")
+          .write.mode("overwrite").parquet(s"$statePath.tmp/roster/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/roster/batch=$id",
+          s"$statePath/roster/batch=$id")
+      }
+      .start()
+
+  /** The LM scores over a [[lmIngestStream]] state — the serving read:
+    * tombstone-healed roster rows collapse to each doc's LATEST batch,
+    * that (doc_id, batch) pair prunes both partials tables to the newest
+    * version's rows, and the scorer is
+    * [[graft.ops.TextOps.lmScoreFrom]] — the t157 query's own engine, so
+    * served scores ≡ the one-shot over the current corpus by
+    * construction (LmStreamSpec pins it across a revision that shifts
+    * the TRAIN model and a tombstoned train doc). Like DSIR, per-doc
+    * scores are never cacheable (any train-doc change moves c1/c2/nt and
+    * with them every doc's info_q); what the state saves is the
+    * tokenize pass.
+    */
+  def lmServed(spark: SparkSession, statePath: String): DataFrame = {
+    val (roster, toks, pairs) = lmLive(spark, statePath)
+    graft.ops.TextOps.lmScoreFrom(roster, toks, pairs)
+  }
+
+  /** The current (roster, toks, pairs) of a [[lmIngestStream]] state:
+    * tombstone-healed, collapsed to each doc's LATEST roster batch.
+    * Shared by [[lmServed]] (direct read) and [[compactLmState]]
+    * (serving rebuild).
+    */
+  private def lmLive(spark: SparkSession, statePath: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tPath = new org.apache.hadoop.fs.Path(s"$statePath.tombstones")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def heal(df: DataFrame): DataFrame =
+      if (!fs.exists(tPath)) df
+      else df.join(
+        broadcast(spark.read.parquet(s"$statePath.tombstones")
+          .select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val roster = heal(spark.read.parquet(s"$statePath/roster"))
+    val latest = roster.groupBy("doc_id").agg(max("batch").as("batch"))
+    val toks = heal(spark.read.parquet(s"$statePath/toks"))
+      .join(latest, Seq("doc_id", "batch")).select("doc_id", "w", "c")
+    val pairs = heal(spark.read.parquet(s"$statePath/pairs"))
+      .join(latest, Seq("doc_id", "batch"))
+      .select("doc_id", "w1", "w2", "np")
+    (latest.select("doc_id"), toks, pairs)
+  }
+
+  /** Compact a [[lmIngestStream]] `batch=N` state into the serving
+    * layout — the LM member of the compaction family: the live partials
+    * and roster (latest version per doc, tombstones applied PHYSICALLY)
+    * each land as one generation, and the train model is pre-aggregated
+    * as three artifacts — `<path>.c1` (train unigrams, vocab-sized),
+    * `<path>.c2` (train bigrams, vocab²-bounded but Heaps-small), and
+    * the 1-row `<path>.nt` token total — value-identical to the direct
+    * serve's derivation (the sums are the same additive partials), so a
+    * compacted serve skips the two train groupBy-sums per query. All
+    * writes are full overwrites (a re-run replaces, never doubles; the
+    * `batch=N` sink stays the source of truth).
+    */
+  def compactLmState(spark: SparkSession, statePath: String,
+      path: String): Unit = {
+    val (roster, toks0, pairs0) = lmLive(spark, statePath)
+    val toks = toks0.persist()
+    val pairs = pairs0.persist()
+    roster.write.mode("overwrite").parquet(s"$path/roster")
+    toks.write.mode("overwrite").parquet(s"$path/toks")
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    val c1 = toks.filter(col("doc_id") % 2 === 0)
+      .groupBy("w").agg(sum("c").as("c")).persist()
+    c1.write.mode("overwrite").parquet(s"$path.c1")
+    c1.agg(coalesce(sum("c"), lit(0L)).as("nt"))
+      .write.mode("overwrite").parquet(s"$path.nt")
+    pairs.filter(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2").agg(sum("np").as("c2"))
+      .write.mode("overwrite").parquet(s"$path.c2")
+    c1.unpersist(); toks.unpersist(); pairs.unpersist()
+  }
+
+  /** The LM scores over a [[compactLmState]] layout — the production
+    * serve: the train model reads from the pre-aggregated artifacts (no
+    * train groupBy-sums per query), the scoring tail is
+    * [[graft.ops.TextOps.lmScoreWith]] — t157's own engine. Deletes
+    * arriving AFTER the compaction pass as `tombstones` (doc_id rows)
+    * and are applied EXACTLY: dead docs leave the roster and the scored
+    * pairs by anti-join, and — because the model counts are ADDITIVE —
+    * dead TRAIN docs' own partials are subtracted from c1/c2/nt (an
+    * O(dead partials) delta; every surviving doc's score shifts
+    * correctly because info_q depends on the train distribution). A
+    * post-compaction REVISION is invisible to this layout until the
+    * next compaction (the bm25Compacted staleness window) — a reader
+    * needing revision-fresh scores between compactions serves
+    * [[lmServed]] from the batch=N state instead.
+    */
+  def lmCompacted(spark: SparkSession, path: String,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val roster0 = spark.read.parquet(s"$path/roster")
+    val pairs0 = spark.read.parquet(s"$path/pairs")
+    val c10 = spark.read.parquet(s"$path.c1")
+    val c20 = spark.read.parquet(s"$path.c2")
+    val nt0 = spark.read.parquet(s"$path.nt")
+    val (roster, pairs, c1, c2, nt) = tombstones match {
+      case None => (roster0, pairs0, c10, c20, nt0)
+      case Some(t) =>
+        val ids = broadcast(t.select("doc_id"))
+        val deadToks = spark.read.parquet(s"$path/toks")
+          .join(ids, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") % 2 === 0)
+        val deadPairs = spark.read.parquet(s"$path/pairs")
+          .join(ids, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") % 2 === 0)
+        val d1 = deadToks.groupBy("w").agg(sum("c").as("d"))
+        val d2 = deadPairs.groupBy("w1", "w2").agg(sum("np").as("d"))
+        val dnt = deadToks.agg(coalesce(sum("c"), lit(0L)).as("dnt"))
+        (roster0.join(ids, Seq("doc_id"), "left_anti"),
+          pairs0.join(ids, Seq("doc_id"), "left_anti"),
+          c10.join(d1, Seq("w"), "left")
+            .select(col("w"),
+              (col("c") - coalesce(col("d"), lit(0L))).as("c"))
+            .filter(col("c") > 0),
+          c20.join(d2, Seq("w1", "w2"), "left")
+            .select(col("w1"), col("w2"),
+              (col("c2") - coalesce(col("d"), lit(0L))).as("c2"))
+            .filter(col("c2") > 0),
+          nt0.crossJoin(broadcast(dnt))
+            .select((col("nt") - col("dnt")).as("nt")))
+    }
+    graft.ops.TextOps.lmScoreWith(roster, pairs, c1, c2, nt)
   }
 
   /** BM25 top-5 per query term over a [[postingsStream]] state — the

@@ -83,6 +83,27 @@ class DensityStreamSpec extends SparkSpec {
     tmem.addData(dead.toSeq: _*); tq.processAllAvailable(); tq.stop()
     assert(served() == oneShot(afterRev.filterNot(v => v._1 % 23 == 0)),
       "a tombstoned vector must leave its cluster's ranks and n")
+
+    // compaction: the density state IS the semantic-assignment schema,
+    // so compactSemanticState is its compaction; compacted serve ≡
+    // direct ≡ one-shot, and a post-compaction delete re-ranks exactly
+    s.sql("DROP TABLE IF EXISTS density_state_spec")
+    StreamOps.compactSemanticState(s, state, "density_state_spec",
+      s"$dir/compacted")
+    val live = afterRev.filterNot(v => v._1 % 23 == 0)
+    assert(collectRanks(StreamOps.densityPruneCompacted(s,
+        "density_state_spec", codebookPath).orderBy("vec_id"))
+      == oneShot(live),
+      "compacted serve must equal the one-shot over the survivors")
+    val lateDead = live.map(_._1).filter(_ % 29 == 3)
+    assert(lateDead.nonEmpty)
+    import s.implicits._
+    assert(collectRanks(StreamOps.densityPruneCompacted(s,
+        "density_state_spec", codebookPath,
+        Some(lateDead.toDF("vec_id"))).orderBy("vec_id"))
+      == oneShot(live.filterNot(v => lateDead.contains(v._1))),
+      "a post-compaction delete must leave its cluster's ranks and n")
+    s.sql("DROP TABLE IF EXISTS density_state_spec")
     graft.ops.CacheRegistry.harness.release()
   }
 

@@ -231,7 +231,7 @@ class PagerankStreamSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val dir = Files.createTempDirectory("prtier").toString
-    (1 to 4).foreach(v => s.sql(s"DROP TABLE IF EXISTS g_pr_tier_spec_v$v"))
+    (1 to 5).foreach(v => s.sql(s"DROP TABLE IF EXISTS g_pr_tier_spec_v$v"))
 
     val docs = graft.Tables.documents(s, "/root/testdata/sf0.001")
       .select("doc_id").persist()
@@ -244,7 +244,8 @@ class PagerankStreamSpec extends SparkSpec {
       nodes.indices.filter(_ % 17 == 0).map(edge(_, 2)),
       nodes.indices.filter(_ % 19 == 0).map(edge(_, 3)),
       nodes.indices.filter(_ % 23 == 0).map(edge(_, 4)),
-      nodes.indices.filter(_ % 29 == 0).map(edge(_, 5)))
+      nodes.indices.filter(_ % 29 == 0).map(edge(_, 5)),
+      nodes.indices.filter(_ % 31 == 0).map(edge(_, 6)))
       .map(_.filter(e => e._1 != e._2).distinct)
     val state = s"$dir/state"
     val mem = MemoryStream[(Long, Long)]
@@ -326,7 +327,6 @@ class PagerankStreamSpec extends SparkSpec {
 
     // next (minor) compaction retires what the major superseded
     mem.addData(batches(4): _*); q.processAllAvailable()
-    q.stop()
     StreamOps.compactPagerankEdges(s, state, "g_pr_tier_spec")
     assert(StreamOps.prLiveEdgeGens(s, state).map(g =>
       (g.version, g.major)) == Seq((3L, true), (4L, false)))
@@ -335,8 +335,20 @@ class PagerankStreamSpec extends SparkSpec {
       "generations superseded a full cycle ago must be retired")
     assert(served() == oneShot(5),
       "the tiered lifecycle must keep serving the full recompute")
+
+    // the maxGens backstop: a minor that would push the live set past
+    // the cap upgrades itself to a major — bounded read set without
+    // operator discipline
+    mem.addData(batches(5): _*); q.processAllAvailable()
+    q.stop()
+    StreamOps.compactPagerankEdges(s, state, "g_pr_tier_spec",
+      maxGens = 2)
+    assert(StreamOps.prLiveEdgeGens(s, state).map(g =>
+      (g.version, g.major)) == Seq((5L, true)),
+      "exceeding maxGens must auto-upgrade the minor to a major")
+    assert(served() == oneShot(6))
     docs.unpersist()
-    (1 to 4).foreach(v => s.sql(s"DROP TABLE IF EXISTS g_pr_tier_spec_v$v"))
+    (1 to 5).foreach(v => s.sql(s"DROP TABLE IF EXISTS g_pr_tier_spec_v$v"))
   }
 
   test("HITS rebuild consumes the maintained edge state") {
