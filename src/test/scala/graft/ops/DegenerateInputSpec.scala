@@ -143,6 +143,26 @@ class DegenerateInputSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("bigram LM one-shot and incremental agree on the dirty corpus") {
+    // null/empty/one-word docs have zero adjacent pairs — they must
+    // score 0 with 0 positions (not drop, not throw), and the
+    // incremental == one-shot identity must hold on degenerate input
+    // too (the even/odd split here puts the null-text doc in a batch)
+    val one = TextOps.t157BigramLm(spark, dirtyDir)
+      .collect().map(_.toSeq).toSeq
+    CacheRegistry.harness.release()
+    assert(one.length == 7)
+    val zeroed = one.filter(r => Seq(1L, 2L, 3L, 4L)
+      .contains(r.head.asInstanceOf[Long]))
+    assert(zeroed.forall(r => r(1) == 0L && r(3) == 0.0),
+      s"pairless docs must score 0 with 0 positions: $zeroed")
+    val inc = TextOps.d158IncrementalLm(spark, dirtyDir)
+      .collect().map(_.toSeq).toSeq
+    CacheRegistry.harness.release()
+    assert(inc == one,
+      "incremental LM must equal the one-shot on the dirty corpus")
+  }
+
   test("incremental ANN index builders survive the dirty corpus") {
     // v120 on two vectors (one all-zero, one normal): the evens-trained
     // codebook has a single list, both vectors assign to it (a one-row
