@@ -2876,6 +2876,25 @@ object OracleGen {
     * contribute 0 and surface as rank 0 in the output.
     */
   val hybridFusion: String = ivfPqResidualCtes() + ivfPqRerankCtes +
+    fusionTail("")
+
+  /** Attribute-filtered hybrid fusion (t160) matching
+    * [[graft.ops.FusionOps.t160FilteredFusion]]: the v143 filtered dense
+    * chain (predicate in the ADC stage) composed with the t150 lexical
+    * chain whose per-query candidate sums are restricted to the
+    * allowed-id set BELOW the score and ABOVE the rank — both halves'
+    * statistics stay whole-corpus (the v142 convention).
+    */
+  val filteredFusion: String =
+    ivfPqResidualCtes(" AND co.label % 2 = 0") + ivfPqRerankCtes +
+      fusionTail(""" AND c.doc_id IN
+           (SELECT vec_id FROM embeddings WHERE label % 2 = 0)""")
+
+  /** The lexical + RRF CTE tail over the dense chain's `rk` — shared by
+    * [[hybridFusion]] (no candidate restriction) and [[filteredFusion]]
+    * (`lexRestrict` narrows the per-query candidate sums).
+    */
+  private def fusionTail(lexRestrict: String): String =
     s""",
        dense AS (
          SELECT query_id, neighbor_id AS doc_id, rnk AS dense_rn
@@ -2918,7 +2937,7 @@ object OracleGen {
          SELECT q.query_id, c.doc_id,
            CAST(sum(c.score_q) AS BIGINT) AS lex_q
          FROM lxsc c JOIN lxq q USING (term)
-         WHERE c.doc_id <> q.query_id
+         WHERE c.doc_id <> q.query_id$lexRestrict
          GROUP BY 1, 2),
        lx AS (
          SELECT query_id, doc_id, lex_rn FROM (

@@ -202,6 +202,7 @@ object SparkEntry {
     "t157_bigram_lm" -> (TextOps.t157BigramLm _),
     "d158_incremental_lm" -> (TextOps.d158IncrementalLm _),
     "t159_curated_manifest" -> (TextOps.t159CuratedManifest _),
+    "t160_filtered_fusion" -> (FusionOps.t160FilteredFusion _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -730,6 +731,10 @@ object SparkEntry {
     // the curated-manifest capstone: t125's pipeline with the DSIR keep
     // set composed ahead of the cap — sub-oracles composed verbatim
     "t159_curated_manifest" -> OracleGen.curatedManifest,
+    // attribute-filtered hybrid fusion: v143's filtered dense stage +
+    // allowed-id-restricted lexical candidates, filter below each score
+    // and above each rank (the v142 convention on the fused ranking)
+    "t160_filtered_fusion" -> OracleGen.filteredFusion,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -98,8 +98,42 @@ object FusionOps {
     * scores are the summed per-term t149 BM25 scores (BIGINT — no float
     * summation), self excluded to match the dense side's self exclusion.
     */
-  def t150HybridFusion(s: SparkSession, d: String): DataFrame = {
-    val dense = VectorOps.v134IvfPqRerank(s, d)
+  def t150HybridFusion(s: SparkSession, d: String): DataFrame =
+    fusionOver(s, d, VectorOps.v134IvfPqRerank(s, d), None)
+
+  /** Attribute-filtered hybrid fusion — the t160 query, the filtered
+    * retrieval matrix cell (v122/v129/v142/v143) applied to the FUSED
+    * ranking: the query a deployed RAG stack answers under a
+    * license/language/modality predicate ("top-k over docs I may
+    * train on"). The predicate runs BELOW each side's score and ABOVE
+    * its rank — the v142 convention: corpus statistics (coarse/PQ
+    * artifacts; BM25 df/dl/stats) describe the whole index and do not
+    * shift per query filter, while post-rank filtering would under-fill
+    * k whenever a non-matching doc out-ranked a matching one. Dense half
+    * = v143's filtered two-stage serve (predicate in the ADC stage, so
+    * the shortlist is attribute-pure); lexical half = the t150 scorer
+    * with the allowed-id set semi-joined onto the scored postings before
+    * the per-query top-5. Both halves are label-pure, so every fused
+    * candidate satisfies the predicate by construction. Scale: the
+    * allowed-id restriction is one broadcast semi-join on the
+    * queries×candidates-bounded scored rows (the dense side's filter
+    * pushes into the bucketed scan — FilteredIvfPqSpec's property,
+    * unchanged here).
+    */
+  def t160FilteredFusion(s: SparkSession, d: String): DataFrame = {
+    val allowed = embeddings(s, d).filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("doc_id"))
+    fusionOver(s, d, VectorOps.v143FilteredRerank(s, d), Some(allowed))
+  }
+
+  /** The fusion body shared by t150 (unfiltered) and t160 (candidate
+    * restriction below the lexical score, above its rank): `denseRk` is
+    * the dense side's exact-re-ranked (query_id, neighbor_id, rnk) list;
+    * `restrict` holds the allowed doc_ids.
+    */
+  private def fusionOver(s: SparkSession, d: String, denseRk: DataFrame,
+      restrict: Option[DataFrame]): DataFrame = {
+    val dense = denseRk
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rn"))
     val docs = documents(s, d).select("doc_id", "text")
@@ -119,7 +153,9 @@ object FusionOps {
         .withColumn("qrn", row_number().over(wq))
         .filter(col("qrn") <= 3)
         .select("query_id", "term").persist())
-    val scored = TextOps.bm25Scores(tf, dl, qmap.select("term").distinct())
+    val scored0 = TextOps.bm25Scores(tf, dl, qmap.select("term").distinct())
+    val scored = restrict.fold(scored0)(a =>
+      scored0.join(broadcast(a), Seq("doc_id"), "left_semi"))
     rrfFuse(lexTopK(scored, qmap), dense).orderBy("query_id", "rn")
   }
 }

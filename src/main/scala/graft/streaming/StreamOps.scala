@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -2045,11 +2045,21 @@ object StreamOps {
     * over state whose serve ≡ the in-query chains) — FusedServeSpec pins
     * it bit-exactly over the same corpus, the DsirStreamSpec
     * compacted-≡-direct standard.
+    *
+    * FILTERED SERVING (the t160 form): `pred` is the dense side's
+    * serve-time metadata predicate over encode-carried attribute columns
+    * of the code table (the v142 contract — it composes with the clabel
+    * pruning and pushes into the bucketed scan), `allowed` the lexical
+    * side's allowed doc_ids (broadcast semi-join on the scored postings,
+    * below the score and above the rank). Pass both halves of one
+    * logical predicate — FusedServeSpec pins the filtered serve ≡ t160.
     */
   def fusedServe(spark: SparkSession, bm25Table: String, bm25Path: String,
       qmap: DataFrame, ivfPqTable: String, centroids: DataFrame,
       pqCodebooks: DataFrame, queries: DataFrame, rawVecs: DataFrame,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      pred: Column = lit(true),
+      allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // the pseudo-query term list is bounded (≤3·|queries|) — the
     // probed-list-literal convention makes it the pruning IN-filter
@@ -2057,8 +2067,11 @@ object StreamOps {
       .collect().map(_.getString(0)).toSeq
     val (postings, dl, stats) =
       bm25CompactedParts(spark, bm25Table, bm25Path, qterms, tombstones)
-    val scored = graft.ops.TextOps.bm25Scores(postings, dl,
+    val scored0 = graft.ops.TextOps.bm25Scores(postings, dl,
       qterms.toDF("term"), Some(stats))
+    val scored = allowed.fold(scored0)(a =>
+      scored0.join(broadcast(a.select("doc_id")), Seq("doc_id"),
+        "left_semi"))
     val lex = graft.ops.FusionOps.lexTopK(scored, qmap)
     val probes = graft.ops.VectorOps.ivfQueryProbes(spark, queries,
       centroids)
@@ -2066,7 +2079,7 @@ object StreamOps {
       pqCodebooks)
     val cands = graft.ops.VectorOps.probeIvfPqResidualState(spark,
       ivfPqTable, lut,
-      tombstones.map(_.select(col("doc_id").as("vec_id"))))
+      tombstones.map(_.select(col("doc_id").as("vec_id"))), pred)
     val qv = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
     val nbAll = rawVecs.select(col("vec_id").as("neighbor_id"),

@@ -51,8 +51,9 @@ class FusedServeSpec extends SparkSpec {
       carry = Seq("clabel", "label")).persist()
     val cb = VectorOps.trainPqCodebooksOn(s, subs,
       col("vec_id") < VectorOps.PqK).persist()
-    val codes = VectorOps.encodePq(s, subs, cb, carry = Seq("clabel"))
-      .select("vec_id", "clabel", "m", "cid").persist()
+    val codes = VectorOps.encodePq(s, subs, cb,
+      carry = Seq("clabel", "label"))
+      .select("vec_id", "clabel", "m", "cid", "label").persist()
     VectorOps.writeIvfPqBucketedState(codes, "fused_ivfpq_spec",
       s"$dir/ivfpqc", overwrite = true)
 
@@ -97,6 +98,23 @@ class FusedServeSpec extends SparkSpec {
       s"the fused plan must scan .dl exactly once:\n$exec")
     assert(graft.PlanWalk.scansOf(exec, "bm25c.stats").size == 1,
       s"corpus stats must come from the 1-row .stats artifact:\n$exec")
+
+    // filtered serving (the t160 form): the dense predicate rides the
+    // encode-carried label on the code table, the lexical allowed set
+    // semi-joins the scored postings — the filtered serve must answer
+    // the in-query t160 bit-exactly
+    val allowed = emb.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("doc_id"))
+    val gotF = StreamOps.fusedServe(s, "fused_bm25_spec", s"$dir/bm25c",
+      qmap, "fused_ivfpq_spec", cent, cb, queries, rawVecs,
+      pred = col("label") % 2 === 0, allowed = Some(allowed))
+      .collect().map(_.toSeq).toSeq
+    val expectedF = graft.ops.FusionOps.t160FilteredFusion(s, sf)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(gotF == expectedF,
+      "the filtered serving fusion must answer the in-query t160")
+    assert(gotF != got, "the predicate should move at least one slot")
 
     // tombstones heal BOTH sides exactly: serving with the tombstone
     // param == serving layouts physically rebuilt from the survivors
