@@ -2163,7 +2163,13 @@ object OracleGen {
     * `S div N`; renormalized score `(raw * 1e6) div denom` — two exact
     * integer divisions in place of the textbook L2 sqrt), authority 0 for
     * inbound-less nodes via LEFT JOIN + COALESCE. `//` is DuckDB's floor
-    * integer division = Spark's `div` on positive operands.
+    * integer division = Spark's `div` on positive operands. The renorm
+    * multiply runs through HUGEINT — the oracle twin of the Spark side's
+    * DECIMAL(38,0) intermediate (TextOps.hitsHalfStep): past the ~9.2e12
+    * raw-inflow bound a BIGINT `raw * 1000000` would error in DuckDB
+    * while Spark computes exactly, so both engines widen and the
+    * cross-engine exactness claim holds at any scale, not just below the
+    * bound.
     */
   val hits: String = {
     val rounds = (1 to TextOps.HitsIters).map { i =>
@@ -2174,7 +2180,8 @@ object OracleGen {
                 FROM (SELECT sum(raw) AS s FROM ar$i) s CROSS JOIN n),
        a$i AS (
          SELECT d.doc_id,
-           CAST(coalesce((r.raw * 1000000) // s.denom, 0) AS BIGINT) AS aq
+           CAST(coalesce((r.raw::HUGEINT * 1000000) // s.denom, 0)
+             AS BIGINT) AS aq
          FROM docs d CROSS JOIN ad$i s LEFT JOIN ar$i r USING (doc_id)),
        hr$i AS (
          SELECT e.src AS doc_id, CAST(sum(a.aq) AS BIGINT) AS raw
@@ -2183,7 +2190,8 @@ object OracleGen {
                 FROM (SELECT sum(raw) AS s FROM hr$i) s CROSS JOIN n),
        h$i AS (
          SELECT d.doc_id,
-           CAST(coalesce((r.raw * 1000000) // s.denom, 0) AS BIGINT) AS hq
+           CAST(coalesce((r.raw::HUGEINT * 1000000) // s.denom, 0)
+             AS BIGINT) AS hq
          FROM docs d CROSS JOIN hd$i s LEFT JOIN hr$i r USING (doc_id))"""
     }.mkString(",\n       ")
     val k = TextOps.HitsIters

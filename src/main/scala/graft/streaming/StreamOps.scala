@@ -553,7 +553,13 @@ object StreamOps {
     * (sibling-`.tmp` + atomic rename). A re-delivered or revised vec_id
     * supersedes at READ time (latest-batch-wins in
     * [[densityPruneServed]]); deletes ride [[tombstoneStream]] at the
-    * same `statePath` with idCol `vec_id`.
+    * same `statePath` with idCol `vec_id`. WITHIN a batch the feed is
+    * collapsed to one deterministic row per vec_id first (max embedding
+    * — arrays order lexicographically, so the pick is arbitrary but
+    * TOTAL, the [[dedupWithinBatch]] rule): two revisions of one vec_id
+    * delivered in a single trigger would otherwise land as two rows
+    * under the same batch id and [[latestPerId]]'s tie-break would serve
+    * a nondeterministic winner.
     */
   def densityPruneStream(spark: SparkSession, emb: DataFrame,
       codebookPath: String, statePath: String)
@@ -562,7 +568,9 @@ object StreamOps {
       .option("checkpointLocation", s"$statePath.checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val codebook = spark.read.parquet(codebookPath)
-        graft.ops.VectorOps.assignToCentroids(spark, batch.toDF(), codebook)
+        val one = batch.toDF().groupBy("vec_id")
+          .agg(max("embedding").as("embedding"))
+        graft.ops.VectorOps.assignToCentroids(spark, one, codebook)
           .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
         publishPartition(spark, s"$statePath.tmp/batch=$id",
           s"$statePath/batch=$id")
@@ -2054,6 +2062,17 @@ object StreamOps {
     * below the score and above the rank). Pass both halves of one
     * logical predicate — FusedServeSpec pins the filtered serve ≡ t160.
     */
+  /** [[fusedServe]] qmaps above this distinct-term count fail fast: the
+    * pseudo-query list is a driver-collected bucket-pruning IN-literal
+    * (the probed-list-literal convention needs a BOUNDED artifact cut —
+    * [[PrSrcLiteralCap]]'s theme), and a serve-path precondition is
+    * enforced, not documented. Unlike the PageRank probe there is no
+    * un-pruned fallback to degrade to: the term list IS the query
+    * definition, so an oversized qmap is a caller bug, not a bulk-load
+    * shape.
+    */
+  private[graft] val FusedTermLiteralCap = 1024
+
   def fusedServe(spark: SparkSession, bm25Table: String, bm25Path: String,
       qmap: DataFrame, ivfPqTable: String, centroids: DataFrame,
       pqCodebooks: DataFrame, queries: DataFrame, rawVecs: DataFrame,
@@ -2062,9 +2081,19 @@ object StreamOps {
       allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // the pseudo-query term list is bounded (≤3·|queries|) — the
-    // probed-list-literal convention makes it the pruning IN-filter
+    // probed-list-literal convention makes it the pruning IN-filter.
+    // ENFORCED, not assumed (the PrSrcLiteralCap theme): the limit
+    // bounds the collect itself and the require fails fast, so an
+    // oversized qmap can never become an unbounded driver collect plus
+    // a corpus-scale IN-literal.
     val qterms = qmap.select("term").distinct()
+      .limit(FusedTermLiteralCap + 1)
       .collect().map(_.getString(0)).toSeq
+    require(qterms.size <= FusedTermLiteralCap,
+      s"fusedServe qmap exceeds $FusedTermLiteralCap distinct terms — " +
+        "the qmap contract is a bounded per-query-batch pseudo-query " +
+        "(<=3 terms per query); serve smaller query batches instead of " +
+        "one corpus-scale qmap")
     val (postings, dl, stats) =
       bm25CompactedParts(spark, bm25Table, bm25Path, qterms, tombstones)
     val scored0 = graft.ops.TextOps.bm25Scores(postings, dl,

@@ -107,6 +107,51 @@ class DensityStreamSpec extends SparkSpec {
     graft.ops.CacheRegistry.harness.release()
   }
 
+  test("within-batch double delivery collapses to one deterministic row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = Files.createTempDirectory("densitybatch").toString
+    val state = s"$dir/assign"
+    val codebookPath = s"$dir/codebook"
+    val corpus = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .filter(_._1 < 40)
+    graft.ops.VectorOps.trainCodebook(s,
+        corpus.filter(_._1 % 2 == 0).toSeq.toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(codebookPath)
+    val codebook = s.read.parquet(codebookPath)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.densityPruneStream(s,
+      mem.toDF().toDF("vec_id", "embedding"), codebookPath, state)
+    mem.addData(corpus.toSeq: _*); q.processAllAvailable()
+    // ONE trigger delivers TWO revisions of the same vec_ids — without
+    // the within-batch collapse both rows share a batch id and the
+    // served winner is whichever a partition-order tie-break picks; the
+    // contract is the deterministic array-lexicographic max
+    val dup = corpus.filter(_._1 % 5 == 0)
+    assert(dup.nonEmpty)
+    val both = dup.flatMap { case (id, e) =>
+      Seq((id, e.reverse), (id, e.map(x => -x))) }
+    mem.addData(both.toSeq: _*); q.processAllAvailable(); q.stop()
+
+    def lexMax(a: Seq[Float], b: Seq[Float]): Seq[Float] = {
+      val firstDiff = a.zip(b).collectFirst { case (x, y) if x != y => x > y }
+      if (firstDiff.getOrElse(a.length >= b.length)) a else b
+    }
+    val expected = corpus.map { case (id, e) =>
+      if (id % 5 == 0) (id, lexMax(e.reverse, e.map(x => -x))) else (id, e)
+    }.toSeq
+    val ranks = graft.ops.VectorOps.prototypicalityRanks(s,
+      graft.ops.VectorOps.assignToCentroids(s,
+        expected.toDF("vec_id", "embedding"), codebook), codebook)
+    assert(collectRanks(StreamOps.densityPruneServed(s, state, codebookPath)
+        .orderBy("vec_id")) == collectRanks(ranks),
+      "a same-batch double delivery must serve the deterministic max")
+    graft.ops.CacheRegistry.harness.release()
+  }
+
   private type Row5 = (Long, Int, Long, Long, Boolean)
 
   private def collectRanks(df: org.apache.spark.sql.DataFrame): Seq[Row5] =

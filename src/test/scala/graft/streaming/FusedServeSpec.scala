@@ -152,4 +152,22 @@ class FusedServeSpec extends SparkSpec {
     Seq("fused_bm25_spec", "fused_ivfpq_spec", "fused_bm25_spec_t",
       "fused_ivfpq_spec_t").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("an oversized qmap fails fast at FusedTermLiteralCap") {
+    val s = spark
+    // a qmap with more distinct terms than the cap violates the bounded
+    // pseudo-query contract; the gate must throw BEFORE any state read
+    // (dummy table names never resolve — proof the require fires first)
+    val big = s.range(StreamOps.FusedTermLiteralCap + 1L)
+      .select(col("id").as("query_id"),
+        concat(lit("t"), col("id")).as("term"))
+    val dummy = s.range(1).select(col("id").as("vec_id"),
+      array(lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.fusedServe(s, "no_such_bm25_table", "/no/such/path",
+        big, "no_such_ivfpq_table", dummy, dummy, dummy, dummy)
+    }
+    assert(e.getMessage.contains("FusedTermLiteralCap") ||
+      e.getMessage.contains("distinct terms"))
+  }
 }
