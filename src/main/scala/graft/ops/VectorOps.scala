@@ -1380,13 +1380,33 @@ object VectorOps {
     * `nb` = (neighbor_id, nv).
     */
   private[graft] def exactRerankOn(s: SparkSession, qv: DataFrame,
-      nb: DataFrame, cands: DataFrame): DataFrame = {
+      nb: DataFrame, cands: DataFrame): DataFrame =
+    exactRerankFrom(s, qv, nb, rerankShortlist(cands))
+
+  /** The ADC top-[[RerankR]] shortlist per query — the first stage of the
+    * two-stage serve, factored out so the serving read path can COLLECT
+    * its bounded id set (queries × R rows by construction) as the
+    * re-rank store's bucket-pruning literal before handing the same
+    * shortlist to [[exactRerankFrom]].
+    */
+  private[graft] def rerankShortlist(cands: DataFrame): DataFrame = {
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    val shortlist = cands
+    cands
       .withColumn("srn", row_number().over(wShort))
       .filter(col("srn") <= RerankR)
       .select("query_id", "neighbor_id")
+  }
+
+  /** The exact-cosine tail at a GIVEN shortlist — shared by
+    * [[exactRerankOn]] (shortlist derived inline, raw vectors a plain
+    * DataFrame) and the bucket-pruned serving form (shortlist persisted,
+    * raw vectors probed from a [[writeRerankState]] table at the
+    * shortlist-id literal). The shortlist is broadcast INTO the raw
+    * vectors, so only R vectors per query ever reach the cosine.
+    */
+  private[graft] def exactRerankFrom(s: SparkSession, qv: DataFrame,
+      nb: DataFrame, shortlist: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("exact").desc, col("neighbor_id"))
     nb.join(broadcast(shortlist), Seq("neighbor_id"))
@@ -1398,6 +1418,25 @@ object VectorOps {
         round(col("exact"), 4).as("exact_r"), col("rnk"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Land a raw-vector store as a vec_id-BUCKETED serving table — the
+    * re-rank side's layout, closing the last O(corpus) scan in the fused
+    * read path: the exact re-rank fetches exactly queries × [[RerankR]]
+    * known ids per serve, and on a plain parquet store that fetch is a
+    * full scan of 100 TB of floats to keep ~50 rows. Bucketing on vec_id
+    * turns the shortlist's bounded id list into physical I/O pruning
+    * (SelectedBucketsCount — the [[writeIvfPqBucketedState]] convention;
+    * reference anchor: the index exists so `select` never scans the data
+    * files, betfairdatabase/database.py:144-152). Full overwrite — the
+    * store is rebuilt by the same maintenance cadence as the code
+    * layouts, and deletes between rebuilds heal by anti-join at serve
+    * time.
+    */
+  def writeRerankState(rawVecs: DataFrame, tableName: String,
+      path: String, nBuckets: Int = 32): Unit =
+    rawVecs.select("vec_id", "embedding").write.mode("overwrite")
+      .bucketBy(nBuckets, "vec_id").sortBy("vec_id")
+      .option("path", path).saveAsTable(tableName)
 
   /** Filtered residual IVF+PQ — the v142 query, closing the lifecycle
     * matrix cell the production index was missing: v129's serve-time

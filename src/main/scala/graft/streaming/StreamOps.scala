@@ -2061,6 +2061,18 @@ object StreamOps {
     * side's allowed doc_ids (broadcast semi-join on the scored postings,
     * below the score and above the rank). Pass both halves of one
     * logical predicate — FusedServeSpec pins the filtered serve ≡ t160.
+    *
+    * RE-RANK STORE (the production raw-vector side): with `rerankTable`
+    * set to a [[graft.ops.VectorOps.writeRerankState]] table, the exact
+    * re-rank probes it at the shortlist's own bounded id list (queries ×
+    * RerankR rows, collected from the persisted shortlist — the
+    * probed-list-literal convention), so the raw-vector fetch is
+    * bucket-pruned I/O instead of an O(corpus) scan of `rawVecs` — the
+    * last unpruned scan in this path, closed. Answers are bit-identical
+    * to the `rawVecs` form (the store holds the same vectors; the
+    * re-rank join restricts to shortlist ids either way — FusedServeSpec
+    * pins equality and asserts SelectedBucketsCount on the store scan);
+    * tombstones keep healing by the same anti-join.
     */
   /** [[fusedServe]] qmaps above this distinct-term count fail fast: the
     * pseudo-query list is a driver-collected bucket-pruning IN-literal
@@ -2078,7 +2090,8 @@ object StreamOps {
       pqCodebooks: DataFrame, queries: DataFrame, rawVecs: DataFrame,
       tombstones: Option[DataFrame] = None,
       pred: Column = lit(true),
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      rerankTable: Option[String] = None): DataFrame = {
     import spark.implicits._
     // the pseudo-query term list is bounded (≤3·|queries|) — the
     // probed-list-literal convention makes it the pruning IN-filter.
@@ -2111,12 +2124,32 @@ object StreamOps {
       tombstones.map(_.select(col("doc_id").as("vec_id"))), pred)
     val qv = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
-    val nbAll = rawVecs.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nv"))
-    val nb = tombstones.fold(nbAll)(t => nbAll.join(
+    val heal = (nb0: DataFrame) => tombstones.fold(nb0)(t => nb0.join(
       broadcast(t.select(col("doc_id").as("neighbor_id"))),
       Seq("neighbor_id"), "left_anti"))
-    val dense = graft.ops.VectorOps.exactRerankOn(spark, qv, nb, cands)
+    val denseRk = rerankTable match {
+      case None =>
+        graft.ops.VectorOps.exactRerankOn(spark, qv,
+          heal(rawVecs.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("nv"))), cands)
+      case Some(store) =>
+        // persist(): the shortlist subtree (bucket-pruned ADC probe +
+        // broadcast LUT) feeds BOTH the driver-collected pruning
+        // literal and the re-rank join — without the cache the whole
+        // probe would execute twice per serve
+        val shortlist = graft.ops.CacheRegistry.harness.add(
+          graft.ops.VectorOps.rerankShortlist(cands).persist())
+        // bounded by construction: queries × RerankR shortlist rows —
+        // the probed-list-literal convention's artifact cut
+        val ids = shortlist.select("neighbor_id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        graft.ops.VectorOps.exactRerankFrom(spark, qv,
+          heal(spark.table(store).filter(col("vec_id").isin(ids: _*))
+            .select(col("vec_id").as("neighbor_id"),
+              col("embedding").as("nv"))),
+          shortlist)
+    }
+    val dense = denseRk
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rn"))
     graft.ops.FusionOps.rrfFuse(lex, dense).orderBy("query_id", "rn")

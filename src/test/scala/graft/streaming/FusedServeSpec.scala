@@ -99,6 +99,29 @@ class FusedServeSpec extends SparkSpec {
     assert(graft.PlanWalk.scansOf(exec, "bm25c.stats").size == 1,
       s"corpus stats must come from the 1-row .stats artifact:\n$exec")
 
+    // re-rank store: the raw-vector side probed from the vec_id-bucketed
+    // layout must answer bit-identically to the full-scan form, with the
+    // store scan bucket-pruned at the shortlist-id literal — the last
+    // O(corpus) scan in the serving path, closed
+    s.sql("DROP TABLE IF EXISTS fused_rerank_spec")
+    VectorOps.writeRerankState(emb.select("vec_id", "embedding"),
+      "fused_rerank_spec", s"$dir/rerankc")
+    val fusedR = StreamOps.fusedServe(s, "fused_bm25_spec", s"$dir/bm25c",
+      qmap, "fused_ivfpq_spec", cent, cb, queries, rawVecs,
+      rerankTable = Some("fused_rerank_spec"))
+    val gotR = fusedR.collect().map(_.toSeq).toSeq
+    assert(gotR == got,
+      "the store-probed re-rank must answer the full-scan form bit-exactly")
+    val prunedR = graft.PlanWalk.allNodesThroughCaches(
+      fusedR.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.bucketedScan && f.toString.contains("SelectedBucketsCount") =>
+        f.relation.location.rootPaths.head.toString
+    }
+    assert(prunedR.exists(_.contains("rerankc")),
+      "the re-rank store scan must be bucket-pruned at the shortlist ids")
+    graft.ops.CacheRegistry.harness.release()
+
     // filtered serving (the t160 form): the dense predicate rides the
     // encode-carried label on the code table, the lexical allowed set
     // semi-joins the scored postings — the filtered serve must answer
@@ -146,11 +169,21 @@ class FusedServeSpec extends SparkSpec {
     assert(gotT == expectedT,
       "tombstoned serving must equal the survivor-rebuilt layouts")
     assert(gotT != got, "the dead docs should have held fused slots")
+    // tombstones heal the re-rank STORE path by the same anti-join: a
+    // dead doc in the un-rebuilt store can neither score nor re-rank in
+    val gotTR = StreamOps.fusedServe(s, "fused_bm25_spec", s"$dir/bm25c",
+      qmap, "fused_ivfpq_spec", cent, cb, queries, rawVecs, Some(tomb),
+      rerankTable = Some("fused_rerank_spec"))
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(gotTR == gotT,
+      "the tombstoned store-probed serve must equal the full-scan heal")
 
     emb.unpersist(); cent.unpersist(); subs.unpersist(); cb.unpersist()
     codes.unpersist(); tf.unpersist(); qmap.unpersist()
     Seq("fused_bm25_spec", "fused_ivfpq_spec", "fused_bm25_spec_t",
-      "fused_ivfpq_spec_t").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      "fused_ivfpq_spec_t", "fused_rerank_spec")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("an oversized qmap fails fast at FusedTermLiteralCap") {
