@@ -2155,6 +2155,70 @@ object StreamOps {
     graft.ops.FusionOps.rrfFuse(lex, dense).orderBy("query_id", "rn")
   }
 
+  /** Revision-FRESH hybrid serve — [[fusedServe]]'s freshness twin,
+    * completing the pair every other stateful family already has
+    * (bm25Served/bm25Compacted, dsirServed/dsirCompacted, lmServed/
+    * lmCompacted): [[fusedServe]] composes the two COMPACTED layouts, so
+    * a post-compaction REVISION is invisible until the next compaction
+    * (the documented [[bm25Compacted]] staleness window). This serve
+    * composes the two LIVE `batch=N` states instead — lexical postings
+    * from [[servedPostings]] (latest batch per doc, tombstone-healed,
+    * corpus stats re-derived from the live doc lengths), dense
+    * candidates from the [[ivfPqIngestStream]] code state
+    * ([[latestWholeItem]] + heal, the [[ivfPqIndexQuery]] scan) — and
+    * runs them through the SAME
+    * [[graft.ops.FusionOps.lexTopK]]/[[graft.ops.VectorOps.exactRerankOn]]/
+    * [[graft.ops.FusionOps.rrfFuse]] tails, so the fresh answer cannot
+    * drift from the proven t150 semantics (FusedServeSpec pins fresh ≡
+    * t150 over a corpus with a post-compaction revision, exactly where
+    * the compacted serve is pinned STALE).
+    *
+    * The raw-vector re-rank side heals against the DENSE state's
+    * tombstone table (the deletes that rode [[tombstoneStream]] there —
+    * the same ids that healed the code rows). This is the latency/
+    * freshness trade's other half: no bucket pruning (live state is
+    * batch-partitioned, not term/clabel-bucketed), every serve pays the
+    * latest-version collapse — which is exactly what the compacted path
+    * exists to avoid between revisions.
+    */
+  def fusedServeFresh(spark: SparkSession, postingsStatePath: String,
+      qmap: DataFrame, ivfPqStatePath: String, centroids: DataFrame,
+      pqCodebooks: DataFrame, queries: DataFrame, rawVecs: DataFrame)
+      : DataFrame = {
+    // lexical half: live postings, fresh doc lengths, stats derived from
+    // them (no 1-row artifact exists for uncompacted state)
+    val postings = servedPostings(spark, postingsStatePath)
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val scored = graft.ops.TextOps.bm25Scores(postings, dl,
+      qmap.select("term").distinct())
+    val lex = graft.ops.FusionOps.lexTopK(scored, qmap)
+    // dense half: the live code state through the v133 scoring
+    // definitions, then the shared exact re-rank
+    val codes = latestWholeItem(liveRaw(spark, ivfPqStatePath, "vec_id"),
+      "vec_id").select("vec_id", "clabel", "m", "cid")
+    val probes = graft.ops.VectorOps.ivfQueryProbes(spark, queries,
+      centroids)
+    val lut = graft.ops.VectorOps.residualLut(spark, probes, centroids,
+      pqCodebooks)
+    val cands = graft.ops.VectorOps.listLutAdcScore(codes, lut)
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val nbAll = rawVecs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val tPath = new org.apache.hadoop.fs.Path(s"$ivfPqStatePath.tombstones")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nb =
+      if (!fs.exists(tPath)) nbAll
+      else nbAll.join(
+        broadcast(spark.read.parquet(s"$ivfPqStatePath.tombstones")
+          .select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+    val dense = graft.ops.VectorOps.exactRerankOn(spark, qv, nb, cands)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("dense_rn"))
+    graft.ops.FusionOps.rrfFuse(lex, dense).orderBy("query_id", "rn")
+  }
+
   /** The live view of an accumulated `batch=N` state under its
     * [[tombstoneStream]] deletes: one anti-join on the id column (a
     * missing tombstone table means no deletes yet). The anti-join's

@@ -179,10 +179,61 @@ class FusedServeSpec extends SparkSpec {
     assert(gotTR == gotT,
       "the tombstoned store-probed serve must equal the full-scan heal")
 
+    // revision freshness: a post-compaction revision lands as batch=1 in
+    // BOTH live states; the compacted serve is pinned STALE (documented
+    // window) while fusedServeFresh — composing the live states through
+    // the same tails — serves it, and must equal the serve over layouts
+    // RE-compacted from the revised states (already pinned ≡ in-query)
+    s.sql("DROP TABLE IF EXISTS fused_bm25_spec_r")
+    s.sql("DROP TABLE IF EXISTS fused_ivfpq_spec_r")
+    val ivfState = s"$dir/ivfpqstate"
+    codes.select("vec_id", "clabel", "m", "cid")
+      .write.mode("overwrite").parquet(s"$ivfState/batch=0")
+    val q0Text = docs.filter(col("doc_id") === 0)
+      .select("text").head().getString(0)
+    val revDocs = docs.filter(col("doc_id") === slotHolder)
+      .select(col("doc_id"), lit(q0Text).as("text"))
+    TextOps.docPostings(revDocs)
+      .write.mode("overwrite").parquet(s"$state/batch=1")
+    val revEmb = emb.filter(col("vec_id") === slotHolder)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val revAssigned = VectorOps.assignToIvfLists(s, revEmb, cent)
+    VectorOps.encodePq(s,
+        VectorOps.pqSubvectors(VectorOps.residualOf(revAssigned, cent),
+          carry = Seq("clabel")), cb, carry = Seq("clabel"))
+      .select("vec_id", "clabel", "m", "cid")
+      .write.mode("overwrite").parquet(s"$ivfState/batch=1")
+    val rawVecsRev = emb.filter(col("vec_id") =!= slotHolder)
+      .select("vec_id", "embedding")
+      .unionByName(revEmb)
+    val fresh = StreamOps.fusedServeFresh(s, state, qmap, ivfState,
+      cent, cb, queries, rawVecsRev).collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(fresh != got,
+      "the revision should move a fused slot — weak revision choice")
+    val staleAgain = StreamOps.fusedServe(s, "fused_bm25_spec",
+      s"$dir/bm25c", qmap, "fused_ivfpq_spec", cent, cb, queries, rawVecs)
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(staleAgain == got,
+      "the compacted serve must stay pinned stale until recompaction")
+    StreamOps.compactPostingsState(s, state, "fused_bm25_spec_r",
+      s"$dir/bm25c_r")
+    StreamOps.compactIvfPqCodes(s, ivfState, "fused_ivfpq_spec_r",
+      s"$dir/ivfpqc_r")
+    val expectedFresh = StreamOps.fusedServe(s, "fused_bm25_spec_r",
+      s"$dir/bm25c_r", qmap, "fused_ivfpq_spec_r", cent, cb, queries,
+      rawVecsRev).collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(fresh == expectedFresh,
+      "the fresh serve must equal the revision-recompacted serve" +
+        s"\nfresh:    $fresh\nexpected: $expectedFresh")
+
     emb.unpersist(); cent.unpersist(); subs.unpersist(); cb.unpersist()
     codes.unpersist(); tf.unpersist(); qmap.unpersist()
     Seq("fused_bm25_spec", "fused_ivfpq_spec", "fused_bm25_spec_t",
-      "fused_ivfpq_spec_t", "fused_rerank_spec")
+      "fused_ivfpq_spec_t", "fused_rerank_spec", "fused_bm25_spec_r",
+      "fused_ivfpq_spec_r")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
