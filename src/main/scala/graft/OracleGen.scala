@@ -2265,9 +2265,16 @@ object OracleGen {
     * (seen bigram: (c1(w1)·100) // c2; unseen: penalty + unigram info
     * with OOV dividing by 1), per-doc counts and the 4dp-floor average.
     */
-  val bigramLm: String = {
+  val bigramLm: String = bigramLmWith("doc_id % 2 = 0")
+
+  /** The t157 LM SQL at a GIVEN train-membership condition (and optional
+    * extra leading CTEs the condition may reference) — the SQL twin of
+    * [[TextOps.lmScoreFrom]]'s `trainFilter` parameter: [[bigramLm]] is
+    * the parity default; [[lmLeakageFold]] composes t138's fold.
+    */
+  def bigramLmWith(trainCond: String, prelude: String = ""): String = {
     val pen = TextOps.BackoffPenaltyQ
-    s"""WITH base AS (
+    s"""WITH ${prelude}base AS (
          SELECT doc_id,
            string_split_regex(trim(lower(text)), '\\s+') AS ws
          FROM documents),
@@ -2277,11 +2284,11 @@ object OracleGen {
        pairs AS (
          SELECT a.doc_id, a.w AS w1, b.w AS w2
          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-       c1 AS (SELECT w, count(*) AS c FROM tok WHERE doc_id % 2 = 0
+       c1 AS (SELECT w, count(*) AS c FROM tok WHERE $trainCond
               GROUP BY w),
        n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM c1),
        c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs
-              WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+              WHERE $trainCond GROUP BY w1, w2),
        scored AS (
          SELECT p.doc_id,
            CASE WHEN c2.c2 IS NOT NULL THEN (u1.c * 100) // c2.c2
@@ -2353,6 +2360,18 @@ object OracleGen {
            < 90 THEN 'valid'
          ELSE 'test' END AS split
      FROM g ORDER BY doc_id"""
+
+  /** Leakage-fold bigram LM (t161) matching [[TextOps.t161LmLeakageFold]]:
+    * t157's LM SQL ([[bigramLmWith]]) with train membership = t138's
+    * `split = 'train'` rows — the whole [[leakageSplit]] query composed
+    * verbatim as a derived table inside one `fold` CTE (the t159
+    * composition convention), referenced by both model-count CTEs.
+    */
+  val lmLeakageFold: String = bigramLmWith(
+    "doc_id IN (SELECT doc_id FROM fold)",
+    s"""fold AS (
+         SELECT doc_id FROM ($leakageSplit) z WHERE split = 'train'),
+       """)
 
   /** Priority sample (t136) matching [[TextOps.t136PrioritySample]]: the
     * identical dyadic u = (h48+1)/2^48 and u/n_chars key (one IEEE

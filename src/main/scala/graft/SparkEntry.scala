@@ -203,6 +203,7 @@ object SparkEntry {
     "d158_incremental_lm" -> (TextOps.d158IncrementalLm _),
     "t159_curated_manifest" -> (TextOps.t159CuratedManifest _),
     "t160_filtered_fusion" -> (FusionOps.t160FilteredFusion _),
+    "t161_lm_leakage_fold" -> (TextOps.t161LmLeakageFold _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -735,6 +736,10 @@ object SparkEntry {
     // allowed-id-restricted lexical candidates, filter below each score
     // and above each rank (the v142 convention on the fused ranking)
     "t160_filtered_fusion" -> OracleGen.filteredFusion,
+    // the LM trained on the designated fold instead of parity: t157's
+    // SQL with t138's leakage-aware train fold composed verbatim as the
+    // membership subquery (the t159 composition convention)
+    "t161_lm_leakage_fold" -> OracleGen.lmLeakageFold,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -1489,14 +1489,25 @@ object TextOps {
     * double-exact below 2^53 — ~1e11 per doc at sf0.1, bound documented
     * here for the 100 TB reader: past 2^53 move the sum to DECIMAL).
     */
+  /** Default LM train membership: doc_id parity — the oracle-twin
+    * convention t157/d158 pin. A deployment passes its own designated
+    * fold instead (see [[t161LmLeakageFold]], which composes t138's
+    * leakage-aware train fold); the parameter is a FILTER over a
+    * doc_id-carrying partials table because a real fold is a set (a
+    * semi-join), not a column expression.
+    */
+  private[graft] val LmParityTrain: DataFrame => DataFrame =
+    _.filter(col("doc_id") % 2 === 0)
+
   private[graft] def lmScoreFrom(roster: DataFrame, toks: DataFrame,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame,
+      trainFilter: DataFrame => DataFrame = LmParityTrain): DataFrame = {
     // persist(): c1 feeds both unigram joins and the 1-row total
     val c1 = CacheRegistry.harness.add(
-      toks.filter(col("doc_id") % 2 === 0)
+      trainFilter(toks)
         .groupBy("w").agg(sum("c").as("c")).persist())
     val nt = c1.agg(sum(col("c")).as("nt"))
-    val c2 = pairs.filter(col("doc_id") % 2 === 0)
+    val c2 = trainFilter(pairs)
       .groupBy("w1", "w2").agg(sum("np").as("c2"))
     lmScoreWith(roster, pairs, c1, c2, nt)
   }
@@ -1580,6 +1591,38 @@ object TextOps {
     lmScoreFrom(roster,
       CacheRegistry.harness.add(toks.persist()),
       CacheRegistry.harness.add(pairs.persist()))
+  }
+
+  /** Bigram LM trained on the leakage-aware fold — the t161 query,
+    * closing the loop between two audited components: t157's LM bakes
+    * doc-parity as train membership (fine as the oracle-twin
+    * convention), but a DEPLOYMENT trains on a designated fold — and the
+    * repo already has the right fold source, t138's leakage-aware split
+    * (near-dup clusters land in ONE split, so a train document's
+    * near-duplicate cannot leak into the scoring comparison the way a
+    * parity split allows). Train membership = t138's `split = 'train'`
+    * rows; the scoring engine is [[lmScoreFrom]] with the fold as its
+    * `trainFilter` — the SAME engine as t157/d158, so this query is pure
+    * composition (the t159 pattern; oracle = t157's SQL with t138's
+    * whole query composed verbatim as the fold subquery).
+    *
+    * Scale: the fold is corpus-cardinality (one compact row per doc), so
+    * membership is a doc_id-keyed semi-join onto the two partials
+    * tables — unlike the map-side parity predicate this shuffles the
+    * token-scale partials once per model build (t94's cost class, paid
+    * at train-model build time only); the near-dup labeling reuses
+    * d26/d46's banded candidate generation, nothing quadratic.
+    */
+  def t161LmLeakageFold(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    // persist(): the fold filters BOTH partials tables
+    val fold = CacheRegistry.harness.add(
+      t138LeakageSplit(s, d).filter(col("split") === "train")
+        .select("doc_id").persist())
+    lmScoreFrom(docs.select("doc_id"),
+      lmTokPartials(docs),
+      CacheRegistry.harness.add(lmPairPartials(docs).persist()),
+      trainFilter = _.join(fold, Seq("doc_id"), "left_semi"))
   }
 
   /** Number of rotated bucket tables for [[d27Simhash]]. One 16-bit prefix

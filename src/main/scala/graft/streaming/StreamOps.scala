@@ -1830,19 +1830,21 @@ object StreamOps {
     * `batch=N` sink stays the source of truth).
     */
   def compactLmState(spark: SparkSession, statePath: String,
-      path: String): Unit = {
+      path: String,
+      trainFilter: DataFrame => DataFrame =
+        graft.ops.TextOps.LmParityTrain): Unit = {
     val (roster, toks0, pairs0) = lmLive(spark, statePath)
     val toks = toks0.persist()
     val pairs = pairs0.persist()
     roster.write.mode("overwrite").parquet(s"$path/roster")
     toks.write.mode("overwrite").parquet(s"$path/toks")
     pairs.write.mode("overwrite").parquet(s"$path/pairs")
-    val c1 = toks.filter(col("doc_id") % 2 === 0)
+    val c1 = trainFilter(toks)
       .groupBy("w").agg(sum("c").as("c")).persist()
     c1.write.mode("overwrite").parquet(s"$path.c1")
     c1.agg(coalesce(sum("c"), lit(0L)).as("nt"))
       .write.mode("overwrite").parquet(s"$path.nt")
-    pairs.filter(col("doc_id") % 2 === 0)
+    trainFilter(pairs)
       .groupBy("w1", "w2").agg(sum("np").as("c2"))
       .write.mode("overwrite").parquet(s"$path.c2")
     c1.unpersist(); toks.unpersist(); pairs.unpersist()
@@ -1862,9 +1864,17 @@ object StreamOps {
     * next compaction (the bm25Compacted staleness window) — a reader
     * needing revision-fresh scores between compactions serves
     * [[lmServed]] from the batch=N state instead.
+    *
+    * `trainFilter` is the SAME train membership the producing
+    * [[compactLmState]] ran with (it determined the c1/c2/nt artifacts;
+    * the late-delete delta must subtract under the identical
+    * membership) — default parity, the [[graft.ops.TextOps.LmParityTrain]]
+    * convention.
     */
   def lmCompacted(spark: SparkSession, path: String,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      trainFilter: DataFrame => DataFrame =
+        graft.ops.TextOps.LmParityTrain): DataFrame = {
     val roster0 = spark.read.parquet(s"$path/roster")
     val pairs0 = spark.read.parquet(s"$path/pairs")
     val c10 = spark.read.parquet(s"$path.c1")
@@ -1874,12 +1884,12 @@ object StreamOps {
       case None => (roster0, pairs0, c10, c20, nt0)
       case Some(t) =>
         val ids = broadcast(t.select("doc_id"))
-        val deadToks = spark.read.parquet(s"$path/toks")
-          .join(ids, Seq("doc_id"), "left_semi")
-          .filter(col("doc_id") % 2 === 0)
-        val deadPairs = spark.read.parquet(s"$path/pairs")
-          .join(ids, Seq("doc_id"), "left_semi")
-          .filter(col("doc_id") % 2 === 0)
+        val deadToks = trainFilter(
+          spark.read.parquet(s"$path/toks")
+            .join(ids, Seq("doc_id"), "left_semi"))
+        val deadPairs = trainFilter(
+          spark.read.parquet(s"$path/pairs")
+            .join(ids, Seq("doc_id"), "left_semi"))
         val d1 = deadToks.groupBy("w").agg(sum("c").as("d"))
         val d2 = deadPairs.groupBy("w1", "w2").agg(sum("np").as("d"))
         val dnt = deadToks.agg(coalesce(sum("c"), lit(0L)).as("dnt"))
