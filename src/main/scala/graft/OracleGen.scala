@@ -2917,6 +2917,53 @@ object OracleGen {
       fusionTail(""" AND c.doc_id IN
            (SELECT vec_id FROM embeddings WHERE label % 2 = 0)""")
 
+  /** The exact-dense `rk` chain matching [[VectorOps.exactDenseTop3]]:
+    * brute-force cosine over the fusion query set (vec_id < 5, self
+    * excluded), ranked on the unrounded score — a drop-in replacement
+    * for the residual-IVFADC + re-rank chain's `rk`, so
+    * [[fusionTail]] composes the ground-truth fusion from it verbatim.
+    */
+  private val exactDenseCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       xnb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv
+               FROM e),
+       xq AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM xnb
+              WHERE vec_id < 5),
+       xrr AS (
+         SELECT q.query_id, n.vec_id AS neighbor_id,
+           list_dot_product(qv, v) / (nq * nv) AS ex
+         FROM xnb n, xq q WHERE n.vec_id <> q.query_id),
+       rk AS (
+         SELECT query_id, neighbor_id, round(ex, 4) AS exact_r,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ex DESC, neighbor_id) AS rnk FROM xrr)"""
+
+  /** Fused-ranking recall report (t162) matching
+    * [[graft.ops.FusionOps.t162FusionRecall]]: the t150 fusion
+    * ([[hybridFusion]], approximate dense side) and the ground-truth
+    * fusion (same tail over [[exactDenseCtes]]) each composed verbatim
+    * as derived tables, per-query slot overlap, 4dp-floor recall and
+    * the in-row recall_ok flag at
+    * [[graft.ops.FusionOps.FusedRecallMinHits]].
+    */
+  val fusedRecall: String = {
+    val gt = exactDenseCtes + fusionTail("")
+    s"""WITH ap AS (
+         SELECT query_id, list(doc_id ORDER BY doc_id) AS aset
+         FROM ($hybridFusion) a GROUP BY query_id),
+       gt AS (
+         SELECT query_id, list(doc_id ORDER BY doc_id) AS gset
+         FROM ($gt) g GROUP BY query_id),
+       j AS (
+         SELECT ap.query_id,
+           CAST(len(list_intersect(ap.aset, gt.gset)) AS BIGINT) AS hits3
+         FROM ap JOIN gt USING (query_id))
+     SELECT query_id, hits3,
+       floor(hits3 * 1.0 / 3 * 10000) / 10000 AS recall3,
+       hits3 >= ${graft.ops.FusionOps.FusedRecallMinHits} AS recall_ok
+     FROM j ORDER BY query_id"""
+  }
+
   /** The lexical + RRF CTE tail over the dense chain's `rk` — shared by
     * [[hybridFusion]] (no candidate restriction) and [[filteredFusion]]
     * (`lexRestrict` narrows the per-query candidate sums).

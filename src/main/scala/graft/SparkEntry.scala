@@ -204,6 +204,7 @@ object SparkEntry {
     "t159_curated_manifest" -> (TextOps.t159CuratedManifest _),
     "t160_filtered_fusion" -> (FusionOps.t160FilteredFusion _),
     "t161_lm_leakage_fold" -> (TextOps.t161LmLeakageFold _),
+    "t162_fusion_recall" -> (FusionOps.t162FusionRecall _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -740,6 +741,10 @@ object SparkEntry {
     // SQL with t138's leakage-aware train fold composed verbatim as the
     // membership subquery (the t159 composition convention)
     "t161_lm_leakage_fold" -> OracleGen.lmLeakageFold,
+    // fused-ranking quality: t150's fused top-3 vs the ground-truth
+    // fusion whose dense side is the exact brute-force cosine top-3 —
+    // one shared lexical list, recall attributable to the dense index
+    "t162_fusion_recall" -> OracleGen.fusedRecall,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -132,10 +132,24 @@ object FusionOps {
     * `restrict` holds the allowed doc_ids.
     */
   private def fusionOver(s: SparkSession, d: String, denseRk: DataFrame,
+      restrict: Option[DataFrame]): DataFrame =
+    rrfFuse(lexListFor(s, d, restrict), denseOf(denseRk))
+      .orderBy("query_id", "rn")
+
+  /** A re-ranked dense chain's (query_id, neighbor_id, rnk) list in the
+    * fusion tail's column contract.
+    */
+  private def denseOf(denseRk: DataFrame): DataFrame =
+    denseRk.select(col("query_id"), col("neighbor_id").as("doc_id"),
+      col("rnk").as("dense_rn"))
+
+  /** The t150 lexical top-5 list built from the corpus — the
+    * query-by-document BM25 chain factored out of [[fusionOver]] so the
+    * fused-recall report ([[t162FusionRecall]]) can fuse ONE lexical
+    * list against two dense lists without tokenizing the corpus twice.
+    */
+  private def lexListFor(s: SparkSession, d: String,
       restrict: Option[DataFrame]): DataFrame = {
-    val dense = denseRk
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rnk").as("dense_rn"))
     val docs = documents(s, d).select("doc_id", "text")
     // tf feeds df, dl, the query-term pick, and the scored join — persist
     // (the t149/t71 multi-consumer finding)
@@ -156,6 +170,56 @@ object FusionOps {
     val scored0 = TextOps.bm25Scores(tf, dl, qmap.select("term").distinct())
     val scored = restrict.fold(scored0)(a =>
       scored0.join(broadcast(a), Seq("doc_id"), "left_semi"))
-    rrfFuse(lexTopK(scored, qmap), dense).orderBy("query_id", "rn")
+    lexTopK(scored, qmap)
+  }
+
+  /** Minimum fused-slot overlap with the ground truth for a query's
+    * `recall_ok` flag — 2 of 3 slots: the fused ranking may legitimately
+    * reorder the boundary slot (the ADC shortlist is approximate by
+    * design), but losing a majority of the exact fusion's slots means
+    * the dense index is mis-serving this query.
+    */
+  val FusedRecallMinHits = 2L
+
+  /** Fused-ranking quality report — the t162 query, v80's recall@k
+    * methodology applied to the FUSION (the capstone closing the quality
+    * loop: FusedServeSpec proves the serving path EQUALS t150, this
+    * query machine-checks that what t150 computes is GOOD): per query,
+    * the fused top-3 with the production dense side (v134's
+    * residual-IVFADC + exact re-rank — approximate, probe misses are
+    * possible) is compared against the ground-truth fusion whose dense
+    * side is the exact brute-force cosine top-3
+    * ([[VectorOps.exactDenseTop3]] — one window over the exact scores).
+    * The lexical side is already exact (full postings scan), so it is
+    * built ONCE ([[lexListFor]]) and fused against both dense lists —
+    * any recall loss is attributable to the dense index alone. Output:
+    * hits3 = fused∩truth slot overlap, recall3 (4dp-floor — the v80
+    * quantization), and the in-row `recall_ok` assertion (hits3 ≥
+    * [[FusedRecallMinHits]]) a deployment alerts on.
+    *
+    * Scale: the ground-truth brute force is the only corpus×queries
+    * cosine here — the price of a recall AUDIT, run at the evaluation
+    * cadence, never per serve (v80's own contract); everything else is
+    * the audited t150 plan plus one O(queries) join of two 3-slot lists.
+    */
+  def t162FusionRecall(s: SparkSession, d: String): DataFrame = {
+    // persist(): the lexical list fuses against BOTH dense lists
+    val lex = CacheRegistry.harness.add(
+      lexListFor(s, d, None).persist())
+    val approx = rrfFuse(lex, denseOf(VectorOps.v134IvfPqRerank(s, d)))
+      .select("query_id", "doc_id")
+    val truth = rrfFuse(lex, denseOf(VectorOps.exactDenseTop3(s, d)))
+      .select("query_id", "doc_id")
+    val a = approx.groupBy("query_id")
+      .agg(sort_array(collect_list("doc_id")).as("aset"))
+    val g = truth.groupBy("query_id")
+      .agg(sort_array(collect_list("doc_id")).as("gset"))
+    a.join(g, Seq("query_id"))
+      .withColumn("hits3",
+        size(array_intersect(col("aset"), col("gset"))).cast("long"))
+      .select(col("query_id"), col("hits3"),
+        (floor(col("hits3").cast("double") / 3 * 1e4) / 1e4).as("recall3"),
+        (col("hits3") >= FusedRecallMinHits).as("recall_ok"))
+      .orderBy("query_id")
   }
 }

@@ -60,6 +60,23 @@ object VectorOps {
         cosine(s, col("qv"), col("embedding")).as("sim"))
   }
 
+  /** Exact brute-force cosine top-3 over the FUSION query set (vec_id <
+    * 5, self excluded, ranked on the unrounded cosine — the same
+    * ordering [[exactRerankFrom]] ranks on) — the ground-truth dense
+    * list for the fused-recall report ([[FusionOps.t162FusionRecall]]):
+    * what the two-stage serve WOULD return if the ADC shortlist never
+    * missed a true neighbor.
+    */
+  private[graft] def exactDenseTop3(s: SparkSession, d: String)
+      : DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    bruteCandidates(s, d).filter(col("query_id") < 5)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < 10) broadcast against the
     * corpus; per-query top-5 via TakeOrdered-style window on rounded sim.
     */
