@@ -1153,24 +1153,26 @@ object StreamOps {
         n.stripPrefix("batch=").toLong }
   }
 
-  /** One compacted edge generation: its version (= the highest batch id
-    * it absorbed), the catalog name of its src-bucketed table, and
-    * whether it is MAJOR (covers the whole graph up to its version) or
-    * MINOR (covers only the batch range since the previous generation).
+  /** One compacted generation of a tiered append-only state: its
+    * version (= the highest batch id it absorbed), the catalog name of
+    * its bucketed table, and whether it is MAJOR (covers everything up
+    * to its version) or MINOR (covers only the batch range since the
+    * previous generation). Shared by the PageRank edge tiers and the
+    * URL keeper tiers — one catalog, two states.
     */
-  private[graft] final case class PrEdgeGen(version: Long, table: String,
+  private[graft] final case class StateGen(version: Long, table: String,
     major: Boolean)
 
-  /** Every published edge generation under `edgesc/`, ascending by
-    * version — read from the `v=M.ok` read-barrier sentinels. A sentinel
-    * is written LAST by [[compactPagerankEdges]], so a generation is
-    * visible only when its artifacts are complete; line 1 of its content
-    * is the table's catalog name, line 2 the generation kind
+  /** Every published generation under `gensRoot`, ascending by
+    * version — read from the `v=M.ok` read-barrier sentinels. A
+    * sentinel is written LAST ([[publishGenSentinel]]), so a generation
+    * is visible only when its artifacts are complete; line 1 of its
+    * content is the table's catalog name, line 2 the generation kind
     * (`major`/`minor`; absent = major, the pre-tiering format).
     */
-  private[graft] def prEdgeGens(spark: SparkSession,
-      statePath: String): Seq[PrEdgeGen] = {
-    val root = new org.apache.hadoop.fs.Path(s"$statePath/edgesc")
+  private[graft] def stateGens(spark: SparkSession,
+      gensRoot: String): Seq[StateGen] = {
+    val root = new org.apache.hadoop.fs.Path(gensRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).map(_.getPath.getName).toSeq
@@ -1182,25 +1184,51 @@ object StreamOps {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
-        PrEdgeGen(v, lines.head.trim,
+        StateGen(v, lines.head.trim,
           lines.drop(1).headOption.forall(_.trim != "minor"))
       }
   }
 
-  /** The CONSISTENT read set of a tiered edge state: the highest MAJOR
-    * generation plus every minor generation above it, ascending. Minor
-    * generations cover disjoint batch ranges by construction and the
-    * major covers everything below itself, so the union of exactly this
-    * set holds each edge once — reading a superseded generation that is
-    * still on disk for a pinned reader would double-count its edges
-    * (fatal for outdegrees and flow mass, not just wasteful).
+  /** The CONSISTENT read set of a tiered state's generations: the
+    * highest MAJOR plus every minor above it, ascending. Minors cover
+    * disjoint batch ranges by construction and the major covers
+    * everything below itself, so the union of exactly this set holds
+    * each underlying fact once — reading a superseded generation that
+    * is still on disk for a pinned reader would double-count (fatal for
+    * outdegrees, flow mass, and URL occurrence counts alike, not just
+    * wasteful).
     */
-  private[graft] def prLiveEdgeGens(spark: SparkSession,
-      statePath: String): Seq[PrEdgeGen] = {
-    val gens = prEdgeGens(spark, statePath)
+  private[graft] def liveGens(gens: Seq[StateGen]): Seq[StateGen] = {
     val lastMajor = gens.lastIndexWhere(_.major)
     if (lastMajor < 0) gens else gens.drop(lastMajor)
   }
+
+  /** The read barrier: stage the sentinel beside its final name, rename
+    * into place LAST — a generation becomes visible only complete.
+    */
+  private def publishGenSentinel(fs: org.apache.hadoop.fs.FileSystem,
+      gensRoot: String, version: Long, table: String,
+      major: Boolean): Unit = {
+    val okPath = new org.apache.hadoop.fs.Path(s"$gensRoot/v=$version.ok")
+    val okTmp =
+      new org.apache.hadoop.fs.Path(s"$gensRoot/v=$version.ok.tmp")
+    val out = fs.create(okTmp, true)
+    try out.write(s"$table\n${if (major) "major" else "minor"}"
+      .getBytes("UTF-8")) finally out.close()
+    if (fs.exists(okPath)) fs.delete(okPath, true)
+    if (!fs.rename(okTmp, okPath))
+      throw new java.io.IOException(s"sentinel rename failed: $okPath")
+  }
+
+  /** Every published edge generation under `edgesc/` ([[stateGens]]). */
+  private[graft] def prEdgeGens(spark: SparkSession,
+      statePath: String): Seq[StateGen] =
+    stateGens(spark, s"$statePath/edgesc")
+
+  /** The edge state's consistent generation read set ([[liveGens]]). */
+  private[graft] def prLiveEdgeGens(spark: SparkSession,
+      statePath: String): Seq[StateGen] =
+    liveGens(prEdgeGens(spark, statePath))
 
   /** The current compacted edge frontier: (max version, that generation's
     * table name) — the version is what splits compacted from uncompacted
@@ -1417,10 +1445,7 @@ object StreamOps {
     if (edgeBatches.isEmpty) return
     val m = edgeBatches.max
     val allGens = prEdgeGens(spark, statePath)
-    val live = {
-      val i = allGens.lastIndexWhere(_.major)
-      if (i < 0) allGens else allGens.drop(i)
-    }
+    val live = liveGens(allGens)
     val after = live.lastOption.map(_.version).getOrElse(-1L)
     if (m <= after) return // nothing new since the last generation
     // the first generation has no prior to tier over — it is a major by
@@ -1455,14 +1480,7 @@ object StreamOps {
     publishPartition(spark, s"$statePath.tmp/outdegc/v=$m",
       s"$statePath/outdegc/v=$m")
     // the read barrier: rename the sentinel into place LAST
-    val okPath = new org.apache.hadoop.fs.Path(s"$statePath/edgesc/v=$m.ok")
-    val okTmp = new org.apache.hadoop.fs.Path(s"$statePath/edgesc/v=$m.ok.tmp")
-    val out = fs.create(okTmp, true)
-    try out.write(s"$tbl\n${if (isMajor) "major" else "minor"}"
-      .getBytes("UTF-8")) finally out.close()
-    if (fs.exists(okPath)) fs.delete(okPath, true)
-    if (!fs.rename(okTmp, okPath))
-      throw new java.io.IOException(s"sentinel rename failed: $okPath")
+    publishGenSentinel(fs, s"$statePath/edgesc", m, tbl, isMajor)
     // deferred retire (one full cycle each):
     //  - batch partitions <= P: covered by generations published at
     //    least one cycle ago (a reader pinned at P's read set reads
@@ -1546,6 +1564,216 @@ object StreamOps {
       }
     }
   }
+
+  /** Streaming URL keeper-state maintenance — d101's min-mergeable
+    * (canon_url → min keeper_id, n_docs) state as a sink, the second
+    * tiered append-only state (the scoping note's qualifying shape:
+    * mergeable set facts whose serve is one associative+commutative
+    * reduce). Per micro-batch of (doc_id, url): canonicalize with the
+    * SHARED [[graft.ops.TextOps.canonicalizeUrl]] (batch, incremental
+    * and stream cannot canonicalize differently), reduce to the batch's
+    * own O(batch) partial keeper state — min and sum are associative+
+    * commutative, so within-batch duplicates collapse in the same
+    * aggregate — and publish as `urls/batch=N` (sibling-`.tmp` + atomic
+    * rename; a replay rewrites an identical partition). Input batches
+    * must carry disjoint doc_ids across batches (the d101 batch-API
+    * contract — a re-ingested doc_id adds to its URL's n_docs once per
+    * carrying batch).
+    *
+    * The quiescent-compaction contract is ENFORCED exactly as in
+    * [[pagerankDeltaStream]]: a batch replaying at or below the
+    * compacted generation's version finds its rows already merged into
+    * the generation (its partition was retired), and republishing would
+    * double its URLs' counts at the next compaction — fail the query
+    * fast instead.
+    */
+  def urlStateStream(spark: SparkSession, docs: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        stateGens(spark, s"$statePath/urlsc").lastOption.foreach { g =>
+          if (id <= g.version) throw new IllegalStateException(
+            s"urlStateStream: batch $id replayed at or below the " +
+              s"compacted keeper generation v=${g.version} — compaction " +
+              "absorbed a batch whose streaming checkpoint had not " +
+              "committed; republishing would double its URL counts")
+        }
+        batch.toDF()
+          .select(col("doc_id"),
+            graft.ops.TextOps.canonicalizeUrl(col("url")).as("canon_url"))
+          .groupBy("canon_url")
+          .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+          .write.mode("overwrite").parquet(s"$statePath.tmp/urls/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/urls/batch=$id",
+          s"$statePath/urls/batch=$id")
+      }
+      .start()
+
+  /** Tiered compaction of a [[urlStateStream]] keeper state — the
+    * [[compactPagerankEdges]] LSM shape on the second qualifying state:
+    * a MINOR generation merges ONLY the batch partitions since the last
+    * generation (write volume O(delta-URLs), the point of tiering — a
+    * full rewrite of an ever-growing keeper table per cadence was the
+    * one O(corpus) maintenance shape left); a MAJOR additionally folds
+    * every live generation into one (its own cadence bounds the read
+    * set's generation count, enforced by `maxGens` — past it a minor
+    * upgrades itself, the enforce-don't-document backstop). Generations
+    * are canon_url-bucketed+sorted, so the keeper lookup probes them
+    * bucket-pruned ([[urlKeeperProbe]]); the `v=M.ok` sentinel publishes
+    * LAST (read barrier, shared [[publishGenSentinel]]). Because the
+    * state is MERGEABLE (not disjoint facts like edges), a URL may
+    * appear in several live generations — the serve's one groupBy
+    * re-merges; what the read-set rule guarantees is that each BATCH
+    * PARTIAL is covered exactly once, which is what keeps n_docs exact.
+    * Deferred retire (one full cycle each, the compactPagerankEdges
+    * rule): absorbed batch partitions at or below the previous frontier,
+    * and generations a major had already superseded before this run.
+    */
+  def compactUrlState(spark: SparkSession, statePath: String,
+      tableBase: String, nBuckets: Int = 32, major: Boolean = false,
+      maxGens: Int = 8): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = batchIds(fs, s"$statePath/urls")
+    if (batches.isEmpty) return
+    val m = batches.max
+    val allGens = stateGens(spark, s"$statePath/urlsc")
+    val live = liveGens(allGens)
+    val after = live.lastOption.map(_.version).getOrElse(-1L)
+    if (m <= after) return // nothing new since the last generation
+    val isMajor = major || live.isEmpty || live.size + 1 > maxGens
+    val recent = spark.read.parquet(s"$statePath/urls")
+      .filter(col("batch") > after && col("batch") <= m)
+      .select("canon_url", "keeper_id", "n_docs")
+    val newRows =
+      (if (!isMajor) recent
+       else live.map(g =>
+         spark.table(g.table).select("canon_url", "keeper_id", "n_docs"))
+         .foldLeft(recent)(_.unionByName(_)))
+        .groupBy("canon_url")
+        .agg(min("keeper_id").as("keeper_id"), sum("n_docs").as("n_docs"))
+    val tbl = s"${tableBase}_v$m"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl") // a crashed prior attempt
+    newRows.write.mode("overwrite")
+      .bucketBy(nBuckets, "canon_url").sortBy("canon_url")
+      .option("path", s"$statePath/urlsc/v=$m").saveAsTable(tbl)
+    publishGenSentinel(fs, s"$statePath/urlsc", m, tbl, isMajor)
+    if (live.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/urls")
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=") &&
+            n.stripPrefix("batch=").toLong <= after)
+          fs.delete(st.getPath, true)
+      }
+    }
+    val liveSet = live.map(_.version).toSet
+    allGens.filterNot(g => liveSet.contains(g.version)).foreach { g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${g.table}")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$statePath/urlsc/v=${g.version}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$statePath/urlsc/v=${g.version}.ok"), true)
+    }
+  }
+
+  /** The merged keeper state of a [[urlStateStream]] + [[compactUrlState]]
+    * lifecycle: the consistent generation read set ([[liveGens]] — each
+    * batch partial covered exactly once) plus the uncompacted batch
+    * partitions above the frontier, re-merged by the full-outer
+    * [[mergeKeeperPair]] ladder — served keeper and n_docs ≡ the
+    * one-shot d93 state over every document ever ingested
+    * (UrlStateStreamSpec pins it at every lifecycle point).
+    *
+    * WHY a join ladder and not groupBy-over-union: two reasons, one
+    * chosen and one forced. Chosen — every generation is already
+    * one-row-per-url and canon_url-bucketed+sorted, so each gen⋈gen
+    * full-outer step is a co-bucketed join that moves NOTHING (no
+    * exchange — UrlStateStreamSpec asserts zero shuffles on the
+    * pure-generation serve); only the uncompacted delta (pre-merged by
+    * its own groupBy over plain parquet) pays an exchange into the final
+    * step — groupBy over the union would re-shuffle every generation's
+    * full rows instead. Forced — Spark 4.1.2 plans the aggregate over a
+    * UNION of identically-bucketed scans WITHOUT the merging exchange
+    * (each child's HashPartitioning claim is true alone but false for
+    * the concatenation; even an explicit repartition between them is
+    * elided), which returns one row per (key, generation) — duplicate
+    * groups, a silent wrong answer. Single-table bucketed-scan claims
+    * are true, so the join ladder is immune.
+    */
+  def urlKeeperState(spark: SparkSession, statePath: String): DataFrame =
+    urlKeeperMerged(spark, statePath, identity)
+
+  /** Bounded keeper lookup — the probe the tiered layout exists for
+    * (reference anchor: `select` never scans the data files,
+    * betfairdatabase/database.py:144-152): canonicalize the RAW `urls`
+    * (driver-side through the same shared expression, bounded by the
+    * [[PrSrcLiteralCap]]-style gate), then probe EVERY live generation
+    * with the canonical list as a literal IN-filter — each scan
+    * bucket-pruned (SelectedBucketsCount; UrlStateStreamSpec asserts
+    * it) — plus the few uncompacted batch partitions, and re-merge just
+    * those URLs' partials through the same [[mergeKeeperPair]] ladder.
+    * Returns (canon_url, keeper_id, n_docs) for the probed URLs that
+    * exist.
+    */
+  def urlKeeperProbe(spark: SparkSession, statePath: String,
+      urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(urls.nonEmpty && urls.length <= PrSrcLiteralCap,
+      s"urlKeeperProbe takes a bounded url list (1..$PrSrcLiteralCap); " +
+        "corpus-scale lookups should read urlKeeperState instead")
+    val canon = urls.toDF("url")
+      .select(graft.ops.TextOps.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq.distinct
+    urlKeeperMerged(spark, statePath,
+      _.filter(col("canon_url").isin(canon: _*)))
+  }
+
+  /** The merged keeper view: live generations (each already
+    * one-row-per-url) plus the uncompacted batches (pre-merged by one
+    * groupBy — batch partials MAY repeat a canon_url across batches),
+    * folded with [[mergeKeeperPair]]. `cut` is identity for the full
+    * serve, the canonical-literal filter for the probe (applied per
+    * scan, BEFORE any join, so bucket pruning holds per generation).
+    */
+  private def urlKeeperMerged(spark: SparkSession, statePath: String,
+      cut: DataFrame => DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = liveGens(stateGens(spark, s"$statePath/urlsc"))
+    val after = gens.lastOption.map(_.version).getOrElse(-1L)
+    val recent =
+      if (batchIds(fs, s"$statePath/urls").exists(_ > after))
+        Seq(cut(spark.read.parquet(s"$statePath/urls")
+          .filter(col("batch") > after)
+          .select("canon_url", "keeper_id", "n_docs"))
+          .groupBy("canon_url")
+          .agg(min("keeper_id").as("keeper_id"),
+            sum("n_docs").as("n_docs")))
+      else Seq.empty
+    val parts = gens.map(g => cut(
+      spark.table(g.table).select("canon_url", "keeper_id", "n_docs"))) ++
+      recent
+    require(parts.nonEmpty, s"no URL keeper state at $statePath")
+    parts.reduce(mergeKeeperPair)
+  }
+
+  /** Merge two one-row-per-url keeper partials: full-outer on canon_url,
+    * keeper = least (skips the absent side's null), n_docs = sum of the
+    * present sides — min/sum associativity is what makes the ladder
+    * order-free.
+    */
+  private def mergeKeeperPair(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("canon_url"), col("keeper_id").as("ka"),
+        col("n_docs").as("na"))
+      .join(b.select(col("canon_url"), col("keeper_id").as("kb"),
+        col("n_docs").as("nb")), Seq("canon_url"), "full_outer")
+      .select(col("canon_url"),
+        least(col("ka"), col("kb")).as("keeper_id"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)))
+          .as("n_docs"))
 
   /** Streaming BM25 postings maintenance — the streaming member of the
     * lexical-retrieval family (one-shot t149 / here), the index a live
