@@ -3038,4 +3038,59 @@ object OracleGen {
        CAST(dense_rn AS BIGINT) AS dense_rn,
        CAST(rrf_q AS BIGINT) AS rrf_q, rn
      FROM fr WHERE rn <= 3 ORDER BY query_id, rn"""
+
+  /** Benchmark decontamination (t163) matching
+    * [[graft.ops.TextOps.t163Decontamination]]: 5-gram shingles (the
+    * shingle CTE shape at width 5 — same tokenizer, ≥5-word filter,
+    * per-doc distinctness), eval fold = doc_id % 7 == 3, per-train-doc
+    * count of distinct shingles shared with the eval union set, top-50
+    * on (n_overlap DESC, doc_id).
+    */
+  val decontamination: String = {
+    val m = graft.ops.TextOps.DecontamEvalMod
+    val r = graft.ops.TextOps.DecontamEvalRem
+    s"""WITH w AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         FROM documents
+         WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 5),
+       sh0 AS (
+         SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+         FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+       sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+       eg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $m = $r)
+     SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+     FROM sh s JOIN eg USING (sh)
+     WHERE s.doc_id % $m <> $r
+     GROUP BY 1
+     ORDER BY n_overlap DESC, doc_id
+     LIMIT ${graft.ops.TextOps.DecontamTopN}"""
+  }
+
+  /** Training-mixture sample (t164) matching
+    * [[graft.ops.TextOps.t164MixtureSample]]: per-doc 48-bit md5 key
+    * (the minhash-family construction), per-language quota =
+    * floor(K·w/Σw over PRESENT languages), lowest-key docs first with
+    * the (uh, doc_id) tie-break the Spark aggregator's buffer order
+    * mirrors.
+    */
+  val mixtureSample: String = {
+    val k = graft.ops.TextOps.MixSampleK
+    s"""WITH u AS (
+         SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             AS uh,
+           CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 3
+                ELSE 1 END AS w
+         FROM documents),
+       tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw
+              FROM (SELECT DISTINCT lang, w FROM u)),
+       r AS (
+         SELECT doc_id, lang, w,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY uh, doc_id) AS BIGINT) AS rn
+         FROM u)
+     SELECT lang, doc_id, rn FROM r, tw
+     WHERE rn <= GREATEST(1, FLOOR($k * 1.0 * w / tw))
+     ORDER BY lang, rn"""
+  }
 }

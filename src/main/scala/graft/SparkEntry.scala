@@ -205,6 +205,8 @@ object SparkEntry {
     "t160_filtered_fusion" -> (FusionOps.t160FilteredFusion _),
     "t161_lm_leakage_fold" -> (TextOps.t161LmLeakageFold _),
     "t162_fusion_recall" -> (FusionOps.t162FusionRecall _),
+    "t163_decontamination" -> (TextOps.t163Decontamination _),
+    "t164_mixture_sample" -> (TextOps.t164MixtureSample _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -745,6 +747,12 @@ object SparkEntry {
     // fusion whose dense side is the exact brute-force cosine top-3 —
     // one shared lexical list, recall attributable to the dense index
     "t162_fusion_recall" -> OracleGen.fusedRecall,
+    // benchmark decontamination: train docs sharing 5-gram windows with
+    // the eval fold — eval grams broadcast, top-50 most contaminated
+    "t163_decontamination" -> OracleGen.decontamination,
+    // mixture sampling: per-language quota of lowest-md5-key docs —
+    // k-bounded aggregator on the Spark side, window in the oracle
+    "t164_mixture_sample" -> OracleGen.mixtureSample,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

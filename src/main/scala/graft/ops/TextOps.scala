@@ -176,13 +176,23 @@ object TextOps {
     * the batch near-dup ops and [[minhashSignatures]]' incremental path so
     * the two can never drift apart.
     */
-  private def shingleTable(docs: DataFrame): DataFrame = {
+  private def shingleTable(docs: DataFrame): DataFrame =
+    shingleTableN(docs, 3)
+
+  /** [[shingleTable]] at an arbitrary shingle width `n` — same ≥n-word
+    * filter and map-side distinctness. The near-dup family stays on
+    * n = 3; [[t163Decontamination]] uses n = 5 (the rarer gram a
+    * contamination check wants — the published checks run 8-13-gram
+    * windows at web scale, and 5 plays that role at this corpus' doc
+    * lengths).
+    */
+  private def shingleTableN(docs: DataFrame, n: Int): DataFrame = {
     val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(size(col("ws")) >= n)
     w.select(col("doc_id"),
       explode(array_distinct(transform(
-        sequence(lit(1), size(col("ws")) - 2),
-        i => array_join(slice(col("ws"), i, lit(3)), " ")))).as("sh"))
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => array_join(slice(col("ws"), i, lit(n)), " ")))).as("sh"))
   }
 
   /** Document-frequency cap for [[d25NgramJaccard]]'s candidate join: a
@@ -3996,5 +4006,100 @@ object TextOps {
       affectedCounts += aCnt
     }
     (ovs, affectedCounts.toSeq)
+  }
+
+  /** The benchmark-decontamination eval fold: doc_id % 7 == 3, the
+    * oracle-twin stand-in for a held-out evaluation set. One definition
+    * shared by the Spark chain and the SQL so fold membership cannot
+    * drift.
+    */
+  private[graft] val DecontamEvalMod = 7
+  private[graft] val DecontamEvalRem = 3
+  private[graft] val DecontamTopN = 50
+
+  /** Benchmark decontamination — the t163 query: flag TRAINING documents
+    * that share verbatim n-gram windows with a held-out EVAL set, the
+    * check every published LLM training run performs before training
+    * (n-gram-overlap decontamination — GPT-3 appendix C / PaLM style, a
+    * public method; those use 8-13-gram windows at web scale, and width
+    * 5 plays that role at this corpus' doc lengths via
+    * [[shingleTableN]]). Eval fold = doc_id % 7 == 3 (the oracle-twin
+    * fold convention t157's LM train split set); a train doc's
+    * contamination count is the number of its DISTINCT 5-shingles that
+    * appear anywhere in the eval set; output = the top-[[DecontamTopN]]
+    * most-contaminated train docs on (n_overlap DESC, doc_id).
+    *
+    * Scale: the shingle explode runs ONCE (persisted — eval and train
+    * branches read the cache, the d95 two-branch convention); the eval
+    * gram set is BROADCAST into the train side — a benchmark is bounded
+    * (thousands of docs) regardless of corpus size, so the contamination
+    * check is a map-side semi-join over the train shingles with NO
+    * shuffle of the corpus-scale side; the per-doc count is a partial
+    * agg and the top-N a TakeOrderedAndProject. Same broadcast-bounded
+    * contract as [[graft.streaming.StreamOps.fusedServe]]'s qmap.
+    */
+  def t163Decontamination(s: SparkSession, d: String): DataFrame = {
+    val sh = CacheRegistry.harness.add(
+      shingleTableN(documents(s, d).select("doc_id", "text"), 5).persist())
+    val evalGrams = sh
+      .filter(col("doc_id") % DecontamEvalMod === DecontamEvalRem)
+      .select("sh").distinct()
+    sh.filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem)
+      .join(broadcast(evalGrams), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("n_overlap").desc, col("doc_id"))
+      .limit(DecontamTopN)
+  }
+
+  /** Sample budget for [[t164MixtureSample]]. Per-domain quotas are
+    * floor(K·w/Σw) ≤ K, so the k-bounded aggregator's buffer can never
+    * truncate a quota.
+    */
+  private[graft] val MixSampleK = 120
+
+  /** Training-mixture sampling — the t164 query: draw a deterministic
+    * stratified sample of the corpus whose composition follows per-domain
+    * mixture weights (language here: en 4, zh 3, others 1 — the shape of
+    * the domain-weighting step every LLM data pipeline runs after
+    * curation, e.g. The Pile / LLaMA mixture tables; public method). Each
+    * doc gets a reproducible pseudo-uniform key ([[h48]] of its id — the
+    * engine-portable md5 construction the minhash family uses), and each
+    * domain keeps its quota = floor(K·w/Σw over PRESENT domains) of
+    * lowest-key docs — seeded quota sampling, so the sample is a pure
+    * function of ids and weights: both engines, and any two cluster runs,
+    * draw the identical manifest.
+    *
+    * Scale: the per-domain selection is the k-bounded [[TopKByValue]]
+    * aggregator, NOT a window — a window partitioned by a 5-value domain
+    * column would funnel the whole corpus through 5 tasks at 100 TB,
+    * while the aggregator partial-aggregates map-side so at most K
+    * entries per (domain, partition) cross the wire (O(domains·K·
+    * partitions) shuffle volume, no skew funnel). Everything after the
+    * agg runs over ≤ domains·K rows; the weight total is a 1-row
+    * broadcast. Ordering inside the buffer is (-uh desc, doc_id asc) ≡
+    * (uh asc, doc_id asc) — 48-bit keys negate exactly in a Double, and
+    * the tie-break matches the oracle's ORDER BY uh, doc_id.
+    */
+  def t164MixtureSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new TopKByValue(MixSampleK),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val pool = documents(s, d).select(col("doc_id"), col("lang"))
+      .withColumn("uh", h48(col("doc_id").cast("string")).cast("double"))
+      .groupBy("lang").agg(topk(col("doc_id"), -col("uh")).as("topk"))
+    val weighted = pool.withColumn("w",
+      when(col("lang") === "en", 4)
+        .when(col("lang") === "zh", 3).otherwise(1))
+    // Σw over the domains PRESENT in the data (pool is one row per
+    // domain), so a missing domain redistributes rather than starving
+    val tw = weighted.agg(sum("w").as("tw"))
+    weighted.crossJoin(broadcast(tw))
+      .select(col("lang"), col("w"), col("tw"), posexplode(col("topk")))
+      .select(col("lang"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("w"), col("tw"))
+      .filter(col("rn") <=
+        greatest(lit(1), floor(lit(MixSampleK) * col("w") / col("tw"))))
+      .select("lang", "doc_id", "rn")
+      .orderBy("lang", "rn")
   }
 }

@@ -2457,6 +2457,68 @@ object StreamOps {
     graft.ops.FusionOps.rrfFuse(lex, dense).orderBy("query_id", "rn")
   }
 
+  /** Streaming RAW-vector ingest sink — the exact re-rank side's source
+    * of truth, closing the one lifecycle hole left in the fused read
+    * path: the bucket-pruned re-rank store
+    * ([[graft.ops.VectorOps.writeRerankState]]) was a ONE-SHOT write
+    * from a caller-supplied corpus DataFrame, and [[fusedServeFresh]]
+    * likewise trusted the caller to hand it revision-fresh raw vectors —
+    * the only serving input without a maintained
+    * ingest → live-view → compaction lifecycle (codes, postings,
+    * signatures, assignments, LM counts all have one). Per micro-batch
+    * of (vec_id, embedding): collapse to ONE deterministic row per
+    * vec_id ([[dedupWithinBatch]]'s rationale — foreachBatch hands an
+    * unordered Dataset, so "latest within a batch" is undefined; `max`
+    * over the orderable embedding array is arbitrary but TOTAL, so a
+    * replayed batch republishes an identical partition) and publish as
+    * the batch's own `batch=N` partition (sibling-`.tmp` + atomic
+    * rename, the effectively-once layout every graft sink uses). Deletes
+    * ride [[tombstoneStream]] at idCol `vec_id`; a revision supersedes
+    * by latest-batch-wins at read time ([[liveRawVecs]]). O(batch) work
+    * per trigger — stored vectors are never re-read or rewritten.
+    */
+  def rawVecIngestStream(spark: SparkSession, emb: DataFrame,
+      statePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().groupBy("vec_id")
+          .agg(max("embedding").as("embedding"))
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** The live raw-vector view over a [[rawVecIngestStream]] state:
+    * latest-batch-wins per vec_id ([[latestPerId]] — the same max_by
+    * rule every 1-row-per-id state serves through), tombstones healed
+    * ([[liveRaw]]). This IS the `rawVecs` input [[fusedServeFresh]]
+    * wants between compactions — the fresh serve composes it directly,
+    * so revision-fresh re-ranking no longer depends on the caller
+    * syncing a side table — and the survivor set
+    * [[compactRerankState]] rebuilds the bucketed store from.
+    */
+  def liveRawVecs(spark: SparkSession, statePath: String): DataFrame =
+    latestPerId(liveRaw(spark, statePath, "vec_id"), "vec_id")
+      .select("vec_id", "embedding")
+
+  /** Compact a [[rawVecIngestStream]] state into the vec_id-bucketed
+    * re-rank serving store ([[graft.ops.VectorOps.writeRerankState]]):
+    * latest-batch-wins, tombstones applied physically, full overwrite —
+    * [[fusedServe]]'s `rerankTable` becomes a MAINTAINED artifact on the
+    * same compaction cadence as the code and postings layouts instead of
+    * a one-shot caller write. Superseding-state shape (a revision
+    * replaces the whole row), so per the tiering scoping note this
+    * correctly STAYS a full rewrite: the compaction's value is exactly
+    * the latest-version resolution that tiering would push back onto
+    * every serve.
+    */
+  def compactRerankState(spark: SparkSession, statePath: String,
+      tableName: String, path: String, nBuckets: Int = 32): Unit =
+    graft.ops.VectorOps.writeRerankState(liveRawVecs(spark, statePath),
+      tableName, path, nBuckets)
+
   /** The live view of an accumulated `batch=N` state under its
     * [[tombstoneStream]] deletes: one anti-join on the id column (a
     * missing tombstone table means no deletes yet). The anti-join's

@@ -229,6 +229,22 @@ class FusedServeSpec extends SparkSpec {
       "the fresh serve must equal the revision-recompacted serve" +
         s"\nfresh:    $fresh\nexpected: $expectedFresh")
 
+    // the raw-vector side composes from its MAINTAINED state: the live
+    // view over a rawVecIngestStream-shaped state (batch=0 corpus,
+    // batch=1 revision) is the fresh serve's rawVecs input — no
+    // caller-synced side table
+    val rawState = s"$dir/rawstate"
+    emb.select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$rawState/batch=0")
+    revEmb.write.mode("overwrite").parquet(s"$rawState/batch=1")
+    val freshFromState = StreamOps.fusedServeFresh(s, state, qmap,
+      ivfState, cent, cb, queries, StreamOps.liveRawVecs(s, rawState))
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(freshFromState == fresh,
+      "the fresh serve over the maintained raw-vector state must equal " +
+        "the caller-supplied form")
+
     emb.unpersist(); cent.unpersist(); subs.unpersist(); cb.unpersist()
     codes.unpersist(); tf.unpersist(); qmap.unpersist()
     Seq("fused_bm25_spec", "fused_ivfpq_spec", "fused_bm25_spec_t",
