@@ -207,6 +207,7 @@ object SparkEntry {
     "t162_fusion_recall" -> (FusionOps.t162FusionRecall _),
     "t163_decontamination" -> (TextOps.t163Decontamination _),
     "t164_mixture_sample" -> (TextOps.t164MixtureSample _),
+    "d165_incremental_decontam" -> (TextOps.d165IncrementalDecontam _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -753,6 +754,10 @@ object SparkEntry {
     // mixture sampling: per-language quota of lowest-md5-key docs —
     // k-bounded aggregator on the Spark side, window in the oracle
     "t164_mixture_sample" -> OracleGen.mixtureSample,
+    // incremental decontamination: frozen eval grams, per-wave O(batch)
+    // checks — the counts are final on arrival, so the oracle IS the
+    // one-shot t163 SQL (the d155/d158 convention)
+    "d165_incremental_decontam" -> OracleGen.decontamination,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

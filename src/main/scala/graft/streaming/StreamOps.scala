@@ -2519,6 +2519,71 @@ object StreamOps {
     graft.ops.VectorOps.writeRerankState(liveRawVecs(spark, statePath),
       tableName, path, nBuckets)
 
+  /** Streaming decontamination gate — the sink member of the t163/d165
+    * family, run where a production pipeline actually runs the check: at
+    * INGEST, against the frozen eval-gram artifact at `evalGramPath` (a
+    * benchmark is fixed before ingest starts — the d165 contract). Per
+    * micro-batch of (doc_id, text): collapse to one deterministic row
+    * per doc_id ([[dedupWithinBatch]]), count each doc's distinct
+    * 5-shingles shared with the broadcast eval set
+    * ([[graft.ops.TextOps.decontamCountsAll]] — the SHARED tail, so the
+    * gate cannot drift from the one-shot), and publish (doc_id,
+    * n_overlap) as the batch's own `batch=N` partition. ZERO rows are
+    * kept: they are the "checked, clean" gate record, and a revision
+    * that LOSES its overlaps must supersede its old nonzero row
+    * (latest-batch-wins can only supersede a row that exists). O(batch)
+    * work per trigger; the corpus is never re-shingled. Deletes ride
+    * [[tombstoneStream]] at `doc_id`.
+    */
+  def decontamStream(spark: SparkSession, docs: DataFrame,
+      evalGramPath: String, statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.TextOps.decontamCountsAll(dedupWithinBatch(batch.toDF()),
+            spark.read.parquet(evalGramPath))
+          .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/batch=$id",
+          s"$statePath/batch=$id")
+      }
+      .start()
+
+  /** The contamination report over a [[decontamStream]] state:
+    * latest-batch-wins per doc ([[latestPerId]]), tombstones healed
+    * ([[liveRaw]]), then the SHARED report cut
+    * ([[graft.ops.TextOps.decontamReport]]) — the served answer is the
+    * one-shot t163 cut over the current corpus by construction.
+    */
+  def decontamServed(spark: SparkSession, statePath: String): DataFrame =
+    graft.ops.TextOps.decontamReport(
+      latestPerId(liveRaw(spark, statePath, "doc_id"), "doc_id"))
+
+  /** Compact a [[decontamStream]] `batch=N` state into one plain serving
+    * table: latest-batch-wins, tombstones applied physically, full
+    * overwrite. Superseding-state shape — stays a full rewrite (the
+    * scoping note's rule); the value is collapsing replays/revisions and
+    * rewriting micro-batch files. Zero rows are kept: the compacted
+    * table is the full gate ledger, and [[decontamCompacted]] serves the
+    * report cut from it.
+    */
+  def compactDecontamState(spark: SparkSession, statePath: String,
+      path: String): Unit =
+    latestPerId(liveRaw(spark, statePath, "doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** The contamination report over a [[compactDecontamState]] layout,
+    * with post-compaction deletes healed by the standard broadcast
+    * anti-join.
+    */
+  def decontamCompacted(spark: SparkSession, path: String,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    val ledger = spark.read.parquet(path)
+    val live = tombstones.fold(ledger)(t => ledger.join(
+      broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    graft.ops.TextOps.decontamReport(live)
+  }
+
   /** The live view of an accumulated `batch=N` state under its
     * [[tombstoneStream]] deletes: one anti-join on the id column (a
     * missing tombstone table means no deletes yet). The anti-join's
