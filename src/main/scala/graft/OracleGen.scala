@@ -3093,4 +3093,41 @@ object OracleGen {
      WHERE rn <= GREATEST(1, FLOOR($k * 1.0 * w / tw))
      ORDER BY lang, rn"""
   }
+
+  /** Sequence packing (t166) matching
+    * [[graft.ops.TextOps.t166SequencePack]]: whitespace token counts,
+    * md5-key shuffle order, per-shard running-sum start offsets, chunk =
+    * start_off // L (positive operands — truncation ≡ floor), per-chunk
+    * boundary row. Window and plain sums CAST to BIGINT (DuckDB widens
+    * both to HUGEINT).
+    */
+  val sequencePack: String = {
+    val l = graft.ops.TextOps.SeqPackLen
+    val ns = graft.ops.TextOps.SeqPackShards
+    s"""WITH t AS (
+         SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+             AS BIGINT) AS ntok,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+             AS uh
+         FROM documents),
+       c AS (
+         SELECT doc_id, ntok, uh, uh % $ns AS shard,
+           CAST(sum(ntok) OVER (PARTITION BY uh % $ns
+             ORDER BY uh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum
+         FROM t),
+       p AS (
+         SELECT shard, doc_id, ntok, cum - ntok AS start_off,
+           (cum - ntok) // $l AS chunk
+         FROM c)
+     SELECT shard, chunk, min_by(doc_id, start_off) AS first_doc,
+       min(start_off) AS first_off,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tok
+     FROM p
+     GROUP BY 1, 2
+     ORDER BY shard, chunk
+     LIMIT 100"""
+  }
 }

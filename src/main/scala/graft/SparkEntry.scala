@@ -208,6 +208,7 @@ object SparkEntry {
     "t163_decontamination" -> (TextOps.t163Decontamination _),
     "t164_mixture_sample" -> (TextOps.t164MixtureSample _),
     "d165_incremental_decontam" -> (TextOps.d165IncrementalDecontam _),
+    "t166_sequence_pack" -> (TextOps.t166SequencePack _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -758,6 +759,9 @@ object SparkEntry {
     // checks — the counts are final on arrival, so the oracle IS the
     // one-shot t163 SQL (the d155/d158 convention)
     "d165_incremental_decontam" -> OracleGen.decontamination,
+    // sequence packing: concat-then-chunk boundary map — per-shard
+    // running-sum offsets pin the whole prefix sum in the hash
+    "t166_sequence_pack" -> OracleGen.sequencePack,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

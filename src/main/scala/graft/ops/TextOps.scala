@@ -4111,6 +4111,59 @@ object TextOps {
         .reduce(_.unionByName(_)))
   }
 
+  /** Context-window token budget for [[t166SequencePack]]. */
+  private[graft] val SeqPackLen = 2048
+
+  /** Shard count for [[t166SequencePack]] — the PARALLELISM knob, not a
+    * semantic constant: packing within a shard is inherently sequential
+    * (a prefix sum over the concat order), so sharding IS the
+    * parallelization, exactly as production loaders pack per-worker. A
+    * deployment picks S so one shard's docs fit one worker
+    * (S ≈ corpus_tokens / per-worker budget — thousands at 100 TB); the
+    * oracle twin pins S = 8 at test scale.
+    */
+  private[graft] val SeqPackShards = 8
+
+  /** Sequence packing — the t166 query: the concat-then-chunk step every
+    * pretraining pipeline runs between curation and the trainer (public
+    * method — GPT/T5-style packing: shuffle docs, concatenate, slice
+    * into fixed [[SeqPackLen]]-token context windows; a doc may span two
+    * windows). Deterministic shuffle = the [[h48]] key order (the t164
+    * construction), shard = uh % [[SeqPackShards]]; within a shard each
+    * doc's start offset is the running token sum over (uh, doc_id)
+    * order, and its chunk is start_off div L. Output = the chunk
+    * BOUNDARY MAP a training loader actually seeks by: per (shard,
+    * chunk), the first doc starting in it plus how many docs and tokens
+    * start there — first 100 chunks on (shard, chunk).
+    *
+    * Exactness: token counts are the whitespace tokenizer (the t23
+    * parity), offsets are integer sums — any off-by-one in ANY doc's
+    * count shifts every later offset in its shard, so the hash check
+    * pins the whole prefix sum, not samples of it.
+    *
+    * Scale: the cumulative sum is a window per SHARD — unavoidable
+    * sequentiality (prefix sums don't parallelize within a concat
+    * order), made scalable by the shard knob (see [[SeqPackShards]]);
+    * everything else is one partial agg over (shard, chunk) and a
+    * TakeOrderedAndProject.
+    */
+  def t166SequencePack(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("ntok"),
+        h48(col("doc_id").cast("string")).as("uh"))
+      .withColumn("shard", col("uh") % SeqPackShards)
+    val w = Window.partitionBy("shard").orderBy(col("uh"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("start_off", sum("ntok").over(w) - col("ntok"))
+      .withColumn("chunk", floor(col("start_off") / lit(SeqPackLen)))
+      .groupBy("shard", "chunk")
+      .agg(min_by(col("doc_id"), col("start_off")).as("first_doc"),
+        min("start_off").as("first_off"),
+        count(lit(1)).as("n_docs"), sum("ntok").as("n_tok"))
+      .orderBy("shard", "chunk")
+      .limit(100)
+  }
+
   /** Sample budget for [[t164MixtureSample]]. Per-domain quotas are
     * floor(K·w/Σw) ≤ K, so the k-bounded aggregator's buffer can never
     * truncate a quota.

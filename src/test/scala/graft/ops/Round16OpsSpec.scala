@@ -88,6 +88,42 @@ class Round16OpsSpec extends SparkSpec {
     u.unpersist()
   }
 
+  test("t166 packs every token exactly once, chunk-aligned, sharded window") {
+    val s = spark
+    val out = TextOps.t166SequencePack(s, sf).collect()
+    val l = TextOps.SeqPackLen
+    // per shard: chunks contiguous from 0, boundary offsets inside their
+    // chunk, and the boundary map accounts for every doc and token
+    val docs = graft.Tables.documents(s, sf)
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+"))
+        .cast("long").as("ntok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("uh"))
+      .withColumn("shard", col("uh") % TextOps.SeqPackShards)
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum("ntok").as("tok"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    out.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val chunks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(chunks == (0L until chunks.length).toSeq,
+        s"shard $shard chunks must be contiguous from 0: $chunks")
+      rows.foreach { r =>
+        val (chunk, off) = (r.getLong(1), r.getLong(3))
+        assert(off >= chunk * l && off < (chunk + 1) * l,
+          s"boundary offset $off outside chunk $chunk")
+      }
+      assert(rows.map(_.getLong(4)).sum == docs(shard)._1,
+        s"shard $shard boundary map must account for every doc")
+      assert(rows.map(_.getLong(5)).sum == docs(shard)._2,
+        s"shard $shard boundary map must account for every token")
+    }
+    // the prefix sum runs per shard, never unpartitioned
+    val plan = TextOps.t166SequencePack(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"the running sum must partition by shard:\n$plan")
+  }
+
   test("t164 plan: k-bounded aggregation, no Window over the corpus") {
     val plan = TextOps.t164MixtureSample(spark, sf)
       .queryExecution.executedPlan.toString
