@@ -3101,7 +3101,12 @@ object OracleGen {
     * boundary row. Window and plain sums CAST to BIGINT (DuckDB widens
     * both to HUGEINT).
     */
-  val sequencePack: String = {
+  val sequencePack: String = sequencePackOn("documents")
+
+  /** The sequence-pack SQL over an arbitrary doc source — `documents`
+    * for t166, the t152-selected derived table for t167 ([[packSelected]]).
+    */
+  private def sequencePackOn(src: String): String = {
     val l = graft.ops.TextOps.SeqPackLen
     val ns = graft.ops.TextOps.SeqPackShards
     s"""WITH t AS (
@@ -3110,7 +3115,7 @@ object OracleGen {
              AS BIGINT) AS ntok,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
              AS uh
-         FROM documents),
+         FROM $src),
        c AS (
          SELECT doc_id, ntok, uh, uh % $ns AS shard,
            CAST(sum(ntok) OVER (PARTITION BY uh % $ns
@@ -3130,4 +3135,13 @@ object OracleGen {
      ORDER BY shard, chunk
      LIMIT 100"""
   }
+
+  /** Pack-the-selection (t167) matching
+    * [[graft.ops.TextOps.t167PackSelected]]: the sequence-pack SQL over
+    * the docs semi-joined to the ENTIRE t152 selection oracle composed
+    * verbatim as a derived table (the t159 composition convention).
+    */
+  val packSelected: String = sequencePackOn(
+    s"""(SELECT d.* FROM documents d
+         JOIN ($dsirSelect) z USING (doc_id))""")
 }

@@ -209,6 +209,7 @@ object SparkEntry {
     "t164_mixture_sample" -> (TextOps.t164MixtureSample _),
     "d165_incremental_decontam" -> (TextOps.d165IncrementalDecontam _),
     "t166_sequence_pack" -> (TextOps.t166SequencePack _),
+    "t167_pack_selected" -> (TextOps.t167PackSelected _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -762,6 +763,9 @@ object SparkEntry {
     // sequence packing: concat-then-chunk boundary map — per-shard
     // running-sum offsets pin the whole prefix sum in the hash
     "t166_sequence_pack" -> OracleGen.sequencePack,
+    // pack the DSIR selection: the t152 oracle composed verbatim as the
+    // doc source of the sequence-pack SQL
+    "t167_pack_selected" -> OracleGen.packSelected,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -4147,8 +4147,16 @@ object TextOps {
     * everything else is one partial agg over (shard, chunk) and a
     * TakeOrderedAndProject.
     */
-  def t166SequencePack(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d).select(col("doc_id"),
+  def t166SequencePack(s: SparkSession, d: String): DataFrame =
+    sequencePackOn(documents(s, d))
+
+  /** [[t166SequencePack]] over an arbitrary (doc_id, text) frame —
+    * shared with [[t167PackSelected]] (packing the curated selection)
+    * so the packing semantics cannot drift between the whole-corpus and
+    * composed forms.
+    */
+  private[graft] def sequencePackOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
         size(words(col("text"))).cast("long").as("ntok"),
         h48(col("doc_id").cast("string")).as("uh"))
       .withColumn("shard", col("uh") % SeqPackShards)
@@ -4162,6 +4170,22 @@ object TextOps {
         count(lit(1)).as("n_docs"), sum("ntok").as("n_tok"))
       .orderBy("shard", "chunk")
       .limit(100)
+  }
+
+  /** Pack the SELECTED corpus — the t167 query, composing two audited
+    * stages the way a pipeline actually runs them (the t159/t161
+    * composition convention): [[t152DsirSelect]] picks the training
+    * subset, [[sequencePackOn]] packs exactly those docs into context
+    * windows. The selection is ≤ DsirK rows, so it rides into the
+    * corpus scan as ONE broadcast semi-join; everything downstream is
+    * t166's own plan over the reduced corpus. Oracle = the sequence-pack
+    * SQL with the ENTIRE t152 oracle composed verbatim as the selection
+    * derived table.
+    */
+  def t167PackSelected(s: SparkSession, d: String): DataFrame = {
+    val sel = t152DsirSelect(s, d).select("doc_id")
+    sequencePackOn(documents(s, d)
+      .join(broadcast(sel), Seq("doc_id"), "left_semi"))
   }
 
   /** Sample budget for [[t164MixtureSample]]. Per-domain quotas are
