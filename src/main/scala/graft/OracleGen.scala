@@ -2218,14 +2218,20 @@ object OracleGen {
     * per-feature score `((c_t+1) * 1e6) // (c_r+1)`, per-doc BIGINT sums,
     * top-[[TextOps.DsirK]] on (weight DESC, doc_id).
     */
-  val dsirSelect: String = {
+  val dsirSelect: String = dsirSelectSqlOn("documents")
+
+  /** The t152 selection SQL over an arbitrary doc source — `documents`
+    * for t152, the decontaminated-pool derived table for t168
+    * ([[cleanSelect]]).
+    */
+  private def dsirSelectSqlOn(src: String): String = {
     val b = TextOps.DsirBuckets
     val k = TextOps.DsirK
     val tgt = TextOps.DsirTargetSource
     s"""WITH base AS (
          SELECT doc_id, source = '$tgt' AS is_target,
            string_split_regex(trim(lower(text)), '\\s+') AS ws
-         FROM documents),
+         FROM $src),
        tok AS (
          SELECT doc_id, is_target,
            generate_subscripts(ws, 1) AS i, unnest(ws) AS w
@@ -2249,7 +2255,7 @@ object OracleGen {
          WHERE NOT f.is_target GROUP BY f.doc_id),
        topk AS (
          SELECT p.doc_id, coalesce(s.dsir_q, 0) AS dsir_q
-         FROM (SELECT doc_id FROM documents WHERE source <> '$tgt') p
+         FROM (SELECT doc_id FROM $src WHERE source <> '$tgt') p
          LEFT JOIN sums s USING (doc_id)
          ORDER BY dsir_q DESC, doc_id LIMIT $k)
      SELECT doc_id, CAST(dsir_q AS BIGINT) AS dsir_q,
@@ -3046,10 +3052,15 @@ object OracleGen {
     * count of distinct shingles shared with the eval union set, top-50
     * on (n_overlap DESC, doc_id).
     */
-  val decontamination: String = {
+  /** The 5-gram shingle + eval-gram CTE chain (w/sh0/sh/eg) — ONE
+    * definition shared by [[decontamination]] and [[cleanSelect]]'s
+    * contaminated-set subquery, mirroring the Spark-side
+    * `decontamCountsOn` sharing.
+    */
+  private def decontamCtes: String = {
     val m = graft.ops.TextOps.DecontamEvalMod
     val r = graft.ops.TextOps.DecontamEvalRem
-    s"""WITH w AS (
+    s"""w AS (
          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
          FROM documents
          WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 5),
@@ -3057,7 +3068,13 @@ object OracleGen {
          SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
          FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)),
        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-       eg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $m = $r)
+       eg AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $m = $r)"""
+  }
+
+  val decontamination: String = {
+    val m = graft.ops.TextOps.DecontamEvalMod
+    val r = graft.ops.TextOps.DecontamEvalRem
+    s"""WITH $decontamCtes
      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
      FROM sh s JOIN eg USING (sh)
      WHERE s.doc_id % $m <> $r
@@ -3144,4 +3161,22 @@ object OracleGen {
   val packSelected: String = sequencePackOn(
     s"""(SELECT d.* FROM documents d
          JOIN ($dsirSelect) z USING (doc_id))""")
+
+  /** Decontaminated DSIR selection (t168) matching
+    * [[graft.ops.TextOps.t168CleanSelect]]: the t152 selection SQL over
+    * the clean pool — eval-fold docs held out entirely, contaminated
+    * train docs (the FULL flagged set, no top-N cut) excluded via NOT
+    * IN on the shared shingle CTE chain. Bag models and the selection
+    * pool both see only clean data.
+    */
+  val cleanSelect: String = {
+    val m = graft.ops.TextOps.DecontamEvalMod
+    val r = graft.ops.TextOps.DecontamEvalRem
+    dsirSelectSqlOn(
+      s"""(SELECT d.* FROM documents d
+           WHERE d.doc_id % $m <> $r AND d.doc_id NOT IN (
+             WITH $decontamCtes
+             SELECT DISTINCT s.doc_id FROM sh s JOIN eg USING (sh)
+             WHERE s.doc_id % $m <> $r))""")
+  }
 }

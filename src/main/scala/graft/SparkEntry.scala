@@ -210,6 +210,7 @@ object SparkEntry {
     "d165_incremental_decontam" -> (TextOps.d165IncrementalDecontam _),
     "t166_sequence_pack" -> (TextOps.t166SequencePack _),
     "t167_pack_selected" -> (TextOps.t167PackSelected _),
+    "t168_clean_select" -> (TextOps.t168CleanSelect _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -766,6 +767,10 @@ object SparkEntry {
     // pack the DSIR selection: the t152 oracle composed verbatim as the
     // doc source of the sequence-pack SQL
     "t167_pack_selected" -> OracleGen.packSelected,
+    // decontaminated selection: eval fold held out, full contaminated
+    // set anti-joined BELOW the bag models — the t152 SQL over the
+    // clean-pool derived table
+    "t168_clean_select" -> OracleGen.cleanSelect,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

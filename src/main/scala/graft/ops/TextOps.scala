@@ -4188,6 +4188,37 @@ object TextOps {
       .join(broadcast(sel), Seq("doc_id"), "left_semi"))
   }
 
+  /** Decontaminated DSIR selection — the t168 query, the data-plane
+    * composition a training run actually needs: the selection must never
+    * see text it must not train on, so the EVAL fold is held out of the
+    * pool entirely and every contaminated train doc (the FULL flagged
+    * set — [[decontamCountsOn]] with no top-N cut) is anti-joined away
+    * BEFORE [[dsirSelectOn]] builds its bag models and picks the top-k.
+    * Running the filter above the selection instead would let
+    * contaminated text shape the importance weights even when it is
+    * later dropped.
+    *
+    * Scale: the contamination side is t163's own plan (one shingle pass,
+    * broadcast eval grams); the exclusion is a doc_id anti-join — the
+    * flagged set is not broadcast-bounded in principle, so it stays a
+    * plain anti-join and AQE picks the strategy; everything downstream
+    * is t152's audited plan over the reduced pool.
+    */
+  def t168CleanSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sh = CacheRegistry.harness.add(
+      shingleTableN(docs.select("doc_id", "text"), 5).persist())
+    val evalGrams = sh
+      .filter(col("doc_id") % DecontamEvalMod === DecontamEvalRem)
+      .select("sh").distinct()
+    val contaminated = decontamCountsOn(
+      sh.filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem),
+      evalGrams).select("doc_id")
+    dsirSelectOn(docs
+      .filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem)
+      .join(contaminated, Seq("doc_id"), "left_anti"))
+  }
+
   /** Sample budget for [[t164MixtureSample]]. Per-domain quotas are
     * floor(K·w/Σw) ≤ K, so the k-bounded aggregator's buffer can never
     * truncate a quota.
