@@ -211,6 +211,7 @@ object SparkEntry {
     "t166_sequence_pack" -> (TextOps.t166SequencePack _),
     "t167_pack_selected" -> (TextOps.t167PackSelected _),
     "t168_clean_select" -> (TextOps.t168CleanSelect _),
+    "d169_incremental_clean_select" -> (TextOps.d169IncrementalCleanSelect _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -771,6 +772,10 @@ object SparkEntry {
     // set anti-joined BELOW the bag models — the t152 SQL over the
     // clean-pool derived table
     "t168_clean_select" -> OracleGen.cleanSelect,
+    // incremental decontaminated selection: per-wave gate + novelty-
+    // gated postings partials — counts final on arrival, so the oracle
+    // IS the one-shot t168 SQL (the d165/d155 convention)
+    "d169_incremental_clean_select" -> OracleGen.cleanSelect,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -3622,6 +3622,54 @@ object TextOps {
     dsirServe(roster2.filter(!col("is_target")).select("doc_id"), posts)
   }
 
+  /** Incremental decontaminated selection — the d169 query, t168's
+    * incremental twin composing the round's two incremental members the
+    * way an ingest pipeline actually runs them: each arrival wave is
+    * gated against the frozen eval grams AT ARRIVAL (d165's O(batch)
+    * check — eval-fold docs never enter; flagged docs are dropped
+    * BEFORE feature extraction, so contaminated text never shapes the
+    * bag models), and only the clean subset's [[dsirPostings]] partials
+    * accumulate behind the d155 novelty gate. Serving re-scores the
+    * accumulated partials against the current ≤DsirBuckets-row score
+    * table (the DSIR serving truth — per-doc weights are never
+    * cacheable). Exactness: [[dsirPostings]] is a per-doc reduction and
+    * the novelty-gated waves are disjoint, so the unioned partials ARE
+    * the one-shot postings over the clean pool and
+    * [[dsirSelectOn]] ≡ [[dsirServe]] over them — the oracle IS t168's
+    * SQL.
+    */
+  def d169IncrementalCleanSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "source", "text")
+    val evalGrams = CacheRegistry.harness.add(
+      shingleTableN(
+        docs.filter(col("doc_id") % DecontamEvalMod === DecontamEvalRem), 5)
+        .select("sh").distinct().persist())
+    val train = docs
+      .filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem)
+    val b1 = train.filter(col("doc_id") % 2 === 0)
+    val b2 = train.filter(col("doc_id") % 2 === 1)
+      .unionByName(train.filter(col("doc_id") % 20 === 0))
+
+    def ingest(roster: DataFrame, posts: DataFrame, batch: DataFrame)
+        : (DataFrame, DataFrame) = {
+      val flagged = decontamCountsOn(shingleTableN(batch, 5), evalGrams)
+        .select("doc_id")
+      val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
+      val novel = clean.join(roster, Seq("doc_id"), "left_anti")
+      (roster.unionByName(
+        novel.select(col("doc_id"),
+          (col("source") === DsirTargetSource).as("is_target"))),
+        posts.unionByName(dsirPostings(novel)))
+    }
+    val roster0 = docs.filter(lit(false))
+      .select(col("doc_id"), lit(false).as("is_target"))
+    val posts0 = dsirPostings(docs.filter(lit(false)))
+    val (roster1, posts1) = ingest(roster0, posts0, b1)
+    val (roster2, posts2) = ingest(roster1, posts1, b2)
+    val posts = CacheRegistry.harness.add(posts2.persist())
+    dsirServe(roster2.filter(!col("is_target")).select("doc_id"), posts)
+  }
+
   /** Link-graph PageRank over the document corpus — the t135 query, the
     * graph-centrality source-quality signal large curation pipelines
     * compute over the crawl graph (CommonCrawl ranks its URLs by
