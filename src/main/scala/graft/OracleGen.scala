@@ -2221,14 +2221,17 @@ object OracleGen {
   val dsirSelect: String = dsirSelectSqlOn("documents")
 
   /** The t152 selection SQL over an arbitrary doc source — `documents`
-    * for t152, the decontaminated-pool derived table for t168
-    * ([[cleanSelect]]).
+    * for t152, the decontaminated pool for t168 ([[cleanSelect]]).
+    * `prelude` holds extra leading CTEs the source may reference (the
+    * [[bigramLmWith]] convention, trailing comma included): `src` is
+    * inlined twice below (the base and topk CTEs), so a source with any
+    * real cost should be hoisted into a named CTE and referenced.
     */
-  private def dsirSelectSqlOn(src: String): String = {
+  private def dsirSelectSqlOn(src: String, prelude: String = ""): String = {
     val b = TextOps.DsirBuckets
     val k = TextOps.DsirK
     val tgt = TextOps.DsirTargetSource
-    s"""WITH base AS (
+    s"""WITH ${prelude}base AS (
          SELECT doc_id, source = '$tgt' AS is_target,
            string_split_regex(trim(lower(text)), '\\s+') AS ws
          FROM $src),
@@ -3172,11 +3175,17 @@ object OracleGen {
   val cleanSelect: String = {
     val m = graft.ops.TextOps.DecontamEvalMod
     val r = graft.ops.TextOps.DecontamEvalRem
-    dsirSelectSqlOn(
-      s"""(SELECT d.* FROM documents d
-           WHERE d.doc_id % $m <> $r AND d.doc_id NOT IN (
-             WITH $decontamCtes
-             SELECT DISTINCT s.doc_id FROM sh s JOIN eg USING (sh)
-             WHERE s.doc_id % $m <> $r))""")
+    // the clean pool is hoisted into a named CTE (defined once,
+    // referenced twice by the selection SQL) so the corpus-wide
+    // decontamination subquery is not inlined — and possibly evaluated —
+    // twice per oracle run
+    dsirSelectSqlOn("cleanpool",
+      s"""$decontamCtes,
+       cleanpool AS (
+         SELECT d.* FROM documents d
+         WHERE d.doc_id % $m <> $r AND d.doc_id NOT IN (
+           SELECT DISTINCT s.doc_id FROM sh s JOIN eg USING (sh)
+           WHERE s.doc_id % $m <> $r)),
+       """)
   }
 }

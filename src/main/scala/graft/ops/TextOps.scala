@@ -4210,8 +4210,11 @@ object TextOps {
       .withColumn("shard", col("uh") % SeqPackShards)
     val w = Window.partitionBy("shard").orderBy(col("uh"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `div` (integer division on the LONG operands) matches the oracle's
+    // `//` exactly at any magnitude; `/` would cast through double and
+    // lose exactness past 2^53 cumulative tokens per shard
     toks.withColumn("start_off", sum("ntok").over(w) - col("ntok"))
-      .withColumn("chunk", floor(col("start_off") / lit(SeqPackLen)))
+      .withColumn("chunk", expr(s"start_off div $SeqPackLen"))
       .groupBy("shard", "chunk")
       .agg(min_by(col("doc_id"), col("start_off")).as("first_doc"),
         min("start_off").as("first_off"),
