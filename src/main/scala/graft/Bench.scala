@@ -64,10 +64,16 @@ object Bench {
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[bench] SPARK_GRAFT_ONLY name '$n' matches no " +
         "query — check for a typo (it would otherwise silently not run)")))
-    def runAll(): Seq[(String, Double, Boolean)] =
+    // per-query GC attribution (the r16→r17 variance-study instrument):
+    // the JVM-total GC delta across a query's execution, in ms. Not a
+    // perfect per-query cost (GC triggered by query N can be paying for
+    // garbage query N-1 allocated) but summed per iteration it separates
+    // "the suite got slower" from "the suite spent more time in GC".
+    def runAll(): Seq[(String, Double, Boolean, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -84,7 +90,7 @@ object Bench {
         // of CC-based queries (d26/d46/t65 — invisible to clearCache);
         // drain it per query so nothing accumulates across iterations
         ops.CacheRegistry.harness.release()
-        (name, dt, ok)
+        (name, dt, ok, gcMillis() - g0)
       }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -105,27 +111,37 @@ object Bench {
     // measurements (one transient failure must not turn total_cold into
     // ~1e9 or crowd the slowest-10 list with sentinels).
     val best = cold.indices.flatMap { i =>
-      val ok = Seq(cold(i), warm(i), warm2(i)).collect { case (_, t, true) => t }
+      val ok = Seq(cold(i), warm(i), warm2(i))
+        .collect { case (_, t, true, _) => t }
       if (ok.isEmpty) None else Some(cold(i)._1 -> ok.min)
     }
-    val failed = (cold ++ warm ++ warm2).collect { case (n, _, false) => n }
+    val failed = (cold ++ warm ++ warm2).collect { case (n, _, false, _) => n }
       .distinct.sorted
-    def times(rs: Seq[(String, Double, Boolean)]): Seq[(String, Double)] =
-      rs.map { case (n, t, _) => n -> t }
+    def times(rs: Seq[(String, Double, Boolean, Long)])
+        : Seq[(String, Double)] =
+      rs.map { case (n, t, _, _) => n -> t }
+    def gcs(rs: Seq[(String, Double, Boolean, Long)]): Seq[(String, Double)] =
+      rs.map { case (n, _, _, g) => n -> g.toDouble }
     // iteration totals over that iteration's successful queries only (the
     // per-query maps still carry the sentinel so a failed iteration is
     // visible in the full record)
-    val total = cold.collect { case (_, t, true) => t }.sum
-    val totalWarm = warm.collect { case (_, t, true) => t }.sum
+    val total = cold.collect { case (_, t, true, _) => t }.sum
+    val totalWarm = warm.collect { case (_, t, true, _) => t }.sum
     val totalMin = best.map(_._2).sum
     val loadEnd = loadAvg()
     val gcEnd = gcMillis()
+    // heap stamp: the variance study pins -Xmx (SPARK_DRIVER_MEM); the
+    // record carries the actual limit so two records are comparable on
+    // their faces
+    val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       json(times(cold))},"total_warm":$totalWarm,"queries_warm":${
       json(times(warm))},"queries_warm2":${
       json(times(warm2))},"total_min":$totalMin,"queries_min":${
-      json(best)},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      },"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","gc_ms_start":$gcStart,"gc_ms_end":$gcEnd,"sf":"$sfDir"}""")
+      json(best)},"queries_gc_cold":${json(gcs(cold))},"queries_gc_warm":${
+      json(gcs(warm))},"queries_gc_warm2":${json(gcs(warm2))
+      },"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      },"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","gc_ms_start":$gcStart,"gc_ms_end":$gcEnd,"max_heap_mb":$maxHeapMb,"sf":"$sfDir"}""")
     // Compact summary printed LAST (<1 KB): the driver keeps only the final
     // ~2000 chars of output, and the full record above (~8 KB at 81 queries)
     // overflows that window — round 6 recorded "parsed": null and lost
@@ -134,9 +150,13 @@ object Bench {
     val slowest = best.sortBy(-_._2).take(10)
     val loadIters = Seq(loadIter1, loadIter2, loadIter3)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-iteration GC totals: a slow iteration with proportionally high
+    // GC is heap pressure; a slow one with flat GC is host contention
+    val gcIters = Seq(cold, warm, warm2)
+      .map(_.map(_._4).sum).mkString("[", ",", "]")
     println(s"""{"metric":"summary","total_cold":$total,"total_warm":$totalWarm,"total_min":$totalMin,"n_queries":${
       best.length},"n_failed":${failed.length},"slowest_min":${
-      json(slowest)},"loadavg_end":"$loadEnd","loadavg_iter":$loadIters,"gc_ms":${gcEnd - gcStart},"sf":"$sfDir"}""")
+      json(slowest)},"loadavg_end":"$loadEnd","loadavg_iter":$loadIters,"gc_ms":${gcEnd - gcStart},"gc_ms_iter":$gcIters,"max_heap_mb":$maxHeapMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3093,15 +3093,23 @@ object OracleGen {
     * the (uh, doc_id) tie-break the Spark aggregator's buffer order
     * mirrors.
     */
-  val mixtureSample: String = {
+  val mixtureSample: String = mixtureSampleOn("documents")
+
+  /** The mixture-sample SQL over an arbitrary (doc_id, lang) source —
+    * `documents` for t164, the clean-selection derived table for t170
+    * ([[trainingPlane]]). `seed` is the epoch key (folded into the md5
+    * input — the Spark side's h48(seed ++ id) twin; empty = the t164
+    * parity draw).
+    */
+  private def mixtureSampleOn(src: String, seed: String = ""): String = {
     val k = graft.ops.TextOps.MixSampleK
     s"""WITH u AS (
          SELECT doc_id, lang,
-           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-             AS uh,
+           ('0x' || substr(md5('$seed' || CAST(doc_id AS VARCHAR)), 1,
+             12))::BIGINT AS uh,
            CASE WHEN lang = 'en' THEN 4 WHEN lang = 'zh' THEN 3
                 ELSE 1 END AS w
-         FROM documents),
+         FROM $src),
        tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw
               FROM (SELECT DISTINCT lang, w FROM u)),
        r AS (
@@ -3124,17 +3132,20 @@ object OracleGen {
   val sequencePack: String = sequencePackOn("documents")
 
   /** The sequence-pack SQL over an arbitrary doc source — `documents`
-    * for t166, the t152-selected derived table for t167 ([[packSelected]]).
+    * for t166, the t152-selected derived table for t167 ([[packSelected]]),
+    * the mixture-drawn plane for t170 ([[trainingPlane]]) — and at an
+    * arbitrary epoch `seed` (folded into the md5 shuffle key, the Spark
+    * side's h48(seed ++ id) twin; empty = the t166/t167 parity order).
     */
-  private def sequencePackOn(src: String): String = {
+  private def sequencePackOn(src: String, seed: String = ""): String = {
     val l = graft.ops.TextOps.SeqPackLen
     val ns = graft.ops.TextOps.SeqPackShards
     s"""WITH t AS (
          SELECT doc_id,
            CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
              AS BIGINT) AS ntok,
-           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-             AS uh
+           ('0x' || substr(md5('$seed' || CAST(doc_id AS VARCHAR)), 1,
+             12))::BIGINT AS uh
          FROM $src),
        c AS (
          SELECT doc_id, ntok, uh, uh % $ns AS shard,
@@ -3187,5 +3198,54 @@ object OracleGen {
            SELECT DISTINCT s.doc_id FROM sh s JOIN eg USING (sh)
            WHERE s.doc_id % $m <> $r)),
        """)
+  }
+
+  /** The full pre-training plane (t170) matching
+    * [[graft.ops.TextOps.t170TrainingPlane]]: the pack SQL over the
+    * mixture SQL over the clean-selection SQL, each stage's oracle
+    * composed verbatim as a derived table (the t159/t167 convention) —
+    * the hash pins every stage interface against the next.
+    */
+  val trainingPlane: String = sequencePackOn(
+    s"""(SELECT d.* FROM documents d JOIN (
+         ${mixtureSampleOn(
+      s"""(SELECT d2.doc_id, d2.lang FROM documents d2
+           JOIN ($cleanSelect) sel USING (doc_id))""")}
+       ) mx USING (doc_id))""")
+
+  /** Epoch-2 packing (t171) matching
+    * [[graft.ops.TextOps.t171EpochPack]]: the sequence-pack SQL with the
+    * epoch seed folded into the md5 shuffle key.
+    */
+  val epochPack: String =
+    sequencePackOn("documents", graft.ops.TextOps.EpochSeed2)
+
+  /** Fixed-benchmark decontamination (t172) matching
+    * [[graft.ops.TextOps.t172FixedEvalDecontam]]: the t163 check with
+    * the eval-gram set frozen at the [[graft.ops.TextOps.DecontamFixedEvalK]]
+    * lowest-id fold docs — the artifact no longer grows with the corpus.
+    */
+  val fixedEvalDecontam: String = {
+    val m = graft.ops.TextOps.DecontamEvalMod
+    val r = graft.ops.TextOps.DecontamEvalRem
+    val k = graft.ops.TextOps.DecontamFixedEvalK
+    s"""WITH ev AS (
+         SELECT doc_id FROM documents WHERE doc_id % $m = $r
+         ORDER BY doc_id LIMIT $k),
+       w AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         FROM documents
+         WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 5),
+       sh0 AS (
+         SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+         FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+       sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+       eg AS (SELECT DISTINCT sh FROM sh JOIN ev USING (doc_id))
+     SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+     FROM sh s JOIN eg USING (sh)
+     WHERE s.doc_id % $m <> $r
+     GROUP BY 1
+     ORDER BY n_overlap DESC, doc_id
+     LIMIT ${graft.ops.TextOps.DecontamTopN}"""
   }
 }

@@ -212,6 +212,10 @@ object SparkEntry {
     "t167_pack_selected" -> (TextOps.t167PackSelected _),
     "t168_clean_select" -> (TextOps.t168CleanSelect _),
     "d169_incremental_clean_select" -> (TextOps.d169IncrementalCleanSelect _),
+    "t170_training_plane" -> (TextOps.t170TrainingPlane _),
+    "t171_epoch_pack" -> (TextOps.t171EpochPack _),
+    "t172_fixed_eval_decontam" -> (TextOps.t172FixedEvalDecontam _),
+    "d173_fresh_recall" -> (FusionOps.d173FreshRecall _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -776,6 +780,21 @@ object SparkEntry {
     // gated postings partials — counts final on arrival, so the oracle
     // IS the one-shot t168 SQL (the d165/d155 convention)
     "d169_incremental_clean_select" -> OracleGen.cleanSelect,
+    // the full pre-training plane: pack SQL over mixture SQL over the
+    // clean-selection SQL, each stage's oracle composed verbatim — the
+    // hash pins every stage interface against the next
+    "t170_training_plane" -> OracleGen.trainingPlane,
+    // epoch-2 packing: the epoch seed folded into the md5 shuffle key —
+    // per-epoch reshuffling as an oracle-checked computation
+    "t171_epoch_pack" -> OracleGen.epochPack,
+    // fixed-benchmark decontamination: the eval-gram artifact frozen at
+    // the K lowest-id fold docs — bounded regardless of corpus size
+    "t172_fixed_eval_decontam" -> OracleGen.fixedEvalDecontam,
+    // fresh-path recall floor: the t162 report with the dense side
+    // served from the latest-batch-wins LIVE code state (a replayed
+    // delivery collapsed away) — state-serve ≡ one-shot, so the oracle
+    // IS the t162 SQL verbatim (the d165/d169 convention)
+    "d173_fresh_recall" -> OracleGen.fusedRecall,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

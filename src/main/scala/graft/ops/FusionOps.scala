@@ -202,11 +202,22 @@ object FusionOps {
     * cadence, never per serve (v80's own contract); everything else is
     * the audited t150 plan plus one O(queries) join of two 3-slot lists.
     */
-  def t162FusionRecall(s: SparkSession, d: String): DataFrame = {
+  def t162FusionRecall(s: SparkSession, d: String): DataFrame =
+    recallReportOn(s, d, VectorOps.v134IvfPqRerank(s, d))
+
+  /** The fused-recall report at a GIVEN production dense side — shared
+    * by [[t162FusionRecall]] (the compacted-layout twin: v134's one-shot
+    * chain, which FusedServeSpec pins ≡ the compacted serve) and
+    * [[d173FreshRecall]] (the live-state twin), so the two serving
+    * modes' quality floors are the same computation against the same
+    * ground truth.
+    */
+  private def recallReportOn(s: SparkSession, d: String,
+      denseRk: DataFrame): DataFrame = {
     // persist(): the lexical list fuses against BOTH dense lists
     val lex = CacheRegistry.harness.add(
       lexListFor(s, d, None).persist())
-    val approx = rrfFuse(lex, denseOf(VectorOps.v134IvfPqRerank(s, d)))
+    val approx = rrfFuse(lex, denseOf(denseRk))
       .select("query_id", "doc_id")
     val truth = rrfFuse(lex, denseOf(VectorOps.exactDenseTop3(s, d)))
       .select("query_id", "doc_id")
@@ -221,5 +232,55 @@ object FusionOps {
         (floor(col("hits3").cast("double") / 3 * 1e4) / 1e4).as("recall3"),
         (col("hits3") >= FusedRecallMinHits).as("recall_ok"))
       .orderBy("query_id")
+  }
+
+  /** Fresh-path recall floor — the d173 query, closing the quality loop
+    * for BOTH serving modes: t162 audits the fusion whose dense side is
+    * the one-shot/compacted chain; this query runs the SAME report with
+    * the dense side served from the latest-batch-wins LIVE code state —
+    * the [[graft.streaming.StreamOps.fusedServeFresh]] dense half's
+    * definitions (`latestWholeItem` collapse + `listLutAdcScore` +
+    * `exactRerankOn`) over a two-wave ingest in which wave 2 additionally
+    * REPLAYS a quarter of wave 1's vectors (the at-least-once delivery
+    * the whole-item contract exists for). The collapse must erase the
+    * replay exactly, so the live-state dense list equals v134's and the
+    * oracle is the t162 SQL verbatim (the d165/d169 convention: the
+    * incremental member's oracle IS the one-shot's).
+    *
+    * Scale: the state collapse is the max-batch aggregate + self-join
+    * every live read pays (the documented freshness trade); the
+    * ground-truth brute force is t162's audit price, unchanged.
+    */
+  def d173FreshRecall(s: SparkSession, d: String): DataFrame = {
+    import VectorOps._
+    // the v133 frozen artifacts, trained exactly as the one-shot trains
+    val emb = CacheRegistry.harness.add(
+      embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding")).persist())
+    val cent = CacheRegistry.harness.add(ivfCodebookOn(emb).persist())
+    val subs = CacheRegistry.harness.add(
+      pqSubvectors(residualOf(assignToIvfLists(s, emb, cent), cent),
+        carry = Seq("clabel")).persist())
+    val cb = CacheRegistry.harness.add(
+      trainPqCodebooksOn(s, subs, col("vec_id") < PqK).persist())
+    val codes = CacheRegistry.harness.add(
+      encodePq(s, subs, cb, carry = Seq("clabel")).persist())
+    // two ingest waves; wave 2 re-delivers every vec_id % 4 == 0 item
+    // (whole-item: a vector's M rows travel together in one batch)
+    val state = codes.filter(col("vec_id") % 2 === 0)
+      .withColumn("batch", lit(0L))
+      .unionByName(codes.filter(col("vec_id") % 2 === 1)
+        .withColumn("batch", lit(1L)))
+      .unionByName(codes.filter(col("vec_id") % 4 === 0)
+        .withColumn("batch", lit(1L)))
+    val live = graft.streaming.StreamOps.latestWholeItem(state, "vec_id")
+      .select("vec_id", "clabel", "m", "cid")
+    val queries = emb.filter(col("vec_id") < 5)
+    val lut = residualLut(s, ivfQueryProbes(s, queries, cent), cent, cb)
+    val denseRk = exactRerankOn(s,
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      listLutAdcScore(live, lut))
+    recallReportOn(s, d, denseRk)
   }
 }

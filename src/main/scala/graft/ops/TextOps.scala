@@ -4202,11 +4202,20 @@ object TextOps {
     * shared with [[t167PackSelected]] (packing the curated selection)
     * so the packing semantics cannot drift between the whole-corpus and
     * composed forms.
+    *
+    * `seed` is the EPOCH key: a trainer reshuffles between epochs, and
+    * folding the epoch seed into the hash input ([[h48]] of seed ++ id)
+    * gives each epoch an independent deterministic shard/concat order
+    * over the same doc set — same per-shard token conservation, different
+    * prefix sums (EpochSeedSpec pins both). The default empty seed IS the
+    * t166/t167 parity order (md5("" ++ id) = md5(id)), so existing
+    * oracles stand unchanged.
     */
-  private[graft] def sequencePackOn(docs: DataFrame): DataFrame = {
+  private[graft] def sequencePackOn(docs: DataFrame,
+      seed: String = ""): DataFrame = {
     val toks = docs.select(col("doc_id"),
         size(words(col("text"))).cast("long").as("ntok"),
-        h48(col("doc_id").cast("string")).as("uh"))
+        h48(concat(lit(seed), col("doc_id").cast("string"))).as("uh"))
       .withColumn("shard", col("uh") % SeqPackShards)
     val w = Window.partitionBy("shard").orderBy(col("uh"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4299,12 +4308,24 @@ object TextOps {
     * (uh asc, doc_id asc) — 48-bit keys negate exactly in a Double, and
     * the tie-break matches the oracle's ORDER BY uh, doc_id.
     */
-  def t164MixtureSample(s: SparkSession, d: String): DataFrame = {
+  def t164MixtureSample(s: SparkSession, d: String): DataFrame =
+    mixtureSampleOn(documents(s, d).select(col("doc_id"), col("lang")))
+
+  /** [[t164MixtureSample]] over an arbitrary (doc_id, lang) pool —
+    * shared with [[t170TrainingPlane]] (drawing the mixture from the
+    * decontaminated selection) so the quota-sampling semantics cannot
+    * drift between the whole-corpus and composed forms. `seed` is the
+    * epoch key ([[sequencePackOn]]'s convention — folded into the h48
+    * input; the default empty seed is the t164 parity draw).
+    */
+  private[graft] def mixtureSampleOn(docsPool: DataFrame,
+      seed: String = ""): DataFrame = {
     import org.apache.spark.sql.Encoders
     val topk = udaf(new TopKByValue(MixSampleK),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    val pool = documents(s, d).select(col("doc_id"), col("lang"))
-      .withColumn("uh", h48(col("doc_id").cast("string")).cast("double"))
+    val pool = docsPool
+      .withColumn("uh",
+        h48(concat(lit(seed), col("doc_id").cast("string"))).cast("double"))
       .groupBy("lang").agg(topk(col("doc_id"), -col("uh")).as("topk"))
     val weighted = pool.withColumn("w",
       when(col("lang") === "en", 4)
@@ -4320,5 +4341,86 @@ object TextOps {
         greatest(lit(1), floor(lit(MixSampleK) * col("w") / col("tw"))))
       .select("lang", "doc_id", "rn")
       .orderBy("lang", "rn")
+  }
+
+  /** The full pre-training data plane — the t170 query, composing the
+    * ENTIRE chain a training run actually executes, each stage an
+    * already-audited member (the t159/t167 composition convention):
+    *
+    *  1. decontaminate + select: [[t168CleanSelect]] — eval fold held
+    *     out, contaminated docs anti-joined away BEFORE the DSIR bag
+    *     models, top-[[DsirK]] importance selection;
+    *  2. mixture draw: [[mixtureSampleOn]] over the selection — the
+    *     per-domain quota draw runs on the SELECTED roster (weights
+    *     rebalance over the domains the selection actually produced);
+    *  3. pack: [[sequencePackOn]] over the drawn docs — the per-shard
+    *     boundary map a loader seeks by.
+    *
+    * Output = stage 3's boundary map; its hash pins every stage's
+    * interface against the next (a doc wrongly selected, drawn, or
+    * mis-counted shifts the prefix sums). Oracle = the pack SQL over the
+    * mixture SQL over the clean-selection SQL, each composed verbatim as
+    * a derived table.
+    *
+    * Scale: stage 1 is t168's audited plan; the selection is ≤ [[DsirK]]
+    * rows and the draw ≤ [[MixSampleK]], so stages 2-3 ride into the
+    * corpus scan as TWO broadcast semi-joins and everything downstream
+    * runs over a bounded roster — the capstone adds no corpus-scale work
+    * beyond its stage-1 parent.
+    */
+  def t170TrainingPlane(s: SparkSession, d: String): DataFrame = {
+    val sel = t168CleanSelect(s, d).select("doc_id")
+    val drawn = mixtureSampleOn(
+        documents(s, d).join(broadcast(sel), Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang"))
+      .select("doc_id")
+    sequencePackOn(documents(s, d)
+      .join(broadcast(drawn), Seq("doc_id"), "left_semi"))
+  }
+
+  /** Epoch-2 packing — the t171 query: [[sequencePackOn]] at a non-default
+    * epoch seed, making the "the shuffle key changes per epoch" claim an
+    * ORACLE-CHECKED computation instead of a docs sentence: the seed folds
+    * into the h48 shuffle key, so epoch 2 draws an independent
+    * deterministic shard/concat order over the same corpus (EpochSeedSpec
+    * pins order divergence + token conservation against t166's epoch).
+    * Same plan shape as t166 — the seed is a literal in the hash input.
+    */
+  private[graft] val EpochSeed2 = "e2|"
+
+  def t171EpochPack(s: SparkSession, d: String): DataFrame =
+    sequencePackOn(documents(s, d), seed = EpochSeed2)
+
+  /** Eval-fold cap for [[t172FixedEvalDecontam]] — the FROZEN-artifact
+    * size: a real benchmark is a fixed document set, not a fixed
+    * FRACTION of the corpus. t163's synthetic fold (doc_id % 7 == 3 of
+    * the corpus itself) grows with the corpus — fine for the oracle
+    * twin, but it made the 10× bench number an asterisk against the
+    * bounded-benchmark contract instead of evidence for it. Capping the
+    * fold at the K lowest doc_ids freezes the artifact: at 10× the data
+    * the broadcast side is IDENTICAL, so the check's cost is one shingle
+    * pass over the train corpus and nothing else grows.
+    */
+  private[graft] val DecontamFixedEvalK = 64
+
+  /** Fixed-benchmark decontamination — the t172 query: t163's check with
+    * the eval-gram artifact frozen at [[DecontamFixedEvalK]] docs (the K
+    * lowest-id fold members — deterministic in both engines). This is
+    * the production shape end to end: benchmark frozen upfront and
+    * bounded regardless of corpus size, check = one map-side broadcast
+    * semi-join over the train shingles, report = the shared top-N cut.
+    */
+  def t172FixedEvalDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val evalIds = docs
+      .filter(col("doc_id") % DecontamEvalMod === DecontamEvalRem)
+      .select("doc_id").orderBy("doc_id").limit(DecontamFixedEvalK)
+    val evalGrams = shingleTableN(
+        docs.join(broadcast(evalIds), Seq("doc_id"), "left_semi"), 5)
+      .select("sh").distinct()
+    decontamReport(decontamCountsOn(
+      shingleTableN(
+        docs.filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem), 5),
+      evalGrams))
   }
 }

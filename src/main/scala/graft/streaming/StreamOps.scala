@@ -667,7 +667,8 @@ object StreamOps {
     * ([[pqIndexQuery]]/[[compactPqCodes]]) so the collapse rule cannot
     * drift.
     */
-  private def latestWholeItem(raw: DataFrame, idCol: String): DataFrame = {
+  private[graft] def latestWholeItem(raw: DataFrame, idCol: String)
+      : DataFrame = {
     // renamed join keys: the max-batch side derives from raw, so
     // qualified column references would trip Spark's ambiguous-self-join
     // check
@@ -756,9 +757,17 @@ object StreamOps {
     * as this batch's own `batch=N` partition — the list id lands ON the
     * code rows at encode time, so every downstream reader prunes on it.
     * Whole-item contract: a vector's M rows travel in one batch.
+    *
+    * `carry` names extra attribute columns of `emb` (label/license/
+    * language — the v142 encode-carry contract) to ride onto the code
+    * rows, so the LIVE state can answer filtered serves
+    * ([[fusedServeFresh]]'s `pred`) without a side table — the same ride
+    * [[graft.ops.VectorOps.writeIvfPqBucketedState]] layouts get from
+    * their one-shot encode.
     */
   def ivfPqIngestStream(spark: SparkSession, emb: DataFrame,
-      centroidPath: String, codebookPath: String, statePath: String)
+      centroidPath: String, codebookPath: String, statePath: String,
+      carry: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", s"$statePath.checkpoint")
@@ -766,12 +775,13 @@ object StreamOps {
         val cent = spark.read.parquet(centroidPath)
         val cb = spark.read.parquet(codebookPath)
         val assigned = graft.ops.VectorOps.assignToIvfLists(spark,
-          batch.toDF(), cent)
+          batch.toDF(), cent, carry = carry)
         graft.ops.VectorOps.encodePq(spark,
             graft.ops.VectorOps.pqSubvectors(
-              graft.ops.VectorOps.residualOf(assigned, cent),
-              carry = Seq("clabel")),
-            cb, carry = Seq("clabel"))
+              graft.ops.VectorOps.residualOf(assigned, cent,
+                carry = carry),
+              carry = "clabel" +: carry),
+            cb, carry = "clabel" +: carry)
           .write.mode("overwrite").parquet(s"$statePath.tmp/batch=$id")
         publishPartition(spark, s"$statePath.tmp/batch=$id",
           s"$statePath/batch=$id")
@@ -811,9 +821,13 @@ object StreamOps {
     */
   def compactIvfPqCodes(spark: SparkSession, statePath: String,
       tableName: String, path: String): Unit =
+    // drop only the batch bookkeeping: ingest-carried attribute columns
+    // (the v142 encode-carry ride) must survive into the compacted
+    // layout, or a filtered serve would lose its predicate columns at
+    // the first compaction
     graft.ops.VectorOps.writeIvfPqBucketedState(
       latestWholeItem(liveRaw(spark, statePath, "vec_id"), "vec_id")
-        .select("vec_id", "clabel", "m", "cid"),
+        .drop("batch"),
       tableName, path, overwrite = true)
 
   /** Streaming tombstone sink — how deletes ARRIVE at an accumulated
@@ -2418,22 +2432,42 @@ object StreamOps {
     * batch-partitioned, not term/clabel-bucketed), every serve pays the
     * latest-version collapse — which is exactly what the compacted path
     * exists to avoid between revisions.
+    *
+    * FILTERED FRESH SERVING (completing [[fusedServe]]'s `pred`/`allowed`
+    * symmetry — a deployment that serves filtered hybrid queries must
+    * not lose freshness the moment it filters): `pred` is the dense
+    * side's serve-time metadata predicate over attribute columns the
+    * INGEST carried onto the code rows (the v142 encode-carry contract —
+    * here it filters the collapsed live rows BELOW the ADC score and
+    * above the rank, after the latest-version collapse so a revision's
+    * attributes are the ones judged); `allowed` is the lexical side's
+    * allowed doc_ids, the same broadcast semi-join on the scored
+    * postings. FusedServeSpec pins filtered-fresh ≡ the filtered serve
+    * over revision-recompacted layouts, exactly where the filtered
+    * compacted serve is pinned stale.
     */
   def fusedServeFresh(spark: SparkSession, postingsStatePath: String,
       qmap: DataFrame, ivfPqStatePath: String, centroids: DataFrame,
-      pqCodebooks: DataFrame, queries: DataFrame, rawVecs: DataFrame)
-      : DataFrame = {
+      pqCodebooks: DataFrame, queries: DataFrame, rawVecs: DataFrame,
+      pred: Column = lit(true),
+      allowed: Option[DataFrame] = None): DataFrame = {
     // lexical half: live postings, fresh doc lengths, stats derived from
     // them (no 1-row artifact exists for uncompacted state)
     val postings = servedPostings(spark, postingsStatePath)
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val scored = graft.ops.TextOps.bm25Scores(postings, dl,
+    val scored0 = graft.ops.TextOps.bm25Scores(postings, dl,
       qmap.select("term").distinct())
+    val scored = allowed.fold(scored0)(a =>
+      scored0.join(broadcast(a.select("doc_id")), Seq("doc_id"),
+        "left_semi"))
     val lex = graft.ops.FusionOps.lexTopK(scored, qmap)
     // dense half: the live code state through the v133 scoring
-    // definitions, then the shared exact re-rank
+    // definitions, then the shared exact re-rank. The predicate runs
+    // AFTER the latest-version collapse (a revision is judged on its own
+    // attributes, not a dead version's) and BELOW the score/rank (the
+    // v142 placement — post-rank filtering would under-fill k)
     val codes = latestWholeItem(liveRaw(spark, ivfPqStatePath, "vec_id"),
-      "vec_id").select("vec_id", "clabel", "m", "cid")
+      "vec_id").filter(pred).select("vec_id", "clabel", "m", "cid")
     val probes = graft.ops.VectorOps.ivfQueryProbes(spark, queries,
       centroids)
     val lut = graft.ops.VectorOps.residualLut(spark, probes, centroids,

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.betfair.SparkSpec
+
+/** Epoch-seeded reshuffling for sequence packing and mixture sampling:
+  * a trainer reshuffles between epochs, and the `seed` parameter folds
+  * the epoch key into the deterministic h48 shuffle hash — each epoch
+  * draws an independent deterministic order over the SAME doc set. The
+  * claims pinned here:
+  *
+  *  - two seeds produce DIFFERENT shard/concat orders (the reshuffle is
+  *    real, not a no-op on the constant);
+  *  - token/doc conservation holds across epochs — packing moves docs
+  *    between shards and chunks but never invents or loses one;
+  *  - the default (empty) seed is byte-for-byte the t166/t164 parity
+  *    computation, so the existing oracle rows stand;
+  *  - mixture quotas are epoch-invariant: the drawn doc SET changes with
+  *    the seed, but each domain's draw COUNT is a pure function of the
+  *    weights and the pool — epochs resample membership, never the mix.
+  */
+class EpochSeedSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("two epoch seeds repack the same corpus: different order, " +
+      "conserved tokens") {
+    val s = spark
+    val docs = graft.Tables.documents(s, sf).select("doc_id", "text")
+    val e1 = TextOps.sequencePackOn(docs).collect().map(_.toSeq).toSeq
+    val e2 = TextOps.sequencePackOn(docs, seed = TextOps.EpochSeed2)
+      .collect().map(_.toSeq).toSeq
+    assert(e1 != e2, "the epoch seed must change the shard/concat order")
+    // conservation is checkable from the boundary maps only while they
+    // are complete (under the 100-chunk report cut) — assert that first
+    assert(e1.size < 100 && e2.size < 100,
+      "corpus too large for the conservation check at this sf")
+    def totals(r: Seq[Seq[Any]]): (Long, Long) =
+      (r.map(_(4).asInstanceOf[Long]).sum, r.map(_(5).asInstanceOf[Long]).sum)
+    assert(totals(e1) == totals(e2),
+      "epoch reshuffling must conserve total docs and tokens")
+    // the default seed IS the t166 parity epoch
+    val t166 = TextOps.t166SequencePack(s, sf).collect().map(_.toSeq).toSeq
+    assert(t166 == e1, "the default seed must be the t166 parity order")
+  }
+
+  test("two epoch seeds redraw the mixture: different manifest, " +
+      "identical per-domain counts") {
+    val s = spark
+    val pool = graft.Tables.documents(s, sf).select("doc_id", "lang")
+    val m1 = TextOps.mixtureSampleOn(pool).collect().map(_.toSeq).toSeq
+    val m2 = TextOps.mixtureSampleOn(pool, seed = TextOps.EpochSeed2)
+      .collect().map(_.toSeq).toSeq
+    assert(m1 != m2, "the epoch seed must redraw the manifest")
+    assert(m1.map(_(1)).toSet != m2.map(_(1)).toSet,
+      "the drawn doc sets should differ between epochs")
+    def counts(r: Seq[Seq[Any]]): Map[Any, Int] =
+      r.groupBy(_(0)).map { case (k, v) => k -> v.size }
+    assert(counts(m1) == counts(m2),
+      "per-domain draw counts are quota-determined and epoch-invariant")
+  }
+}

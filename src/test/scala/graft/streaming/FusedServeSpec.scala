@@ -187,7 +187,9 @@ class FusedServeSpec extends SparkSpec {
     s.sql("DROP TABLE IF EXISTS fused_bm25_spec_r")
     s.sql("DROP TABLE IF EXISTS fused_ivfpq_spec_r")
     val ivfState = s"$dir/ivfpqstate"
-    codes.select("vec_id", "clabel", "m", "cid")
+    // label rides the live state too (the ingest-carry contract) so the
+    // filtered-fresh section below can run its predicate on live rows
+    codes.select("vec_id", "clabel", "m", "cid", "label")
       .write.mode("overwrite").parquet(s"$ivfState/batch=0")
     val q0Text = docs.filter(col("doc_id") === 0)
       .select("text").head().getString(0)
@@ -195,13 +197,18 @@ class FusedServeSpec extends SparkSpec {
       .select(col("doc_id"), lit(q0Text).as("text"))
     TextOps.docPostings(revDocs)
       .write.mode("overwrite").parquet(s"$state/batch=1")
-    val revEmb = emb.filter(col("vec_id") === slotHolder)
-      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
-    val revAssigned = VectorOps.assignToIvfLists(s, revEmb, cent)
+    val revEmbL = emb.filter(col("vec_id") === slotHolder)
+      .select(col("vec_id"), col("label"),
+        reverse(col("embedding")).as("embedding"))
+    val revEmb = revEmbL.select("vec_id", "embedding")
+    val revAssigned = VectorOps.assignToIvfLists(s, revEmbL, cent,
+      carry = Seq("label"))
     VectorOps.encodePq(s,
-        VectorOps.pqSubvectors(VectorOps.residualOf(revAssigned, cent),
-          carry = Seq("clabel")), cb, carry = Seq("clabel"))
-      .select("vec_id", "clabel", "m", "cid")
+        VectorOps.pqSubvectors(
+          VectorOps.residualOf(revAssigned, cent, carry = Seq("label")),
+          carry = Seq("clabel", "label")),
+        cb, carry = Seq("clabel", "label"))
+      .select("vec_id", "clabel", "m", "cid", "label")
       .write.mode("overwrite").parquet(s"$ivfState/batch=1")
     val rawVecsRev = emb.filter(col("vec_id") =!= slotHolder)
       .select("vec_id", "embedding")
@@ -245,11 +252,75 @@ class FusedServeSpec extends SparkSpec {
       "the fresh serve over the maintained raw-vector state must equal " +
         "the caller-supplied form")
 
+    // FILTERED fresh serving (the t160 form must not lose freshness):
+    // revise a doc that HOLDS a filtered fused slot — batch=2 in both
+    // live states — then pin (a) the filtered COMPACTED serve stale,
+    // (b) the filtered FRESH serve == the filtered serve over layouts
+    // recompacted from the fully-revised states (the same convention
+    // the unfiltered fresh pin uses). The dense predicate runs on the
+    // label the ingest carried onto the live code rows; the lexical
+    // allowed set is the same broadcast semi-join as the compacted path.
+    val fSlot = gotF.map(r => r(1).asInstanceOf[Long])
+      .find(id => id >= 5 && id != slotHolder).get
+    TextOps.docPostings(docs.filter(col("doc_id") === fSlot)
+        .select(col("doc_id"), lit(q0Text).as("text")))
+      .write.mode("overwrite").parquet(s"$state/batch=2")
+    val negEmbL = emb.filter(col("vec_id") === fSlot)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    VectorOps.encodePq(s,
+        VectorOps.pqSubvectors(
+          VectorOps.residualOf(
+            VectorOps.assignToIvfLists(s, negEmbL, cent,
+              carry = Seq("label")),
+            cent, carry = Seq("label")),
+          carry = Seq("clabel", "label")),
+        cb, carry = Seq("clabel", "label"))
+      .select("vec_id", "clabel", "m", "cid", "label")
+      .write.mode("overwrite").parquet(s"$ivfState/batch=2")
+    val rawVecsRev2 = emb.filter(!col("vec_id").isin(slotHolder, fSlot))
+      .select("vec_id", "embedding")
+      .unionByName(revEmb)
+      .unionByName(negEmbL.select("vec_id", "embedding"))
+    val freshF = StreamOps.fusedServeFresh(s, state, qmap, ivfState,
+      cent, cb, queries, rawVecsRev2,
+      pred = col("label") % 2 === 0, allowed = Some(allowed))
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    val staleF = StreamOps.fusedServe(s, "fused_bm25_spec", s"$dir/bm25c",
+      qmap, "fused_ivfpq_spec", cent, cb, queries, rawVecs,
+      pred = col("label") % 2 === 0, allowed = Some(allowed))
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(staleF == gotF,
+      "the filtered compacted serve must stay pinned stale until " +
+        "recompaction")
+    assert(freshF != gotF,
+      "the filtered revision should move a filtered fused slot — weak " +
+        "revision choice")
+    s.sql("DROP TABLE IF EXISTS fused_bm25_spec_f")
+    s.sql("DROP TABLE IF EXISTS fused_ivfpq_spec_f")
+    StreamOps.compactPostingsState(s, state, "fused_bm25_spec_f",
+      s"$dir/bm25c_f")
+    // compactIvfPqCodes must PRESERVE the ingest-carried label — the
+    // recompacted layout answers the same filtered serve
+    StreamOps.compactIvfPqCodes(s, ivfState, "fused_ivfpq_spec_f",
+      s"$dir/ivfpqc_f")
+    val expectedFreshF = StreamOps.fusedServe(s, "fused_bm25_spec_f",
+      s"$dir/bm25c_f", qmap, "fused_ivfpq_spec_f", cent, cb, queries,
+      rawVecsRev2, pred = col("label") % 2 === 0, allowed = Some(allowed))
+      .collect().map(_.toSeq).toSeq
+    graft.ops.CacheRegistry.harness.release()
+    assert(freshF == expectedFreshF,
+      "the filtered fresh serve must equal the filtered serve over the " +
+        s"revision-recompacted layouts\ngot:      $freshF" +
+        s"\nexpected: $expectedFreshF")
+
     emb.unpersist(); cent.unpersist(); subs.unpersist(); cb.unpersist()
     codes.unpersist(); tf.unpersist(); qmap.unpersist()
     Seq("fused_bm25_spec", "fused_ivfpq_spec", "fused_bm25_spec_t",
       "fused_ivfpq_spec_t", "fused_rerank_spec", "fused_bm25_spec_r",
-      "fused_ivfpq_spec_r")
+      "fused_ivfpq_spec_r", "fused_bm25_spec_f", "fused_ivfpq_spec_f")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
