@@ -3248,4 +3248,37 @@ object OracleGen {
      ORDER BY n_overlap DESC, doc_id
      LIMIT ${graft.ops.TextOps.DecontamTopN}"""
   }
+
+  /** Multi-suite decontamination (t174) matching
+    * [[graft.ops.TextOps.t174MultiSuiteDecontam]]: the EXACT check over
+    * the union of three frozen suite folds — the Bloom pre-filter on the
+    * Spark side is results-invisible by construction (false positives
+    * killed by the exact confirm, false negatives impossible), so the
+    * oracle is the plain union-fold SQL.
+    */
+  val multiSuiteDecontam: String = {
+    val k = graft.ops.TextOps.DecontamFixedEvalK
+    val folds = graft.ops.TextOps.MultiSuiteFolds
+      .map { case (m, r) =>
+        s"""(SELECT doc_id FROM documents WHERE doc_id % $m = $r
+             ORDER BY doc_id LIMIT $k)"""
+      }.mkString("\n         UNION\n         ")
+    s"""WITH ev AS (
+         $folds),
+       w AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         FROM documents
+         WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 5),
+       sh0 AS (
+         SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+         FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+       sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+       eg AS (SELECT DISTINCT sh FROM sh JOIN ev USING (doc_id))
+     SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+     FROM sh s JOIN eg USING (sh)
+     WHERE s.doc_id NOT IN (SELECT doc_id FROM ev)
+     GROUP BY 1
+     ORDER BY n_overlap DESC, doc_id
+     LIMIT ${graft.ops.TextOps.DecontamTopN}"""
+  }
 }

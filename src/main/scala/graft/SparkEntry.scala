@@ -216,6 +216,7 @@ object SparkEntry {
     "t171_epoch_pack" -> (TextOps.t171EpochPack _),
     "t172_fixed_eval_decontam" -> (TextOps.t172FixedEvalDecontam _),
     "d173_fresh_recall" -> (FusionOps.d173FreshRecall _),
+    "t174_multisuite_decontam" -> (TextOps.t174MultiSuiteDecontam _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -795,6 +796,10 @@ object SparkEntry {
     // delivery collapsed away) — state-serve ≡ one-shot, so the oracle
     // IS the t162 SQL verbatim (the d165/d169 convention)
     "d173_fresh_recall" -> OracleGen.fusedRecall,
+    // multi-suite decontamination: Bloom pre-filter (results-invisible)
+    // in front of the exact check over the union of three frozen suite
+    // folds — the oracle is the plain exact union-fold SQL
+    "t174_multisuite_decontam" -> OracleGen.multiSuiteDecontam,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -4423,4 +4423,66 @@ object TextOps {
         docs.filter(col("doc_id") % DecontamEvalMod =!= DecontamEvalRem), 5),
       evalGrams))
   }
+
+  /** The (mod, rem) folds standing in for three held-out benchmark
+    * suites in [[t174MultiSuiteDecontam]] — each frozen at the
+    * [[DecontamFixedEvalK]] lowest-id members (the t172 artifact shape,
+    * three times).
+    */
+  private[graft] val MultiSuiteFolds = Seq((7, 3), (11, 5), (13, 7))
+
+  /** Multi-suite decontamination — the t174 query: real pipelines check
+    * DOZENS of eval suites, not one, and the union of their gram sets is
+    * still bounded but no longer tiny — the shape where a Bloom
+    * pre-filter in front of the exact check starts paying (t109's
+    * machinery applied to the union form; GPT-3/PaLM-style multi-suite
+    * overlap checks are the public method). Three frozen suites (the
+    * [[MultiSuiteFolds]] folds, each capped at [[DecontamFixedEvalK]]
+    * docs — the t172 artifact shape), eval docs = the union roster,
+    * train = everything else.
+    *
+    * Two-stage check, exactness preserved: (1) the train shingles pass a
+    * Bloom filter built over the union gram set — the filter reaches
+    * the scan as a SCALAR-SUBQUERY plan literal (t109's finding: a
+    * crossJoin(broadcast()) would memcpy the 16 KiB array into every
+    * corpus row), false positives possible, false negatives impossible;
+    * (2) the surviving sliver takes the EXACT broadcast semi-join +
+    * per-doc count ([[decontamCountsOn]] — the shared tail, so t174
+    * cannot drift from t163/t172), which kills the false positives.
+    * Oracle = the exact SQL over the union fold; the Bloom stage is
+    * invisible to results by construction, which is exactly what makes
+    * it safely composable in front of ANY number of suites.
+    *
+    * Scale: the broadcast side grows with the number of SUITES (bounded
+    * artifacts), never the corpus; the Bloom stage cuts the exact join's
+    * probe stream to near-misses only, so adding suites widens one
+    * bitmap and the union gram broadcast, not the corpus-side work.
+    */
+  def t174MultiSuiteDecontam(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    graft.expressions.GraftFunctions.register(s)
+    val docs = documents(s, d).select("doc_id", "text")
+    val evalIds = MultiSuiteFolds.map { case (m, r) =>
+        docs.filter(col("doc_id") % m === r)
+          .select("doc_id").orderBy("doc_id").limit(DecontamFixedEvalK)
+      }.reduce(_.unionByName(_)).distinct()
+    // persist(): the union gram set feeds the Bloom build AND the exact
+    // confirm (the d95 two-branch convention)
+    val evalGrams = CacheRegistry.harness.add(
+      shingleTableN(
+        docs.join(broadcast(evalIds), Seq("doc_id"), "left_semi"), 5)
+        .select("sh").distinct().persist())
+    val bloomAgg = udaf(new BloomFilterAgg, Encoders.scalaLong)
+    val bloom = evalGrams.agg(bloomAgg(xxhash64(col("sh"))).as("bloom"))
+    // call-unique view name (the t109 convention — a fixed name would
+    // clobber a user's view and race concurrent constructions)
+    val view = s"t174_bloom_${
+      java.util.UUID.randomUUID().toString.replace("-", "")}"
+    bloom.createOrReplaceTempView(view)
+    val trainSh = shingleTableN(
+        docs.join(broadcast(evalIds), Seq("doc_id"), "left_anti"), 5)
+      .filter(expr(
+        s"bloom_might_contain((SELECT bloom FROM $view), xxhash64(sh))"))
+    decontamReport(decontamCountsOn(trainSh, evalGrams))
+  }
 }
