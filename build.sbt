@@ -34,4 +34,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // hit multi-second full-GC stalls mid-query (observed as a 17s outlier on
   // an otherwise-1s query); 24g on the 128 GiB box keeps timings stable
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // pin the INITIAL heap to the max and pre-touch it: the round-17
+  // variance study measured CV 8.6% across five same-code bench runs
+  // with total time tracking GC time (the slowest run carried 2.1x the
+  // GC of the fastest) — G1's adaptive heap sizing grows the heap from
+  // a small -Xms under load, and WHERE each run's growth/ergonomics
+  // decisions land is the run-to-run noise. A fixed, pre-touched heap
+  // removes the resizing dimension entirely (study: scripts/variance;
+  // pinned re-run: scripts/variance_pinned; PLANS.md round-17)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )
