@@ -30,9 +30,19 @@ def main(old_src: str, new_src: str) -> None:
     ratios = sorted(((nm[q] / om[q]), q) for q in shared)
     print(f"shared {len(shared)} queries: {osum:.1f}s -> {nsum:.1f}s "
           f"= {nsum/osum:.3f}x")
-    print(f"ratio median {statistics.median(r for r, _ in ratios):.3f} "
-          f"p10 {ratios[len(ratios)//10][0]:.3f} "
-          f"p90 {ratios[-max(1,len(ratios)//10)][0]:.3f}")
+    rvals = [r for r, _ in ratios]
+    if len(rvals) >= 10:
+        # statistics.quantiles(n=10): real deciles, not the approximate
+        # index picks that silently degraded to min/max on small
+        # SPARK_GRAFT_ONLY subsets
+        qs = statistics.quantiles(rvals, n=10)
+        p10, p90 = qs[0], qs[-1]
+        print(f"ratio median {statistics.median(rvals):.3f} "
+              f"p10 {p10:.3f} p90 {p90:.3f}")
+    else:
+        print(f"ratio median {statistics.median(rvals):.3f} "
+              f"min {rvals[0]:.3f} max {rvals[-1]:.3f} "
+              f"(n={len(rvals)} too small for deciles)")
     worst = sorted(((nm[q] - om[q]), q) for q in shared)
     print("largest absolute regressions:")
     for d, q in worst[-6:]:

@@ -54,6 +54,61 @@ def main(d: str) -> None:
         print(f"  {n}: {lo:.2f}..{hi:.2f} (+{dd:.2f}s)")
     tail = sum(dd for dd, *_ in spread[12:])
     print(f"  (remaining {len(spread)-12} queries spread sum {tail:.1f}s)")
+    detect_windows(runs)
+
+
+def detect_windows(runs, ratio=1.5, min_excess=0.5):
+    """Locate contention windows IN TIME from the per-query start-offset
+    stamps (queries_t0_*, r18 bench): >=2 consecutive-in-time queries of
+    one iteration running at >=ratio x the best-of-runs min with at least
+    min_excess seconds of excess each. A window with FLAT GC is external
+    contention; one with proportional GC is heap pressure. Replaces the
+    r17 diagnosis-by-alphabetical-adjacency.
+    """
+    base = {}
+    for _, full, _ in runs:
+        for q, v in full.get("queries_min", {}).items():
+            base[q] = min(base.get(q, v), v)
+    iters = [("queries", "queries_gc_cold", "queries_t0_cold"),
+             ("queries_warm", "queries_gc_warm", "queries_t0_warm"),
+             ("queries_warm2", "queries_gc_warm2", "queries_t0_warm2")]
+    found = False
+    stamped = False
+    print(f"contention windows (>=2 consecutive queries at >={ratio}x "
+          f"best-of-runs, >= {min_excess}s excess each):")
+    for f, full, _ in runs:
+        for it, (tk, gk, ok) in enumerate(iters):
+            t0m = full.get(ok)
+            if not t0m:
+                continue
+            stamped = True
+            times, gcs_ = full.get(tk, {}), full.get(gk, {})
+            cur, wins = [], []
+            for q, off in sorted(t0m.items(), key=lambda kv: kv[1]):
+                t, b = times.get(q), base.get(q)
+                infl = (t is not None and b is not None and t < 1e8
+                        and t >= ratio * b and (t - b) >= min_excess)
+                if infl:
+                    cur.append((q, off, t, b, gcs_.get(q, 0)))
+                else:
+                    if len(cur) >= 2:
+                        wins.append(cur)
+                    cur = []
+            if len(cur) >= 2:
+                wins.append(cur)
+            for w in wins:
+                found = True
+                start, end = w[0][1], w[-1][1] + w[-1][2]
+                excess = sum(t - b for _, _, t, b, _ in w)
+                gc = sum(g for *_, g in w)
+                print(f"  {f.split('/')[-1]} iter{it}: "
+                      f"t+{start:.0f}s..t+{end:.0f}s ({len(w)} queries, "
+                      f"+{excess:.1f}s excess, gc {gc:.0f}ms): "
+                      + ", ".join(q for q, *_ in w))
+    if not stamped:
+        print("  (records carry no queries_t0_* stamps — pre-r18 bench)")
+    elif not found:
+        print("  none detected")
 
 
 if __name__ == "__main__":

@@ -69,12 +69,20 @@ object Bench {
     // perfect per-query cost (GC triggered by query N can be paying for
     // garbage query N-1 allocated) but summed per iteration it separates
     // "the suite got slower" from "the suite spent more time in GC".
-    def runAll(): Seq[(String, Double, Boolean, Long)] =
+    // monotonic run-start anchor for per-query start-offset stamps: the
+    // round-17 contention-window diagnosis had to INFER "contiguous in
+    // time" from "contiguous in alphabetical order"; with each query's
+    // start offset in the record, a pollution window is locatable in
+    // time from the artifact alone (scripts/variance_summary.py reads
+    // these for its window detector)
+    val runStart = System.nanoTime()
+    def runAll(): Seq[(String, Double, Boolean, Long, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
+        val t0Off = (t0 - runStart) / 1e9
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
@@ -90,7 +98,7 @@ object Bench {
         // of CC-based queries (d26/d46/t65 — invisible to clearCache);
         // drain it per query so nothing accumulates across iterations
         ops.CacheRegistry.harness.release()
-        (name, dt, ok, gcMillis() - g0)
+        (name, dt, ok, gcMillis() - g0, t0Off)
       }
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -112,21 +120,29 @@ object Bench {
     // ~1e9 or crowd the slowest-10 list with sentinels).
     val best = cold.indices.flatMap { i =>
       val ok = Seq(cold(i), warm(i), warm2(i))
-        .collect { case (_, t, true, _) => t }
+        .collect { case (_, t, true, _, _) => t }
       if (ok.isEmpty) None else Some(cold(i)._1 -> ok.min)
     }
-    val failed = (cold ++ warm ++ warm2).collect { case (n, _, false, _) => n }
+    val failed = (cold ++ warm ++ warm2)
+      .collect { case (n, _, false, _, _) => n }
       .distinct.sorted
-    def times(rs: Seq[(String, Double, Boolean, Long)])
+    def times(rs: Seq[(String, Double, Boolean, Long, Double)])
         : Seq[(String, Double)] =
-      rs.map { case (n, t, _, _) => n -> t }
-    def gcs(rs: Seq[(String, Double, Boolean, Long)]): Seq[(String, Double)] =
-      rs.map { case (n, _, _, g) => n -> g.toDouble }
+      rs.map { case (n, t, _, _, _) => n -> t }
+    def gcs(rs: Seq[(String, Double, Boolean, Long, Double)])
+        : Seq[(String, Double)] =
+      rs.map { case (n, _, _, g, _) => n -> g.toDouble }
+    // per-query start offsets (seconds since runStart, monotonic clock):
+    // with these, "which queries ran inside the polluted wall-clock
+    // window" is a read of the record, not an alphabetical inference
+    def t0s(rs: Seq[(String, Double, Boolean, Long, Double)])
+        : Seq[(String, Double)] =
+      rs.map { case (n, _, _, _, o) => n -> o }
     // iteration totals over that iteration's successful queries only (the
     // per-query maps still carry the sentinel so a failed iteration is
     // visible in the full record)
-    val total = cold.collect { case (_, t, true, _) => t }.sum
-    val totalWarm = warm.collect { case (_, t, true, _) => t }.sum
+    val total = cold.collect { case (_, t, true, _, _) => t }.sum
+    val totalWarm = warm.collect { case (_, t, true, _, _) => t }.sum
     val totalMin = best.map(_._2).sum
     val loadEnd = loadAvg()
     val gcEnd = gcMillis()
@@ -140,6 +156,8 @@ object Bench {
       json(times(warm2))},"total_min":$totalMin,"queries_min":${
       json(best)},"queries_gc_cold":${json(gcs(cold))},"queries_gc_warm":${
       json(gcs(warm))},"queries_gc_warm2":${json(gcs(warm2))
+      },"queries_t0_cold":${json(t0s(cold))},"queries_t0_warm":${
+      json(t0s(warm))},"queries_t0_warm2":${json(t0s(warm2))
       },"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       },"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","gc_ms_start":$gcStart,"gc_ms_end":$gcEnd,"max_heap_mb":$maxHeapMb,"sf":"$sfDir"}""")
     // Compact summary printed LAST (<1 KB): the driver keeps only the final

@@ -3206,12 +3206,25 @@ object OracleGen {
     * composed verbatim as a derived table (the t159/t167 convention) —
     * the hash pins every stage interface against the next.
     */
-  val trainingPlane: String = sequencePackOn(
+  val trainingPlane: String = trainingPlaneOn("")
+
+  /** The full-plane SQL at an arbitrary epoch seed — the seed folds into
+    * the two stochastic stages' md5 inputs (mixture draw + pack shuffle);
+    * the clean selection is epoch-invariant. Shared by t170 (default
+    * epoch) and t178 ([[epochPlane]]).
+    */
+  private def trainingPlaneOn(seed: String): String = sequencePackOn(
     s"""(SELECT d.* FROM documents d JOIN (
          ${mixtureSampleOn(
       s"""(SELECT d2.doc_id, d2.lang FROM documents d2
-           JOIN ($cleanSelect) sel USING (doc_id))""")}
-       ) mx USING (doc_id))""")
+           JOIN ($cleanSelect) sel USING (doc_id))""", seed)}
+       ) mx USING (doc_id))""", seed)
+
+  /** Epoch-2 full plane (t178) matching
+    * [[graft.ops.TextOps.t178EpochPlane]]: the t170 composition with the
+    * epoch seed folded into both stochastic stage hashes.
+    */
+  val epochPlane: String = trainingPlaneOn(graft.ops.TextOps.EpochSeed2)
 
   /** Epoch-2 packing (t171) matching
     * [[graft.ops.TextOps.t171EpochPack]]: the sequence-pack SQL with the
@@ -3220,14 +3233,16 @@ object OracleGen {
   val epochPack: String =
     sequencePackOn("documents", graft.ops.TextOps.EpochSeed2)
 
-  /** Fixed-benchmark decontamination (t172) matching
-    * [[graft.ops.TextOps.t172FixedEvalDecontam]]: the t163 check with
-    * the eval-gram set frozen at the [[graft.ops.TextOps.DecontamFixedEvalK]]
-    * lowest-id fold docs — the artifact no longer grows with the corpus.
+  /** The fixed-benchmark decontamination SQL at an arbitrary (mod, rem)
+    * fold — the t172 check shape: eval-gram set frozen at the
+    * [[graft.ops.TextOps.DecontamFixedEvalK]] lowest-id fold docs, train
+    * = everything NOT in the frozen roster (the anti-join residue
+    * convention: a fold doc beyond the cap is ordinary train data).
+    * Shared by t172 (the historical fold) and d175 (a fold the ingested
+    * state has never seen — the onboarding case, whose oracle IS this
+    * one-shot SQL per the d165/d169 incremental convention).
     */
-  val fixedEvalDecontam: String = {
-    val m = graft.ops.TextOps.DecontamEvalMod
-    val r = graft.ops.TextOps.DecontamEvalRem
+  private def fixedEvalDecontamOn(m: Int, r: Int): String = {
     val k = graft.ops.TextOps.DecontamFixedEvalK
     s"""WITH ev AS (
          SELECT doc_id FROM documents WHERE doc_id % $m = $r
@@ -3243,11 +3258,24 @@ object OracleGen {
        eg AS (SELECT DISTINCT sh FROM sh JOIN ev USING (doc_id))
      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
      FROM sh s JOIN eg USING (sh)
-     WHERE s.doc_id % $m <> $r
+     WHERE s.doc_id NOT IN (SELECT doc_id FROM ev)
      GROUP BY 1
      ORDER BY n_overlap DESC, doc_id
      LIMIT ${graft.ops.TextOps.DecontamTopN}"""
   }
+
+  /** Fixed-benchmark decontamination (t172) matching
+    * [[graft.ops.TextOps.t172FixedEvalDecontam]]. */
+  val fixedEvalDecontam: String = fixedEvalDecontamOn(
+    graft.ops.TextOps.DecontamEvalMod, graft.ops.TextOps.DecontamEvalRem)
+
+  /** Suite onboarding from state (d175) matching
+    * [[graft.ops.TextOps.d175SuiteOnboard]]: the state probe must equal
+    * the stateless one-shot check at the unseen fold, so the oracle IS
+    * the t172 SQL at that fold (the d165/d169 convention).
+    */
+  val suiteOnboard: String = fixedEvalDecontamOn(
+    graft.ops.TextOps.OnboardSuiteMod, graft.ops.TextOps.OnboardSuiteRem)
 
   /** Multi-suite decontamination (t174) matching
     * [[graft.ops.TextOps.t174MultiSuiteDecontam]]: the EXACT check over
@@ -3280,5 +3308,84 @@ object OracleGen {
      GROUP BY 1
      ORDER BY n_overlap DESC, doc_id
      LIMIT ${graft.ops.TextOps.DecontamTopN}"""
+  }
+
+  /** Per-suite contamination attribution (t176) matching
+    * [[graft.ops.TextOps.t176SuiteAttribution]]: the exact per-suite
+    * check — gram rows tagged with every suite their doc belongs to, one
+    * (doc_id, suite) count per contaminated pair. The Spark side's Bloom
+    * pre-filter is results-invisible by construction, so the oracle is
+    * the plain SQL. Train = everything not in the UNION roster (one
+    * shared train pool).
+    */
+  val suiteAttribution: String = {
+    val k = graft.ops.TextOps.DecontamFixedEvalK
+    val folds = graft.ops.TextOps.MultiSuiteFolds.zipWithIndex
+      .map { case ((m, r), i) =>
+        s"""SELECT doc_id, CAST($i AS BIGINT) AS suite FROM (
+             SELECT doc_id FROM documents WHERE doc_id % $m = $r
+             ORDER BY doc_id LIMIT $k)"""
+      }.mkString("\n         UNION ALL\n         ")
+    s"""WITH ev0 AS (
+         $folds),
+       ev AS (SELECT DISTINCT doc_id FROM ev0),
+       w AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         FROM documents
+         WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 5),
+       sh0 AS (
+         SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+         FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+       sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+       eg AS (SELECT DISTINCT e.suite, s.sh
+              FROM sh s JOIN ev0 e USING (doc_id))
+     SELECT s.doc_id, e.suite, CAST(count(*) AS BIGINT) AS n_overlap
+     FROM sh s JOIN eg e USING (sh)
+     WHERE s.doc_id NOT IN (SELECT doc_id FROM ev)
+     GROUP BY 1, 2
+     ORDER BY n_overlap DESC, doc_id, suite
+     LIMIT ${graft.ops.TextOps.DecontamTopN}"""
+  }
+
+  /** Semantic-dedup recall audit (v177) matching
+    * [[graft.ops.VectorOps.v177SemdedupRecall]]: exact all-pairs cosine
+    * ground truth over the frozen lowest-id sample vs same-final-cluster
+    * candidate pairs, counted per cosine floor with integer-quantized
+    * recall/precision and the in-row recall_ok alert.
+    */
+  val semdedupRecall: String = {
+    val iters = VectorOps.KmeansIters
+    val k = VectorOps.SemRecallSampleK
+    val minQ = VectorOps.SemRecallMinQ
+    val floors = VectorOps.SemRecallFloors.mkString("[", ", ", "]")
+    s"""WITH ${kmeansCtes("")},
+       roster AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k),
+       n AS (SELECT a.vec_id, a.v, a.cid,
+               sqrt(list_dot_product(a.v, a.v)) AS nv
+             FROM a$iters a JOIN roster USING (vec_id)),
+       pairs AS (
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           list_dot_product(a.v, b.v) / (a.nv * b.nv) AS sim,
+           a.cid = b.cid AS same_cid
+         FROM n a JOIN n b ON b.vec_id > a.vec_id),
+       cand AS (
+         SELECT CAST(coalesce(sum(CASE WHEN same_cid THEN 1 END), 0)
+           AS BIGINT) AS n_cand FROM pairs),
+       fl AS (SELECT CAST(unnest($floors) AS BIGINT) AS floor_q),
+       agg AS (
+         SELECT floor_q, CAST(count(p.v1) AS BIGINT) AS n_truth,
+           CAST(coalesce(sum(CASE WHEN p.same_cid THEN 1 END), 0)
+             AS BIGINT) AS n_hit
+         FROM fl LEFT JOIN pairs p ON p.sim >= fl.floor_q / 100.0
+         GROUP BY floor_q)
+     SELECT floor_q, n_truth, n_cand, n_hit,
+       CASE WHEN n_truth = 0 THEN 0
+            ELSE (n_hit * 10000) // n_truth END AS recall_q,
+       CASE WHEN n_cand = 0 THEN 0
+            ELSE (n_hit * 10000) // n_cand END AS prec_q,
+       (n_truth = 0 OR (CASE WHEN n_truth = 0 THEN 0
+            ELSE (n_hit * 10000) // n_truth END) >= $minQ) AS recall_ok
+     FROM agg CROSS JOIN cand
+     ORDER BY floor_q"""
   }
 }

@@ -217,6 +217,10 @@ object SparkEntry {
     "t172_fixed_eval_decontam" -> (TextOps.t172FixedEvalDecontam _),
     "d173_fresh_recall" -> (FusionOps.d173FreshRecall _),
     "t174_multisuite_decontam" -> (TextOps.t174MultiSuiteDecontam _),
+    "d175_suite_onboard" -> (TextOps.d175SuiteOnboard _),
+    "t176_suite_attribution" -> (TextOps.t176SuiteAttribution _),
+    "v177_semdedup_recall" -> (VectorOps.v177SemdedupRecall _),
+    "t178_epoch_plane" -> (TextOps.t178EpochPlane _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -800,6 +804,21 @@ object SparkEntry {
     // in front of the exact check over the union of three frozen suite
     // folds — the oracle is the plain exact union-fold SQL
     "t174_multisuite_decontam" -> OracleGen.multiSuiteDecontam,
+    // suite onboarding from state: the per-doc gram postings accumulated
+    // at ingest serve a NEVER-SEEN suite's check as a state probe — the
+    // probe ≡ the stateless one-shot, so the oracle IS t172's SQL at the
+    // unseen fold (the d165/d169 convention)
+    "d175_suite_onboard" -> OracleGen.suiteOnboard,
+    // per-suite attribution: gram rows carry their suite id; the Bloom
+    // stage stays results-invisible, so the oracle is the plain exact
+    // per-suite SQL
+    "t176_suite_attribution" -> OracleGen.suiteAttribution,
+    // semantic-dedup recall audit: exact all-pairs cosine truth over the
+    // frozen sample vs cluster-scoped candidates, per cosine floor
+    "v177_semdedup_recall" -> OracleGen.semdedupRecall,
+    // epoch-2 full plane: the t170 composition with the epoch seed folded
+    // into both stochastic stage hashes (mixture draw + pack shuffle)
+    "t178_epoch_plane" -> OracleGen.epochPlane,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

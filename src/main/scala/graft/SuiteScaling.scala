@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only measurement main (the r17 verdict's optional ask #8): the
+  * multi-suite decontamination cost curve as the SUITE COUNT grows.
+  * t174's design claim is that adding suites widens one 16 KiB Bloom
+  * bitmap's fill and the bounded gram broadcast — never the corpus-side
+  * work — so the per-check cost should be ~flat in the suite count.
+  * This main measures that curve (min-of-3 per point) at
+  * SPARK_GRAFT_SF_DIR and prints one JSON line; results land as a
+  * PLANS.md study row, not a round artifact.
+  */
+object SuiteScaling {
+  /** 16 distinct (mod, rem) folds standing in for 16 frozen benchmark
+    * suites — primes so the fold populations overlap only incidentally;
+    * each roster is capped at TextOps.DecontamFixedEvalK as everywhere.
+    */
+  private val Folds: Seq[(Int, Int)] =
+    Seq(7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
+      .zipWithIndex.map { case (m, i) => (m, (i * 3 + 2) % m) }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm-up outside the timed region (the Bench convention)
+    ops.TextOps.t174MultiSuiteDecontam(spark, sfDir).count()
+    ops.CacheRegistry.harness.release()
+    spark.catalog.clearCache()
+    val points = Seq(1, 2, 4, 8, 16).map { n =>
+      val folds = Folds.take(n)
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        ops.TextOps.multiSuiteDecontamOn(spark, sfDir, folds).count()
+        ops.CacheRegistry.harness.release()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      s""""$n":$secs"""
+    }
+    println(s"""{"metric":"suite_scaling","unit":"sec_min_of_3","sf":"$sfDir","suites":${
+      points.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}

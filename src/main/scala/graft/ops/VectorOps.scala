@@ -1782,4 +1782,82 @@ object VectorOps {
         md5(col("text")).as("content_md5"),
         col("source"))
       .orderBy("doc_id")
+
+  /** v177 evaluation-sample size: the audit's ground truth is quadratic
+    * by nature (d95's scale note), so it runs over a FROZEN sample — the
+    * lowest-id K vectors, bounded at any corpus size (the t172
+    * frozen-artifact shape applied to a quality audit).
+    */
+  val SemRecallSampleK = 512
+
+  /** Cosine floors (hundredths) the v177 recall sweep reports at —
+    * calibrated to the corpus' pair-similarity distribution (n_truth
+    * spans ~7000 down to ~60 across them at the tested SFs; the v83
+    * dedup floor 0.35 sits in-range).
+    */
+  val SemRecallFloors = Seq(20L, 25L, 30L, 35L, 40L)
+
+  /** Minimum recall_q (basis points of recall) for a floor's in-row
+    * `recall_ok` — the alert threshold a deployment pages on when the
+    * cluster-scoped candidate generator starts missing too many true
+    * near-dup pairs.
+    */
+  val SemRecallMinQ = 2000L
+
+  /** Semantic-dedup recall audit — the v177 query: d95's
+    * recall/precision methodology applied to [[v83SemanticDedup]]'s
+    * candidate generation, the one dedup modality whose candidates are
+    * LOSSY BY DESIGN (SemDeDup's cluster scoping misses cross-cluster
+    * near-dups by construction — Abbas et al. 2023's own trade). Ground
+    * truth = exact all-pairs cosine over the frozen
+    * [[SemRecallSampleK]]-vector sample; candidates = same-final-cluster
+    * pairs from the SAME Lloyd's assignment v83 dedups with. Per
+    * [[SemRecallFloors]] floor: n_truth (pairs at/above the floor),
+    * n_hit (those the cluster scoping would surface), n_cand (all
+    * same-cluster sample pairs — floor-independent), integer-quantized
+    * recall_q/prec_q (the t71/t75 no-float-division convention), and the
+    * in-row `recall_ok` alert (the t162 convention).
+    *
+    * Scale: the quadratic ground truth is confined to the frozen sample
+    * (bounded at any corpus size — the audit price, paid at evaluation
+    * cadence, never per serve: v80's contract); the assignment cost is
+    * the v60 loop the dedup already pays. The floor sweep is a 5-row
+    * broadcast against the bounded pair set — an explode, not a shuffle.
+    */
+  def v177SemdedupRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // persist(): the final assignment feeds both sides of the sample
+    // pair join (the v83 ReusedExchange finding)
+    val assigned = CacheRegistry.harness.add(kmeansLoop(s, d)._1.persist())
+    val roster = assigned.select("vec_id")
+      .orderBy("vec_id").limit(SemRecallSampleK)
+    val samp = assigned
+      .join(broadcast(roster), Seq("vec_id"), "left_semi")
+      .select("vec_id", "embedding", "cid")
+    // persist(): the pair table feeds the floor sweep AND the
+    // floor-independent candidate count
+    val pairs = CacheRegistry.harness.add(
+      samp.as("a").join(samp.as("b"), col("b.vec_id") > col("a.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          cosine(s, col("a.embedding"), col("b.embedding")).as("sim"),
+          (col("a.cid") === col("b.cid")).as("same_cid"))
+        .persist())
+    val nCand = pairs.agg(
+      coalesce(sum(when(col("same_cid"), 1L)), lit(0L)).as("n_cand"))
+    val floors = SemRecallFloors.toDF("floor_q")
+    val agg = floors
+      .join(pairs, col("sim") >= col("floor_q") / lit(100.0), "left")
+      .groupBy("floor_q")
+      .agg(count(col("v1")).as("n_truth"),
+        coalesce(sum(when(col("same_cid"), 1L)), lit(0L)).as("n_hit"))
+    agg.crossJoin(broadcast(nCand))
+      .select(col("floor_q"), col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") === 0, lit(0L))
+          .otherwise(expr("(n_hit * 10000) div n_truth")).as("recall_q"),
+        when(col("n_cand") === 0, lit(0L))
+          .otherwise(expr("(n_hit * 10000) div n_cand")).as("prec_q"))
+      .withColumn("recall_ok",
+        col("n_truth") === 0 || col("recall_q") >= SemRecallMinQ)
+      .orderBy("floor_q")
+  }
 }

@@ -51,11 +51,55 @@ class EpochSeedSpec extends SparkSpec {
     val m2 = TextOps.mixtureSampleOn(pool, seed = TextOps.EpochSeed2)
       .collect().map(_.toSeq).toSeq
     assert(m1 != m2, "the epoch seed must redraw the manifest")
-    assert(m1.map(_(1)).toSet != m2.map(_(1)).toSet,
-      "the drawn doc sets should differ between epochs")
     def counts(r: Seq[Seq[Any]]): Map[Any, Int] =
       r.groupBy(_(0)).map { case (k, v) => k -> v.size }
+    // the membership-divergence assertion is only meaningful for a domain
+    // whose pool is STRICTLY larger than its quota — a quota that swallows
+    // a whole domain draws the same set at every seed (correctly), so the
+    // assertion would fail spuriously at an SF where MixSampleK reaches a
+    // pool size. Guard on at least one undersampled domain existing.
+    val poolSizes = pool.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val undersampled = counts(m1).exists { case (lang, drawn) =>
+      poolSizes(lang.asInstanceOf[String]) > drawn
+    }
+    if (undersampled)
+      assert(m1.map(_(1)).toSet != m2.map(_(1)).toSet,
+        "the drawn doc sets should differ between epochs")
     assert(counts(m1) == counts(m2),
       "per-domain draw counts are quota-determined and epoch-invariant")
+  }
+
+  test("the full plane reshuffles across epochs: divergent order, each " +
+      "epoch's pack accounting for exactly its epoch's draw") {
+    val s = spark
+    val e1 = TextOps.t170TrainingPlane(s, sf).collect().map(_.toSeq).toSeq
+    CacheRegistry.harness.release()
+    val e2 = TextOps.t178EpochPlane(s, sf).collect().map(_.toSeq).toSeq
+    CacheRegistry.harness.release()
+    assert(e1 != e2,
+      "the epoch seed must reshuffle the composed plane, not just stages")
+    assert(e1.size < 100 && e2.size < 100,
+      "corpus too large for the conservation check at this sf")
+    // capstone-level doc conservation: each epoch's boundary map must
+    // account for every doc of ITS OWN epoch's mixture draw exactly once
+    // (the draw differs per epoch; the accounting must not)
+    val docs = graft.Tables.documents(s, sf)
+    val sel = TextOps.t168CleanSelect(s, sf).select("doc_id")
+    val pool = docs.join(broadcast(sel), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang")
+    for ((seed, packed) <- Seq(("", e1), (TextOps.EpochSeed2, e2))) {
+      val drawn = TextOps.mixtureSampleOn(pool, seed).count()
+      CacheRegistry.harness.release()
+      assert(packed.map(_(4).asInstanceOf[Long]).sum == drawn,
+        s"epoch '$seed': the pack must account for its draw exactly once")
+    }
+    // the per-domain mix is epoch-invariant at the capstone's pool too
+    def mix(seed: String): Map[String, Long] =
+      TextOps.mixtureSampleOn(pool, seed).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (x1, x2) = (mix(""), mix(TextOps.EpochSeed2))
+    CacheRegistry.harness.release()
+    assert(x1 == x2, "epochs resample membership, never the mix")
   }
 }
