@@ -43,8 +43,50 @@ object SuiteScaling {
       }.min
       s""""$n":$secs"""
     }
+    // onboarding cost split (the d175 claim, measured): the per-doc gram
+    // postings state is built ONCE (the ingest side, amortized over the
+    // corpus' lifetime), then each NEW suite is a probe of that state —
+    // no tokenization. Timed against the stateless one-shot (t172's
+    // shape) at the same fresh fold, which re-pays the corpus shingle
+    // pass per check.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val tBuild0 = System.nanoTime()
+    val posts = ops.TextOps.shingleTableN(docs, 5).persist()
+    posts.count()
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+    def probe(m: Int, r: Int): Double = {
+      val t0 = System.nanoTime()
+      val roster = docs.filter(col("doc_id") % m === r)
+        .select("doc_id").orderBy("doc_id")
+        .limit(ops.TextOps.DecontamFixedEvalK)
+      val evalGrams = posts
+        .join(broadcast(roster), Seq("doc_id"), "left_semi")
+        .select("sh").distinct()
+      ops.TextOps.decontamReport(ops.TextOps.decontamCountsOn(
+        posts.join(broadcast(roster), Seq("doc_id"), "left_anti"),
+        evalGrams)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def oneShot(m: Int, r: Int): Double = {
+      val t0 = System.nanoTime()
+      val roster = ops.TextOps.fixedSuiteRoster(docs, m, r)
+      val evalGrams = ops.TextOps.shingleTableN(
+          docs.join(broadcast(roster), Seq("doc_id"), "left_semi"), 5)
+        .select("sh").distinct()
+      ops.TextOps.decontamReport(ops.TextOps.decontamCountsOn(
+        ops.TextOps.shingleTableN(
+          docs.join(broadcast(roster), Seq("doc_id"), "left_anti"), 5),
+        evalGrams)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // fresh folds unseen by the curve above; min-of-3 each
+    val probeSec = (1 to 3).map(_ => probe(71, 4)).min
+    val oneShotSec = (1 to 3).map(_ => oneShot(71, 4)).min
+    posts.unpersist()
     println(s"""{"metric":"suite_scaling","unit":"sec_min_of_3","sf":"$sfDir","suites":${
-      points.mkString("{", ",", "}")}}""")
+      points.mkString("{", ",", "}")
+      },"onboard_state_build":$buildSec,"onboard_probe":$probeSec,"onboard_one_shot":$oneShotSec}""")
     spark.stop()
   }
 }
