@@ -3242,14 +3242,15 @@ object OracleGen {
     * state has never seen — the onboarding case, whose oracle IS this
     * one-shot SQL per the d165/d169 incremental convention).
     */
-  private def fixedEvalDecontamOn(m: Int, r: Int): String = {
+  private def fixedEvalDecontamOn(m: Int, r: Int,
+      src: String = "documents"): String = {
     val k = graft.ops.TextOps.DecontamFixedEvalK
     s"""WITH ev AS (
-         SELECT doc_id FROM documents WHERE doc_id % $m = $r
+         SELECT doc_id FROM $src WHERE doc_id % $m = $r
          ORDER BY doc_id LIMIT $k),
        w AS (
          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
-         FROM documents
+         FROM $src
          WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 5),
        sh0 AS (
          SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
@@ -3276,6 +3277,21 @@ object OracleGen {
     */
   val suiteOnboard: String = fixedEvalDecontamOn(
     graft.ops.TextOps.OnboardSuiteMod, graft.ops.TextOps.OnboardSuiteRem)
+
+  /** Postings revision + onboard (d179) matching
+    * [[graft.ops.TextOps.d179PostingsRevision]]: the state that healed a
+    * re-crawl must equal the stateless one-shot check over a corpus that
+    * ALWAYS had the revisions (d131's proof standard), so the oracle is
+    * the t172 SQL at the unseen fold over the revised corpus (the d131
+    * revision expression verbatim).
+    */
+  val postingsRevision: String = fixedEvalDecontamOn(
+    graft.ops.TextOps.RevisionSuiteMod, graft.ops.TextOps.RevisionSuiteRem,
+    s"""(SELECT doc_id,
+           CASE WHEN doc_id % 5 = 2
+                THEN text || ' u' || CAST(doc_id % 3 AS VARCHAR)
+                ELSE text END AS text
+         FROM documents)""")
 
   /** Multi-suite decontamination (t174) matching
     * [[graft.ops.TextOps.t174MultiSuiteDecontam]]: the EXACT check over

@@ -221,6 +221,7 @@ object SparkEntry {
     "t176_suite_attribution" -> (TextOps.t176SuiteAttribution _),
     "v177_semdedup_recall" -> (VectorOps.v177SemdedupRecall _),
     "t178_epoch_plane" -> (TextOps.t178EpochPlane _),
+    "d179_postings_revision" -> (TextOps.d179PostingsRevision _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -819,6 +820,11 @@ object SparkEntry {
     // epoch-2 full plane: the t170 composition with the epoch seed folded
     // into both stochastic stage hashes (mixture draw + pack shuffle)
     "t178_epoch_plane" -> OracleGen.epochPlane,
+    // postings-state revision: a re-crawl supersedes the updated docs'
+    // gram sets in state, then a new suite onboards from the revised
+    // state — oracle = the one-shot SQL over the revised corpus (d131's
+    // "indistinguishable from a corpus that always had the revisions")
+    "d179_postings_revision" -> OracleGen.postingsRevision,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -4674,4 +4674,78 @@ object TextOps {
     */
   def t178EpochPlane(s: SparkSession, d: String): DataFrame =
     trainingPlaneOn(s, d, seed = EpochSeed2)
+
+  /** The never-seen fold [[d179PostingsRevision]] onboards AFTER its
+    * revision wave — distinct from every other frozen fold, because the
+    * point is a suite arriving against an already-revised state.
+    */
+  private[graft] val RevisionSuiteMod = 19
+  private[graft] val RevisionSuiteRem = 4
+
+  /** Postings-state revision — the d179 query: the decontamination gram
+    * state under a RE-CRAWL, completing d175's lifecycle the way d131
+    * completed the dedup families'. After the two-wave ingest
+    * accumulates the (doc_id, sh) postings behind the novelty gate,
+    * every doc_id % 5 == 2 is revised (the d131 re-crawl convention:
+    * new text for an existing id). The update is supersession, not
+    * recompute: the updated docs' old postings anti-join out and ONLY
+    * the revised batch re-shingles — unchanged docs' text is never
+    * re-read (a gram-set revision replaces the doc's whole gram set, the
+    * superseding-state shape of the tiering scoping note). THEN a new
+    * suite (the [[RevisionSuiteMod]] fold) onboards from the revised
+    * state exactly as d175 onboards: eval grams and train probe both
+    * from the postings, zero tokenization at check time.
+    *
+    * Exactness: after supersession the postings ARE the one-shot shingle
+    * table of the UPDATED corpus (disjoint novelty waves minus the
+    * updated ids plus their revised rows), so the oracle is t172's SQL
+    * over the revised corpus at the unseen fold — a state that healed a
+    * re-crawl must be hash-indistinguishable from a corpus that always
+    * had the revisions (d131's proof standard).
+    *
+    * Scale: the revision wave costs O(revised batch) tokenize + one
+    * broadcast anti-join over the postings (at 100 TB, doc-bucketed
+    * postings prune the anti-join to the touched buckets); the onboard
+    * probe is d175's.
+    */
+  def d179PostingsRevision(s: SparkSession, d: String): DataFrame = {
+    // persist(): the doc scan feeds both ingest waves and the revision
+    // split (the d131 convention)
+    val docs = CacheRegistry.harness.add(
+      documents(s, d).select("doc_id", "text").persist())
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") % 20 === 0))
+    def ingest(roster: DataFrame, posts: DataFrame, batch: DataFrame)
+        : (DataFrame, DataFrame) = {
+      val novel = batch.join(roster, Seq("doc_id"), "left_anti")
+      (roster.unionByName(novel.select("doc_id")),
+        posts.unionByName(shingleTableN(novel, 5)))
+    }
+    val roster0 = docs.select("doc_id").filter(lit(false))
+    val posts0 = shingleTableN(docs.filter(lit(false)), 5)
+    val (roster1, posts1) = ingest(roster0, posts0, b1)
+    val (roster2, posts2) = ingest(roster1, posts1, b2)
+    // the re-crawl: revised text supersedes — old grams out, new in
+    val updatedIds = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
+    val revised = docs.filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" u"),
+          (col("doc_id") % 3).cast("string")).as("text"))
+    // persist(): the revised postings state feeds the eval-gram probe
+    // AND the train probe
+    val posts = CacheRegistry.harness.add(
+      posts2.join(broadcast(updatedIds), Seq("doc_id"), "left_anti")
+        .unionByName(shingleTableN(revised, 5)).persist())
+    // text revisions never change ids, so the roster state stands
+    val suiteIds = roster2
+      .filter(col("doc_id") % RevisionSuiteMod === RevisionSuiteRem)
+      .orderBy("doc_id").limit(DecontamFixedEvalK)
+    val evalGrams = posts
+      .join(broadcast(suiteIds), Seq("doc_id"), "left_semi")
+      .select("sh").distinct()
+    decontamReport(decontamCountsOn(
+      posts.join(broadcast(suiteIds), Seq("doc_id"), "left_anti"),
+      evalGrams))
+  }
 }

@@ -2618,6 +2618,127 @@ object StreamOps {
     graft.ops.TextOps.decontamReport(live)
   }
 
+  /** Streaming gram-postings sink — the streaming member of the
+    * decontamination-STATE family (one-shot t172 / incremental-onboard
+    * d175 / revision d179 / here), the state that makes "onboard
+    * benchmark suite N+1 without re-reading the corpus" a standing
+    * capability instead of a batch job. Per micro-batch of (doc_id,
+    * text): collapse to one deterministic row per doc
+    * ([[dedupWithinBatch]] — within a batch there is no delivery order),
+    * shingle ONLY the batch ([[graft.ops.TextOps.shingleTableN]] at the
+    * decontamination width 5), and publish the batch's (doc_id, sh)
+    * rows as `posts/batch=N` plus one roster row per doc as
+    * `roster/batch=N`. The roster's (doc_id, max batch) is the
+    * authoritative version pointer (the dsirIngestStream convention): a
+    * revision that loses ALL its grams — a re-crawl to a <5-word stub —
+    * has no postings rows to supersede with, and only the roster pointer
+    * can make its old grams stop counting. O(batch) work per trigger;
+    * deletes ride [[tombstoneStream]] at the same `statePath`.
+    */
+  def gramPostingsStream(spark: SparkSession, docs: DataFrame,
+      statePath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$statePath.checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val one = dedupWithinBatch(batch.toDF())
+        graft.ops.TextOps.shingleTableN(one, 5)
+          .write.mode("overwrite").parquet(s"$statePath.tmp/posts/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/posts/batch=$id",
+          s"$statePath/posts/batch=$id")
+        one.select("doc_id")
+          .write.mode("overwrite").parquet(s"$statePath.tmp/roster/batch=$id")
+        publishPartition(spark, s"$statePath.tmp/roster/batch=$id",
+          s"$statePath/roster/batch=$id")
+      }
+      .start()
+
+  /** The current (roster, postings) of a [[gramPostingsStream]] state:
+    * tombstone-healed, each doc's postings pruned to its LATEST roster
+    * batch (the authoritative version pointer — see the sink's
+    * scaladoc). Shared by [[suiteOnboardServed]] (direct read) and
+    * [[compactGramState]] (serving rebuild).
+    */
+  private def gramLive(spark: SparkSession, statePath: String)
+      : (DataFrame, DataFrame) = {
+    val tPath = new org.apache.hadoop.fs.Path(s"$statePath.tombstones")
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def heal(df: DataFrame): DataFrame =
+      if (!fs.exists(tPath)) df
+      else df.join(
+        broadcast(spark.read.parquet(s"$statePath.tombstones")
+          .select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val roster = heal(spark.read.parquet(s"$statePath/roster"))
+    val latest = roster.groupBy("doc_id").agg(max("batch").as("batch"))
+    val posts = heal(spark.read.parquet(s"$statePath/posts"))
+      .join(latest, Seq("doc_id", "batch"))
+      .select("doc_id", "sh")
+    (latest.select("doc_id"), posts)
+  }
+
+  /** Onboard a NEW benchmark suite against a [[gramPostingsStream]]
+    * state — d175's probe as the serving read: the suite roster is the
+    * [[graft.ops.TextOps.DecontamFixedEvalK]] lowest-id live docs of the
+    * (m, r) fold, eval grams = the roster's postings (broadcast
+    * semi-join — zero tokenization at check time), train probe = the
+    * non-roster postings through the shared
+    * [[graft.ops.TextOps.decontamCountsOn]]/[[graft.ops.TextOps.decontamReport]]
+    * tail, so the served check ≡ the stateless one-shot over the current
+    * corpus by construction (GramStateStreamSpec pins it across a
+    * replay, both revision directions, a delete, and compaction).
+    */
+  def suiteOnboardServed(spark: SparkSession, statePath: String,
+      m: Int, r: Int): DataFrame = {
+    val (rosterLive, posts) = gramLive(spark, statePath)
+    serveOnboard(rosterLive, posts, m, r)
+  }
+
+  /** The onboard probe over a given (live roster, live postings) pair —
+    * shared by the direct state read and the compacted layout so the two
+    * serving paths cannot drift.
+    */
+  private def serveOnboard(rosterLive: DataFrame, posts: DataFrame,
+      m: Int, r: Int): DataFrame = {
+    val suiteIds = rosterLive.filter(col("doc_id") % m === r)
+      .orderBy("doc_id").limit(graft.ops.TextOps.DecontamFixedEvalK)
+    val evalGrams = posts
+      .join(broadcast(suiteIds), Seq("doc_id"), "left_semi")
+      .select("sh").distinct()
+    graft.ops.TextOps.decontamReport(graft.ops.TextOps.decontamCountsOn(
+      posts.join(broadcast(suiteIds), Seq("doc_id"), "left_anti"),
+      evalGrams))
+  }
+
+  /** Compact a [[gramPostingsStream]] `batch=N` state into the serving
+    * layout: the live postings (latest version per doc, tombstones
+    * applied PHYSICALLY) and the live roster each land as one
+    * generation, full overwrite (superseding-state shape — the scoping
+    * note's rule; a re-run replaces, never doubles; the `batch=N` sink
+    * stays the source of truth). At 100 TB the posts generation is where
+    * the gram-bucketed layout gets (re)built, which is what prunes every
+    * future suite's probe.
+    */
+  def compactGramState(spark: SparkSession, statePath: String,
+      path: String): Unit = {
+    val (rosterLive, posts) = gramLive(spark, statePath)
+    posts.write.mode("overwrite").parquet(s"$path/posts")
+    rosterLive.write.mode("overwrite").parquet(s"$path/roster")
+  }
+
+  /** The onboard probe over a [[compactGramState]] layout, deletes
+    * arriving after the compaction healed by the standard broadcast
+    * anti-join on both generations.
+    */
+  def suiteOnboardCompacted(spark: SparkSession, path: String,
+      m: Int, r: Int, tombstones: Option[DataFrame] = None): DataFrame = {
+    def heal(df: DataFrame): DataFrame =
+      tombstones.fold(df)(t => df.join(broadcast(t.select("doc_id")),
+        Seq("doc_id"), "left_anti"))
+    serveOnboard(heal(spark.read.parquet(s"$path/roster")),
+      heal(spark.read.parquet(s"$path/posts")), m, r)
+  }
+
   /** The live view of an accumulated `batch=N` state under its
     * [[tombstoneStream]] deletes: one anti-join on the id column (a
     * missing tombstone table means no deletes yet). The anti-join's
