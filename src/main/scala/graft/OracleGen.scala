@@ -3372,8 +3372,10 @@ object OracleGen {
   val semdedupRecall: String = {
     val iters = VectorOps.KmeansIters
     val k = VectorOps.SemRecallSampleK
-    val minQ = VectorOps.SemRecallMinQ
-    val floors = VectorOps.SemRecallFloors.mkString("[", ", ", "]")
+    val floorRows = VectorOps.SemRecallFloors
+      .map(f => s"(CAST($f AS BIGINT), " +
+        s"CAST(${VectorOps.SemRecallFloorMinQ(f)} AS BIGINT))")
+      .mkString(", ")
     s"""WITH ${kmeansCtes("")},
        roster AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k),
        n AS (SELECT a.vec_id, a.v, a.cid,
@@ -3381,26 +3383,27 @@ object OracleGen {
              FROM a$iters a JOIN roster USING (vec_id)),
        pairs AS (
          SELECT a.vec_id AS v1, b.vec_id AS v2,
-           list_dot_product(a.v, b.v) / (a.nv * b.nv) AS sim,
+           CASE WHEN a.nv * b.nv = 0 THEN 0.0
+                ELSE list_dot_product(a.v, b.v) / (a.nv * b.nv) END AS sim,
            a.cid = b.cid AS same_cid
          FROM n a JOIN n b ON b.vec_id > a.vec_id),
        cand AS (
          SELECT CAST(coalesce(sum(CASE WHEN same_cid THEN 1 END), 0)
            AS BIGINT) AS n_cand FROM pairs),
-       fl AS (SELECT CAST(unnest($floors) AS BIGINT) AS floor_q),
+       fl AS (SELECT * FROM (VALUES $floorRows) t(floor_q, min_q)),
        agg AS (
-         SELECT floor_q, CAST(count(p.v1) AS BIGINT) AS n_truth,
+         SELECT floor_q, min_q, CAST(count(p.v1) AS BIGINT) AS n_truth,
            CAST(coalesce(sum(CASE WHEN p.same_cid THEN 1 END), 0)
              AS BIGINT) AS n_hit
          FROM fl LEFT JOIN pairs p ON p.sim >= fl.floor_q / 100.0
-         GROUP BY floor_q)
+         GROUP BY floor_q, min_q)
      SELECT floor_q, n_truth, n_cand, n_hit,
        CASE WHEN n_truth = 0 THEN 0
             ELSE (n_hit * 10000) // n_truth END AS recall_q,
        CASE WHEN n_cand = 0 THEN 0
             ELSE (n_hit * 10000) // n_cand END AS prec_q,
        (n_truth = 0 OR (CASE WHEN n_truth = 0 THEN 0
-            ELSE (n_hit * 10000) // n_truth END) >= $minQ) AS recall_ok
+            ELSE (n_hit * 10000) // n_truth END) >= min_q) AS recall_ok
      FROM agg CROSS JOIN cand
      ORDER BY floor_q"""
   }

@@ -128,7 +128,8 @@ class Round18OpsSpec extends SparkSpec {
       assert(hit <= truth && hit <= cand,
         "hits are an intersection — bounded by both sides")
       assert(recQ >= 0 && recQ <= 10000 && precQ >= 0 && precQ <= 10000)
-      assert(ok == (truth == 0 || recQ >= VectorOps.SemRecallMinQ),
+      val minQ = VectorOps.SemRecallFloorMinQ(r.getLong(0))
+      assert(ok == (truth == 0 || recQ >= minQ),
         "recall_ok must be derivable from the row itself")
     }
     // truth counts are monotone non-increasing in the floor
