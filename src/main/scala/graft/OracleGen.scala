@@ -3407,4 +3407,108 @@ object OracleGen {
      FROM agg CROSS JOIN cand
      ORDER BY floor_q"""
   }
+
+  /** The top-[[graft.ops.VectorOps.MultiProbeR]] probe CTE shared by the
+    * multi-probe oracles (v180/v181): rank clusters per vector against
+    * the codebook the FINAL Lloyd's assignment used (`c{iters-1}` — the
+    * same ordering CASE as the assignment CTE, cid tiebreak), keep the
+    * top R. `src` restricts the probed vectors (the audit probes only
+    * the frozen sample).
+    */
+  private def probeCte(src: String): String = {
+    val iters = VectorOps.KmeansIters
+    val r = VectorOps.MultiProbeR
+    s"""p AS (
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec)) = 0
+                    THEN 0.0
+                    ELSE list_dot_product(e.v, c.cvec)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cvec, c.cvec))) END DESC,
+               c.cid) AS arn
+           FROM $src e, c${iters - 1} c) t WHERE arn <= $r)"""
+  }
+
+  /** Multi-probe semantic dedup (v180) matching
+    * [[graft.ops.VectorOps.v180MultiProbeDedup]]: candidates are pairs
+    * sharing ANY of their top-2 probed clusters (probed against the
+    * final assignment's codebook), keeper rule and output shape = v83's,
+    * a both-probes-shared pair counted once via DISTINCT.
+    */
+  val multiProbeDedup: String = {
+    val iters = VectorOps.KmeansIters
+    val tau = VectorOps.SemDedupThreshold
+    s"""WITH ${kmeansCtes("")},
+       ${probeCte("et")},
+       norms AS (SELECT vec_id, v, cid,
+                   sqrt(list_dot_product(v, v)) AS nv
+                 FROM a$iters),
+       dups AS (
+         SELECT a.vec_id, count(DISTINCT b.vec_id) AS n_smaller_dups
+         FROM p pa JOIN p pb ON pa.cid = pb.cid
+           AND pb.vec_id < pa.vec_id
+           JOIN norms a ON a.vec_id = pa.vec_id
+           JOIN norms b ON b.vec_id = pb.vec_id
+         WHERE (CASE WHEN a.nv * b.nv = 0 THEN 0.0
+                     ELSE list_dot_product(a.v, b.v) / (a.nv * b.nv) END)
+           >= $tau
+         GROUP BY a.vec_id)
+     SELECT n.vec_id, n.cid,
+       CAST(COALESCE(d.n_smaller_dups, 0) AS BIGINT) AS n_smaller_dups,
+       COALESCE(d.n_smaller_dups, 0) = 0 AS keeper
+     FROM norms n LEFT JOIN dups d ON d.vec_id = n.vec_id
+     ORDER BY n.vec_id"""
+  }
+
+  /** Multi-probe recall audit (v181) matching
+    * [[graft.ops.VectorOps.v181MultiProbeRecall]]: v177's exact-pair
+    * ground truth with the candidate flag widened to "shares a probed
+    * cluster"; probes computed for the frozen sample only.
+    */
+  val multiProbeRecall: String = {
+    val iters = VectorOps.KmeansIters
+    val k = VectorOps.SemRecallSampleK
+    val floorRows = VectorOps.SemRecallFloors
+      .map(f => s"(CAST($f AS BIGINT), " +
+        s"CAST(${VectorOps.MultiProbeRecallMinQ(f)} AS BIGINT))")
+      .mkString(", ")
+    s"""WITH ${kmeansCtes("")},
+       roster AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k),
+       ${probeCte("(SELECT et.* FROM et JOIN roster USING (vec_id))")},
+       cp AS (SELECT DISTINCT pa.vec_id AS v1, pb.vec_id AS v2
+              FROM p pa JOIN p pb ON pa.cid = pb.cid
+                AND pb.vec_id > pa.vec_id),
+       n AS (SELECT a.vec_id, a.v,
+               sqrt(list_dot_product(a.v, a.v)) AS nv
+             FROM a$iters a JOIN roster USING (vec_id)),
+       pairs AS (
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CASE WHEN a.nv * b.nv = 0 THEN 0.0
+                ELSE list_dot_product(a.v, b.v) / (a.nv * b.nv) END AS sim,
+           (cp.v1 IS NOT NULL) AS is_cand
+         FROM n a JOIN n b ON b.vec_id > a.vec_id
+           LEFT JOIN cp ON cp.v1 = a.vec_id AND cp.v2 = b.vec_id),
+       cand AS (
+         SELECT CAST(coalesce(sum(CASE WHEN is_cand THEN 1 END), 0)
+           AS BIGINT) AS n_cand FROM pairs),
+       fl AS (SELECT * FROM (VALUES $floorRows) t(floor_q, min_q)),
+       agg AS (
+         SELECT floor_q, min_q, CAST(count(p.v1) AS BIGINT) AS n_truth,
+           CAST(coalesce(sum(CASE WHEN p.is_cand THEN 1 END), 0)
+             AS BIGINT) AS n_hit
+         FROM fl LEFT JOIN pairs p ON p.sim >= fl.floor_q / 100.0
+         GROUP BY floor_q, min_q)
+     SELECT floor_q, n_truth, n_cand, n_hit,
+       CASE WHEN n_truth = 0 THEN 0
+            ELSE (n_hit * 10000) // n_truth END AS recall_q,
+       CASE WHEN n_cand = 0 THEN 0
+            ELSE (n_hit * 10000) // n_cand END AS prec_q,
+       (n_truth = 0 OR (CASE WHEN n_truth = 0 THEN 0
+            ELSE (n_hit * 10000) // n_truth END) >= min_q) AS recall_ok
+     FROM agg CROSS JOIN cand
+     ORDER BY floor_q"""
+  }
 }

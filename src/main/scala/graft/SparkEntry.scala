@@ -222,6 +222,8 @@ object SparkEntry {
     "v177_semdedup_recall" -> (VectorOps.v177SemdedupRecall _),
     "t178_epoch_plane" -> (TextOps.t178EpochPlane _),
     "d179_postings_revision" -> (TextOps.d179PostingsRevision _),
+    "v180_multiprobe_dedup" -> (VectorOps.v180MultiProbeDedup _),
+    "v181_multiprobe_recall" -> (VectorOps.v181MultiProbeRecall _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -825,6 +827,13 @@ object SparkEntry {
     // state — oracle = the one-shot SQL over the revised corpus (d131's
     // "indistinguishable from a corpus that always had the revisions")
     "d179_postings_revision" -> OracleGen.postingsRevision,
+    // multi-probe semantic dedup: candidates widened to each vector's
+    // top-2 probed clusters (acting on the v177 audit); keeper rule and
+    // output shape = v83's
+    "v180_multiprobe_dedup" -> OracleGen.multiProbeDedup,
+    // multi-probe recall audit: v177's exact-pair truth, candidate flag
+    // = "shares a probed cluster"
+    "v181_multiprobe_recall" -> OracleGen.multiProbeRecall,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

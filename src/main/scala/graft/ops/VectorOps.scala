@@ -358,6 +358,19 @@ object VectorOps {
     */
   private[ops] def kmeansLoopOn(s: SparkSession, emb: DataFrame)
       : (DataFrame, DataFrame) = {
+    val (assigned, cg, _) = kmeansLoopFull(s, emb)
+    (assigned, cg)
+  }
+
+  /** [[kmeansLoopOn]] also returning the (cid, cvec) codebook the FINAL
+    * assignment was computed against (the round-`iters` entry codebook —
+    * `c{iters-1}` in the oracle's CTE naming, NOT the post-loop
+    * recompute). The multi-probe candidate generator (v180/v181) ranks
+    * top-[[MultiProbeR]] clusters against exactly this codebook so its
+    * probe 1 coincides with the assignment v83 dedups with.
+    */
+  private def kmeansLoopFull(s: SparkSession, emb: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val vd = col("embedding").cast("array<double>")
     // limit(K) first: the rank window then orders K rows, not the corpus
     var cent = emb.orderBy("vec_id").limit(KmeansK)
@@ -374,7 +387,9 @@ object VectorOps {
     // count members.
     var cg: DataFrame = null
     var lastAssigned: DataFrame = null
+    var lastCent: DataFrame = null
     for (_ <- 1 to KmeansIters) {
+      lastCent = cent
       // zero-norm guard: 0/0 is NaN, and NaN sorts DIFFERENTLY through
       // min_by(-asim) (NaN avoided) than through the oracle's ORDER BY sim
       // DESC (NaN first in DuckDB) — pin both engines to similarity 0.0
@@ -397,7 +412,7 @@ object VectorOps {
       cent = codebookOf(cg)
       lastAssigned = assigned
     }
-    (lastAssigned, cg)
+    (lastAssigned, cg, lastCent)
   }
 
   /** v83 within-cluster similarity floor (calibrated below; see the probe
@@ -471,6 +486,85 @@ object VectorOps {
         struct(-col("asim"), col("cid"))).as("t"))
       .select(col("vec_id"), col("t.embedding").as("embedding"),
         col("t.cid").as("cid"))
+  }
+
+  /** Probe width of the multi-probe candidate generator: each vector
+    * contributes candidates from its [[MultiProbeR]] nearest clusters,
+    * not just its assigned one. r18's v177 audit measured the
+    * single-cluster scoping at 25-44% recall of true near-dup pairs;
+    * widening to the top-2 centroids is the public SemDeDup-family
+    * remedy (multi-probe assignment — the same move IVF indexes make
+    * with nprobe>1) measured by [[v181MultiProbeRecall]].
+    */
+  val MultiProbeR = 2
+
+  /** Top-[[MultiProbeR]] cluster probes per vector against a broadcast
+    * codebook: the ranking rule is EXACTLY [[assignToCentroids]]'s
+    * ((−sim, cid) ordering, zero-norm sim pinned to 0.0), so probe 1 is
+    * the assignment and the extra probes widen it. Per-vector state in
+    * the aggregation is the k-element (−sim, cid) list (k = [[KmeansK]],
+    * a constant) sorted and sliced map-side — one compact struct array
+    * per vector moves in the shuffle, never a corpus×k pair table.
+    * Output: (vec_id, cid), [[MultiProbeR]] rows per vector.
+    */
+  private def topProbes(s: SparkSession, emb: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    val denom = sqrt(planeDot(s, vd, vd)) *
+      sqrt(planeDot(s, col("cvec").cast("array<double>"), col("cvec")))
+    val asim = when(denom === 0d, lit(0d))
+      .otherwise(planeDot(s, col("embedding"), col("cvec")) / denom)
+    emb.select("vec_id", "embedding")
+      .crossJoin(broadcast(codebook)).withColumn("asim", asim)
+      .groupBy("vec_id")
+      .agg(slice(array_sort(collect_list(
+        struct((-col("asim")).as("negsim"), col("cid")))),
+        1, MultiProbeR).as("ps"))
+      .select(col("vec_id"), explode(col("ps.cid")).as("cid"))
+  }
+
+  /** Multi-probe semantic deduplication — the v180 query: [[v83SemanticDedup]]
+    * with the candidate generation widened to each vector's
+    * [[MultiProbeR]] nearest centroids (probed against the SAME codebook
+    * the final Lloyd's assignment used, so probe 1 IS v83's cluster).
+    * A pair is a candidate when the two vectors share ANY probed
+    * cluster — the cross-cluster near-dups sitting just across a
+    * Voronoi boundary (the pairs v177 measured the single-probe scoping
+    * missing) become candidates through the boundary's other side.
+    * Same keeper rule as v83: duplicate iff some candidate with a
+    * smaller vec_id is at/above [[SemDedupThreshold]]; output keeps
+    * v83's (vec_id, cid, n_smaller_dups, keeper) shape with `cid` the
+    * assigned (probe-1) cluster.
+    *
+    * Scale: the probe self-join stays cluster-scoped — each cluster's
+    * pair search is one partition-local task over the vectors probing
+    * it, ≤ [[MultiProbeR]]× the members v83 gives it, never corpus-wide.
+    * A pair sharing both probes is counted once via the count-DISTINCT
+    * smaller id; the cosine is recomputed per shared probe (≤ R² = 4
+    * times) in exchange for ZERO extra corpus shuffles — embeddings ride
+    * the probe rows instead of re-joining by vec_id afterwards.
+    */
+  def v180MultiProbeDedup(s: SparkSession, d: String): DataFrame = {
+    val (assigned0, _, centUsed) = kmeansLoopFull(s, embeddings(s, d))
+    // persist(): the assignment feeds the probe ranking, both pair-join
+    // sides (via probes), and the final projection
+    val assigned = CacheRegistry.harness.add(assigned0.persist())
+    val probes = CacheRegistry.harness.add(
+      topProbes(s, assigned, centUsed)
+        .join(assigned.select("vec_id", "embedding"), Seq("vec_id"))
+        .persist())
+    val smallerDups = probes.as("a")
+      .join(probes.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosine(s, col("a.embedding"), col("b.embedding"))
+        >= SemDedupThreshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(countDistinct(col("b.vec_id")).as("n_smaller_dups"))
+    assigned.join(smallerDups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"))
+      .withColumn("keeper", col("n_smaller_dups") === 0L)
+      .orderBy("vec_id")
   }
 
   /** Cluster-density data pruning — the v154 query, the self-supervised
@@ -1830,7 +1924,6 @@ object VectorOps {
     * broadcast against the bounded pair set — an explode, not a shuffle.
     */
   def v177SemdedupRecall(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     // persist(): the final assignment feeds both sides of the sample
     // pair join (the v83 ReusedExchange finding)
     val assigned = CacheRegistry.harness.add(kmeansLoop(s, d)._1.persist())
@@ -1845,17 +1938,31 @@ object VectorOps {
       samp.as("a").join(samp.as("b"), col("b.vec_id") > col("a.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
           cosine(s, col("a.embedding"), col("b.embedding")).as("sim"),
-          (col("a.cid") === col("b.cid")).as("same_cid"))
+          (col("a.cid") === col("b.cid")).as("is_cand"))
         .persist())
+    recallSweepOn(s, pairs, SemRecallFloorMinQ)
+  }
+
+  /** The floor-sweep tail of a recall audit — ONE definition shared by
+    * [[v177SemdedupRecall]] (candidates = same final cluster) and
+    * [[v181MultiProbeRecall]] (candidates = shared probe), so the two
+    * audits differ ONLY in the candidate flag and their recall numbers
+    * compare like for like. `pairs` = the sample pair table
+    * (v1, v2, sim, is_cand); `minQ` = the per-floor recall_ok alert
+    * thresholds.
+    */
+  private def recallSweepOn(s: SparkSession, pairs: DataFrame,
+      minQ: Map[Long, Long]): DataFrame = {
+    import s.implicits._
     val nCand = pairs.agg(
-      coalesce(sum(when(col("same_cid"), 1L)), lit(0L)).as("n_cand"))
-    val floors = SemRecallFloors.map(f => (f, SemRecallFloorMinQ(f)))
+      coalesce(sum(when(col("is_cand"), 1L)), lit(0L)).as("n_cand"))
+    val floors = SemRecallFloors.map(f => (f, minQ(f)))
       .toDF("floor_q", "min_q")
     val agg = floors
       .join(pairs, col("sim") >= col("floor_q") / lit(100.0), "left")
       .groupBy("floor_q", "min_q")
       .agg(count(col("v1")).as("n_truth"),
-        coalesce(sum(when(col("same_cid"), 1L)), lit(0L)).as("n_hit"))
+        coalesce(sum(when(col("is_cand"), 1L)), lit(0L)).as("n_hit"))
     agg.crossJoin(broadcast(nCand))
       .select(col("floor_q"), col("min_q"), col("n_truth"), col("n_cand"),
         col("n_hit"),
@@ -1867,5 +1974,56 @@ object VectorOps {
         col("n_truth") === 0 || col("recall_q") >= col("min_q"))
       .drop("min_q")
       .orderBy("floor_q")
+  }
+
+  /** Per-floor recall_ok thresholds for the MULTI-PROBE audit (v181) —
+    * calibrated like [[SemRecallFloorMinQ]]: the measured sf0.01
+    * recall_q (6750/7146/7444/7933/8474 bp at floors 0.20-0.40) minus
+    * the 500 bp regression margin. The floors sit well above the
+    * single-probe generator's measured recall, which is the point: the
+    * alert pages when the widened generator regresses toward
+    * single-probe coverage.
+    */
+  val MultiProbeRecallMinQ: Map[Long, Long] = Map(
+    20L -> 6250L, 25L -> 6646L, 30L -> 6944L, 35L -> 7433L, 40L -> 7974L)
+
+  /** Multi-probe recall audit — the v181 query: [[v177SemdedupRecall]]'s
+    * exact-pair methodology applied to [[v180MultiProbeDedup]]'s
+    * candidate generator. Ground truth is the IDENTICAL frozen-sample
+    * all-pairs cosine table; the candidate flag is "the pair shares at
+    * least one of the two probed clusters" (probes ranked against the
+    * same final codebook, so v181's candidate set is a superset of
+    * v177's by construction and the recall delta isolates what the
+    * second probe buys). Same audit-price contract: probes are computed
+    * for the [[SemRecallSampleK]] sample only — a pair's candidacy
+    * depends on its own probes alone, so auditing the sample needs no
+    * corpus-wide probe pass.
+    */
+  def v181MultiProbeRecall(s: SparkSession, d: String): DataFrame = {
+    val (assigned0, _, centUsed) = kmeansLoopFull(s, embeddings(s, d))
+    val assigned = CacheRegistry.harness.add(assigned0.persist())
+    val roster = assigned.select("vec_id")
+      .orderBy("vec_id").limit(SemRecallSampleK)
+    val samp = assigned
+      .join(broadcast(roster), Seq("vec_id"), "left_semi")
+      .select("vec_id", "embedding", "cid")
+    // persist(): the sample probes feed both sides of the candidate join
+    val probes = CacheRegistry.harness.add(
+      topProbes(s, samp, centUsed).persist())
+    val candPairs = probes.as("pa")
+      .join(probes.as("pb"),
+        col("pa.cid") === col("pb.cid") &&
+          col("pb.vec_id") > col("pa.vec_id"))
+      .select(col("pa.vec_id").as("v1"), col("pb.vec_id").as("v2"))
+      .distinct()
+    val pairs = CacheRegistry.harness.add(
+      samp.as("a").join(samp.as("b"), col("b.vec_id") > col("a.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          cosine(s, col("a.embedding"), col("b.embedding")).as("sim"))
+        .join(candPairs.withColumn("c", lit(true)), Seq("v1", "v2"), "left")
+        .select(col("v1"), col("v2"), col("sim"),
+          coalesce(col("c"), lit(false)).as("is_cand"))
+        .persist())
+    recallSweepOn(s, pairs, MultiProbeRecallMinQ)
   }
 }
