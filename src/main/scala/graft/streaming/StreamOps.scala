@@ -2710,33 +2710,96 @@ object StreamOps {
       evalGrams))
   }
 
-  /** Compact a [[gramPostingsStream]] `batch=N` state into the serving
-    * layout: the live postings (latest version per doc, tombstones
-    * applied PHYSICALLY) and the live roster each land as one
-    * generation, full overwrite (superseding-state shape — the scoping
-    * note's rule; a re-run replaces, never doubles; the `batch=N` sink
-    * stays the source of truth). At 100 TB the posts generation is where
-    * the gram-bucketed layout gets (re)built, which is what prunes every
-    * future suite's probe.
+  /** Compact a [[gramPostingsStream]] `batch=N` state into the
+    * PROBE-OPTIMAL serving layout — the gram-state member of the
+    * compaction family, now holding the same bucketed-serving standard
+    * as its BM25 ([[compactPostingsState]]), URL-keeper, and edge
+    * siblings. Two generations, each keyed for the read that consumes
+    * it (full overwrites — the superseding-state rule; a re-run
+    * replaces, never doubles; the `batch=N` sink stays the source of
+    * truth):
+    *
+    *  - `<tableName>_posts` at `path/posts`: the live (doc_id, sh)
+    *    postings (latest version per doc, tombstones applied
+    *    PHYSICALLY), bucketed+sorted on `sh` — a suite onboard's train
+    *    probe filters by the bounded eval gram set, so the gram-keyed
+    *    layout lets the scan prune to the matching buckets
+    *    (SelectedBucketsCount) and skip non-matching row groups via the
+    *    sort, instead of re-reading the corpus-sized state per suite
+    *    (the r18 3.3×-at-10× probe residual this layout removes);
+    *  - `<tableName>_roster` at `path/roster`: one (doc_id, grams) row
+    *    per live doc — the doc's full gram SET as a sorted array —
+    *    bucketed+sorted on `doc_id`, serving the two doc-id-keyed
+    *    reads: the fold selection (scans only the doc_id column) and
+    *    the suite docs' eval-gram fetch (prunes to the ≤
+    *    [[graft.ops.TextOps.DecontamFixedEvalK]] ids' buckets). Grams
+    *    land twice across the generations — the same
+    *    storage-for-probe-locality trade the BM25 layout makes with its
+    *    `.dl` artifact, paid once per compaction, saved on every
+    *    onboard.
     */
   def compactGramState(spark: SparkSession, statePath: String,
-      path: String): Unit = {
-    val (rosterLive, posts) = gramLive(spark, statePath)
-    posts.write.mode("overwrite").parquet(s"$path/posts")
-    rosterLive.write.mode("overwrite").parquet(s"$path/roster")
+      tableName: String, path: String, nBuckets: Int = 32): Unit = {
+    val (rosterLive, posts0) = gramLive(spark, statePath)
+    val posts = posts0.persist()
+    posts.write.mode("overwrite")
+      .bucketBy(nBuckets, "sh").sortBy("sh")
+      .option("path", s"$path/posts").saveAsTable(s"${tableName}_posts")
+    // sort_array: deterministic file content on recompaction (the
+    // replay-republishes-identical convention); order is irrelevant to
+    // the probe, which explodes and distincts
+    rosterLive
+      .join(posts.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("sh"))).as("grams")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("grams"), array().cast("array<string>")).as("grams"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/roster").saveAsTable(s"${tableName}_roster")
+    posts.unpersist()
   }
 
-  /** The onboard probe over a [[compactGramState]] layout, deletes
-    * arriving after the compaction healed by the standard broadcast
-    * anti-join on both generations.
+  /** The onboard probe over a [[compactGramState]] layout — the
+    * production read the bucketed layout exists for. Both scans are
+    * pruned by bounded plan literals (the probed-list convention):
+    * the suite's ≤ [[graft.ops.TextOps.DecontamFixedEvalK]] doc ids
+    * prune the roster generation's doc_id buckets for the eval-gram
+    * fetch, and the fetched gram set (bounded by suite size, never
+    * corpus size) prunes the posts generation's `sh` buckets for the
+    * train probe — the state is never scanned corpus-wide at onboard
+    * time, and the exact tail is the shared
+    * [[graft.ops.TextOps.decontamCountsOn]]/[[graft.ops.TextOps.decontamReport]]
+    * (the isin pre-filters are supersets of the inner-join condition,
+    * results-invisible by construction). Deletes arriving after the
+    * compaction heal by the standard broadcast anti-join on both
+    * generations.
     */
-  def suiteOnboardCompacted(spark: SparkSession, path: String,
+  def suiteOnboardCompacted(spark: SparkSession, tableName: String,
       m: Int, r: Int, tombstones: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
     def heal(df: DataFrame): DataFrame =
       tombstones.fold(df)(t => df.join(broadcast(t.select("doc_id")),
         Seq("doc_id"), "left_anti"))
-    serveOnboard(heal(spark.read.parquet(s"$path/roster")),
-      heal(spark.read.parquet(s"$path/posts")), m, r)
+    val roster = heal(spark.table(s"${tableName}_roster"))
+    // job 1: the fold's K lowest ids — a TakeOrdered over the doc_id
+    // column only (column pruning keeps the gram arrays unread)
+    val suiteIds = roster.filter(col("doc_id") % m === r)
+      .select("doc_id").orderBy("doc_id")
+      .limit(graft.ops.TextOps.DecontamFixedEvalK)
+      .as[Long].collect().toSeq
+    // job 2: the suite docs' gram sets — doc_id-bucket-pruned fetch of
+    // ≤ K rows; the union/distinct runs driver-side on the bounded
+    // result (suite grams, never corpus grams), sorted so the literal
+    // below is deterministic
+    val evalGrams = roster.filter(col("doc_id").isin(suiteIds: _*))
+      .select("grams").as[Seq[String]].collect()
+      .flatten.distinct.sorted.toSeq
+    val train = heal(spark.table(s"${tableName}_posts")
+        .filter(col("sh").isin(evalGrams: _*)))
+      .join(broadcast(suiteIds.toDF("doc_id")), Seq("doc_id"), "left_anti")
+    graft.ops.TextOps.decontamReport(graft.ops.TextOps.decontamCountsOn(
+      train, evalGrams.toDF("sh")))
   }
 
   /** The live view of an accumulated `batch=N` state under its

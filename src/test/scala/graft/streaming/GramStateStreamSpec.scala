@@ -108,12 +108,25 @@ class GramStateStreamSpec extends SparkSpec {
       "a tombstoned doc must vanish from the served probe")
 
     // compaction serves the same probe; a post-compaction delete heals
-    StreamOps.compactGramState(s, state, s"$dir/ledger")
-    assert(StreamOps.suiteOnboardCompacted(s, s"$dir/ledger", M, R)
-      .as[(Long, Long)].collect().toSeq == oneShot(afterDel),
+    StreamOps.compactGramState(s, state, "gram_state_spec", s"$dir/ledger")
+    val compacted = StreamOps.suiteOnboardCompacted(s, "gram_state_spec",
+      M, R)
+    assert(compacted.as[(Long, Long)].collect().toSeq == oneShot(afterDel),
       "compacted must equal direct")
+    // the compacted probe is the layout's whole point: BOTH generations
+    // scan bucket-pruned (the suite ids prune the roster's doc_id
+    // buckets upstream inside the eval-gram fetch; the fetched gram
+    // literal prunes the posts generation's sh buckets here), and the
+    // probe contains ZERO tokenization — no Generate/explode over text
+    // anywhere downstream of the state
+    val pplan = compacted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(pplan.contains("SelectedBucketsCount"),
+      s"the eval gram set must bucket-prune the posts scan:\n$pplan")
+    assert(!pplan.contains("words") && !pplan.contains("split("),
+      s"the compacted onboard probe must not tokenize text:\n$pplan")
     val del2 = oneShot(afterDel).head._1
-    assert(StreamOps.suiteOnboardCompacted(s, s"$dir/ledger", M, R,
+    assert(StreamOps.suiteOnboardCompacted(s, "gram_state_spec", M, R,
         Some(Seq(del2).toDF("doc_id")))
       .as[(Long, Long)].collect().toSeq ==
       oneShot(afterDel.filter(_._1 != del2)),
