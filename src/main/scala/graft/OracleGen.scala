@@ -3334,9 +3334,21 @@ object OracleGen {
     * the plain SQL. Train = everything not in the UNION roster (one
     * shared train pool).
     */
-  val suiteAttribution: String = {
+  val suiteAttribution: String =
+    suiteAttributionOn(graft.ops.TextOps.MultiSuiteFolds)
+
+  /** Batch suite onboarding with per-suite attribution (d182) matching
+    * [[graft.ops.TextOps.d182BatchSuiteAttribution]]: the state-served
+    * batch probe must equal the stateless per-suite exact check at the
+    * never-seen folds (the d175/d165 convention composed with t176's
+    * attribution shape), so the oracle IS the t176 SQL at those folds.
+    */
+  val batchSuiteAttribution: String =
+    suiteAttributionOn(graft.ops.TextOps.BatchOnboardFolds)
+
+  private def suiteAttributionOn(foldSeq: Seq[(Int, Int)]): String = {
     val k = graft.ops.TextOps.DecontamFixedEvalK
-    val folds = graft.ops.TextOps.MultiSuiteFolds.zipWithIndex
+    val folds = foldSeq.zipWithIndex
       .map { case ((m, r), i) =>
         s"""SELECT doc_id, CAST($i AS BIGINT) AS suite FROM (
              SELECT doc_id FROM documents WHERE doc_id % $m = $r

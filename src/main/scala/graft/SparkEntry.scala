@@ -224,6 +224,7 @@ object SparkEntry {
     "d179_postings_revision" -> (TextOps.d179PostingsRevision _),
     "v180_multiprobe_dedup" -> (VectorOps.v180MultiProbeDedup _),
     "v181_multiprobe_recall" -> (VectorOps.v181MultiProbeRecall _),
+    "d182_batch_attribution" -> (TextOps.d182BatchSuiteAttribution _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
@@ -834,6 +835,9 @@ object SparkEntry {
     // multi-probe recall audit: v177's exact-pair truth, candidate flag
     // = "shares a probed cluster"
     "v181_multiprobe_recall" -> OracleGen.multiProbeRecall,
+    // batch suite onboarding with per-suite attribution: the state
+    // probe ≡ the stateless per-suite check at the never-seen folds
+    "d182_batch_attribution" -> OracleGen.batchSuiteAttribution,
     "t65_clean_pipeline" -> OracleGen.cleanPipeline,
     "t66_hash_split" ->
       """SELECT doc_id,

@@ -83,10 +83,35 @@ object SuiteScaling {
     // fresh folds unseen by the curve above; min-of-3 each
     val probeSec = (1 to 3).map(_ => probe(71, 4)).min
     val oneShotSec = (1 to 3).map(_ => oneShot(71, 4)).min
+    // batch onboarding with per-suite attribution (the d182 shape):
+    // THREE fresh suites onboard from the same state in one probe —
+    // the claim is cost ≈ probe + bounded per-suite broadcasts, not
+    // 3 × the corpus-side work (compare against 3 × onboard_one_shot)
+    def batchProbe(folds: Seq[(Int, Int)]): Double = {
+      val t0 = System.nanoTime()
+      val idSuite = folds.zipWithIndex.map { case ((m, r), i) =>
+        docs.filter(col("doc_id") % m === r)
+          .select("doc_id").orderBy("doc_id")
+          .limit(ops.TextOps.DecontamFixedEvalK)
+          .select(col("doc_id"), org.apache.spark.sql.functions.lit(i.toLong)
+            .as("suite"))
+      }.reduce(_.unionByName(_))
+      val unionIds = idSuite.select("doc_id").distinct()
+      val suiteGrams = posts.join(broadcast(idSuite), Seq("doc_id"))
+        .select("suite", "sh").distinct()
+      posts.join(broadcast(unionIds), Seq("doc_id"), "left_anti")
+        .join(broadcast(suiteGrams), Seq("sh"))
+        .groupBy("doc_id", "suite").agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("n_overlap").desc, col("doc_id"), col("suite"))
+        .limit(50).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val batch3Sec = (1 to 3)
+      .map(_ => batchProbe(Seq((73, 5), (79, 11), (83, 13)))).min
     posts.unpersist()
     println(s"""{"metric":"suite_scaling","unit":"sec_min_of_3","sf":"$sfDir","suites":${
       points.mkString("{", ",", "}")
-      },"onboard_state_build":$buildSec,"onboard_probe":$probeSec,"onboard_one_shot":$oneShotSec}""")
+      },"onboard_state_build":$buildSec,"onboard_probe":$probeSec,"onboard_one_shot":$oneShotSec,"batch_onboard_3":$batch3Sec}""")
     spark.stop()
   }
 }

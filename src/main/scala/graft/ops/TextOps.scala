@@ -4571,8 +4571,16 @@ object TextOps {
     * broadcast roster/gram set), and onboarding suite N+1 re-pays only
     * the probe — the 10× row's claim.
     */
-  def d175SuiteOnboard(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select("doc_id", "text")
+  /** The two-wave novelty-gated postings ingest shared by the
+    * decontamination-state queries (d175 onboarding, d179 revision,
+    * d182 batch attribution): wave 1 = even ids, wave 2 = odd ids plus
+    * a replayed tenth (the d151 replay convention, dropped exactly by
+    * the doc-id novelty anti-join). Returns (roster, posts) — the
+    * accumulated doc-id roster and the (doc_id, sh) gram postings,
+    * which by the disjoint-novel-waves argument ARE the one-shot
+    * shingle table of the corpus.
+    */
+  private def noveltyIngest(docs: DataFrame): (DataFrame, DataFrame) = {
     val b1 = docs.filter(col("doc_id") % 2 === 0)
     val b2 = docs.filter(col("doc_id") % 2 === 1)
       .unionByName(docs.filter(col("doc_id") % 20 === 0))
@@ -4585,7 +4593,12 @@ object TextOps {
     val roster0 = docs.select("doc_id").filter(lit(false))
     val posts0 = shingleTableN(docs.filter(lit(false)), 5)
     val (roster1, posts1) = ingest(roster0, posts0, b1)
-    val (roster2, posts2) = ingest(roster1, posts1, b2)
+    ingest(roster1, posts1, b2)
+  }
+
+  def d175SuiteOnboard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val (roster2, posts2) = noveltyIngest(docs)
     // persist(): the accumulated postings state feeds the eval-gram
     // probe AND the train probe — the corpus is never re-tokenized
     val posts = CacheRegistry.harness.add(posts2.persist())
@@ -4713,19 +4726,7 @@ object TextOps {
     // split (the d131 convention)
     val docs = CacheRegistry.harness.add(
       documents(s, d).select("doc_id", "text").persist())
-    val b1 = docs.filter(col("doc_id") % 2 === 0)
-    val b2 = docs.filter(col("doc_id") % 2 === 1)
-      .unionByName(docs.filter(col("doc_id") % 20 === 0))
-    def ingest(roster: DataFrame, posts: DataFrame, batch: DataFrame)
-        : (DataFrame, DataFrame) = {
-      val novel = batch.join(roster, Seq("doc_id"), "left_anti")
-      (roster.unionByName(novel.select("doc_id")),
-        posts.unionByName(shingleTableN(novel, 5)))
-    }
-    val roster0 = docs.select("doc_id").filter(lit(false))
-    val posts0 = shingleTableN(docs.filter(lit(false)), 5)
-    val (roster1, posts1) = ingest(roster0, posts0, b1)
-    val (roster2, posts2) = ingest(roster1, posts1, b2)
+    val (roster2, posts2) = noveltyIngest(docs)
     // the re-crawl: revised text supersedes — old grams out, new in
     val updatedIds = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
     val revised = docs.filter(col("doc_id") % 5 === 2)
@@ -4747,5 +4748,58 @@ object TextOps {
     decontamReport(decontamCountsOn(
       posts.join(broadcast(suiteIds), Seq("doc_id"), "left_anti"),
       evalGrams))
+  }
+
+  /** The never-seen folds [[d182BatchSuiteAttribution]] onboards as one
+    * BATCH — disjoint from every other frozen fold ((7,3), (11,5),
+    * (13,7), (17,5), (19,4)), because the point is a wave of suites
+    * arriving together against an existing state.
+    */
+  private[graft] val BatchOnboardFolds = Seq((23, 2), (29, 7), (31, 9))
+
+  /** State-served batch per-suite attribution — the d182 query, the
+    * composition of the round-18 features (t176 ∘ d175): a BATCH of
+    * never-seen benchmark suites onboards against the accumulated gram
+    * postings and the answer is the per-suite (doc_id, suite,
+    * n_overlap) attribution — with ZERO tokenization at onboarding.
+    * The [[noveltyIngest]] postings state is the only text-derived
+    * input; each new suite's roster is frozen from the ROSTER state
+    * (the d175 rule — a short doc holds its roster slot), the suite tag
+    * rides the BOUNDED (doc_id, suite) broadcast onto the suite docs'
+    * own postings (t176's encode-carry convention applied to state
+    * rows), and the train probe is one broadcast join of the non-roster
+    * postings against the tagged gram set.
+    *
+    * Exactness: the novelty-gated postings ARE the one-shot shingle
+    * table (d175's argument), so the oracle is the plain per-suite
+    * exact SQL at the batch folds — t176's oracle parameterized over
+    * the new folds.
+    *
+    * Scale: onboarding N suites costs N bounded roster selections plus
+    * ONE pass over the postings state (at 100 TB, the compacted
+    * gram-bucketed layout prunes that pass to the union gram set's
+    * buckets — [[graft.streaming.StreamOps.suiteOnboardCompacted]]'s
+    * layout); suite multiplicity multiplies only the broadcast gram
+    * set, never the corpus-side work — the t174 claim, now from state.
+    */
+  def d182BatchSuiteAttribution(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id", "text")
+    val (roster2, posts2) = noveltyIngest(docs)
+    // persist(): the postings state feeds the suite-gram fetch AND the
+    // train probe — the corpus is never re-tokenized at onboarding
+    val posts = CacheRegistry.harness.add(posts2.persist())
+    val idSuite = BatchOnboardFolds.zipWithIndex.map { case ((m, r), i) =>
+      roster2.filter(col("doc_id") % m === r)
+        .orderBy("doc_id").limit(DecontamFixedEvalK)
+        .select(col("doc_id"), lit(i.toLong).as("suite"))
+    }.reduce(_.unionByName(_))
+    val unionIds = idSuite.select("doc_id").distinct()
+    val suiteGrams = posts.join(broadcast(idSuite), Seq("doc_id"))
+      .select("suite", "sh").distinct()
+    posts.join(broadcast(unionIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(suiteGrams), Seq("sh"))
+      .groupBy("doc_id", "suite").agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("n_overlap").desc, col("doc_id"), col("suite"))
+      .limit(DecontamTopN)
   }
 }

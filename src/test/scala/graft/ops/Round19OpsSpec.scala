@@ -73,6 +73,43 @@ class Round19OpsSpec extends SparkSpec {
       s"candidates ($nCand) must not degenerate to all pairs ($allPairs)")
   }
 
+  test("d182 state-served batch attribution ≡ the stateless per-suite " +
+      "check at the never-seen folds; rosters never flagged") {
+    val s = spark
+    val got = TextOps.d182BatchSuiteAttribution(s, sf).collect()
+      .map(_.toSeq).toSeq
+    CacheRegistry.harness.release()
+
+    // the stateless per-suite twin (t176's shape, no bloom) at the
+    // batch folds, shingled fresh from text
+    val docs = graft.Tables.documents(s, sf).select("doc_id", "text")
+    val idSuite = TextOps.BatchOnboardFolds.zipWithIndex.map {
+      case ((m, r), i) =>
+        TextOps.fixedSuiteRoster(docs, m, r)
+          .select(col("doc_id"), lit(i.toLong).as("suite"))
+    }.reduce(_.unionByName(_))
+    val unionIds = idSuite.select("doc_id").distinct()
+    val sh = TextOps.shingleTableN(docs, 5)
+    val suiteGrams = sh.join(broadcast(idSuite), Seq("doc_id"))
+      .select("suite", "sh").distinct()
+    val oneShot = sh
+      .join(broadcast(unionIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(suiteGrams), Seq("sh"))
+      .groupBy("doc_id", "suite").agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("n_overlap").desc, col("doc_id"), col("suite"))
+      .limit(50).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == oneShot,
+      "batch onboarding from state must equal the stateless per-suite check")
+
+    // a roster doc of ANY batch suite is eval data — never attributed
+    val rosterIds = unionIds.collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => !rosterIds.contains(r(0).asInstanceOf[Long])),
+      "union-roster docs are eval data, never train")
+    // every suite id is a declared batch fold index
+    assert(got.map(_(1).asInstanceOf[Long]).toSet
+      .subsetOf(TextOps.BatchOnboardFolds.indices.map(_.toLong).toSet))
+  }
+
   test("probes are exactly MultiProbeR per vector and probe 1 is the " +
       "assignment (via the v180 projection)") {
     val s = spark
