@@ -30,6 +30,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO streams default to a FILE-backed cache (useCache=true): every
+  // ImageIO.write / ImageIO.read / createImageOutputStream call creates,
+  // writes, and deletes a temp file under java.io.tmpdir — per payload.
+  // The codec paths here run over in-memory byte arrays at corpus scale
+  // (one encode+decode per image, one per video FRAME in d124), so the
+  // temp-file round trip is pure syscall overhead on the hot path
+  // (optimization guide §1.2 step 2: per-task work). Memory-cached
+  // streams hold only one image/frame at a time — bounded. The object
+  // initializer runs once per JVM (driver and each executor) before any
+  // task touches a codec method, all of which live on this object.
+  ImageIO.setUseCache(false)
+
   /** Typed media column: payload + declared mime + decode products. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("payload", BinaryType),
@@ -53,15 +65,19 @@ object Multimodal {
     val (w, h) = synthImageDims(id)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val base = text.hashCode
+    // one bulk setRGB: per-pixel setRGB pays a color-model conversion and
+    // bounds check per call (thousands per image on the hot path)
+    val pix = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (base ^ (x * 31 + y)) & 0xffffff)
+        pix(y * w + x) = (base ^ (x * 31 + y)) & 0xffffff
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, pix, 0, w)
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
@@ -447,16 +463,18 @@ object Multimodal {
         val id = r.getLong(0)
         val (base, w, h) = imageGenParams(id)
         val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val pix = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y,
-              (base ^ (((x * 31 + y) * 2654435761L) & 0xffffff)).toInt)
+            pix(y * w + x) =
+              (base ^ (((x * 31 + y) * 2654435761L) & 0xffffff)).toInt
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, pix, 0, w)
         val out = new ByteArrayOutputStream()
         ImageIO.write(img, "png", out)
         Row(id, out.toByteArray)
@@ -495,11 +513,15 @@ object Multimodal {
           val bh = h / 8
           val sums = new Array[Long](64)
           var total = 0L
+          // one bulk getRGB: the decoded PNG is typically TYPE_3BYTE_BGR,
+          // where per-pixel getRGB converts through the color model per
+          // call — the bulk form converts a full row at a time
+          val pix = img.getRGB(0, 0, w, h, null, 0, w)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val p = img.getRGB(x, y) & 0xffffff
+              val p = pix(y * w + x) & 0xffffff
               val gray =
                 ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
               sums((y / bh) * 8 + x / bw) += gray
@@ -1493,6 +1515,7 @@ object Multimodal {
     */
   private def renderAviFrame(pattern: Long): BufferedImage = {
     val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    val pix = new Array[Int](64 * 64)
     var c = 0
     while (c < 64) {
       val rgb = if (((pattern >>> (63 - c)) & 1L) == 1L) 0xffffff else 0
@@ -1501,16 +1524,29 @@ object Multimodal {
       var y = y0
       while (y < y0 + 8) {
         var x = x0
-        while (x < x0 + 8) { img.setRGB(x, y, rgb); x += 1 }
+        while (x < x0 + 8) { pix(y * 64 + x) = rgb; x += 1 }
         y += 1
       }
       c += 1
     }
+    img.setRGB(0, 0, 64, 64, pix, 0, 64)
     img
   }
 
+  // one JPEG writer per executor thread, reused across frames: the d124
+  // path encodes ~20 frames per clip, and per-frame
+  // getImageWritersByFormatName + dispose() pays registry lookup plus
+  // native codec setup/teardown for every frame (guide §4.5's
+  // initialise-once-per-task rule, here once per thread). Task threads
+  // are pooled and long-lived; one writer per thread is bounded state.
+  private val jpegWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        ImageIO.getImageWritersByFormatName("jpeg").next()
+    }
+
   private def jpegBytes(img: BufferedImage): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val writer = jpegWriter.get()
     val out = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(out)
     try {
@@ -1519,7 +1555,7 @@ object Multimodal {
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(0.95f)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.setOutput(null); ios.close() }
     out.toByteArray
   }
 
@@ -1632,21 +1668,35 @@ object Multimodal {
       StructField("fp", StringType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     withPayload.select("doc_id", "payload").mapPartitions { rows =>
+      // one JPEG reader per partition (the decodeMeta per-partition-setup
+      // discipline): ImageIO.read would re-sniff the format and build a
+      // fresh reader per FRAME. A frame that does not parse as JPEG is
+      // skipped — exactly the "undecodable frames are skipped" contract
+      // (this is an MJPEG demuxer; '00dc' chunks are JPEG by definition).
+      val reader = ImageIO.getImageReadersByFormatName("jpeg").next()
       rows.flatMap { r =>
         val id = r.getLong(0)
         extractMjpegFrames(r.getAs[Array[Byte]](1)).flatMap { jpeg =>
           val img =
-            try ImageIO.read(new ByteArrayInputStream(jpeg))
+            try {
+              val iis = ImageIO.createImageInputStream(
+                new ByteArrayInputStream(jpeg))
+              try {
+                reader.setInput(iis, true, true)
+                reader.read(0)
+              } finally { reader.setInput(null); iis.close() }
+            }
             catch { case _: Exception => null }
           if (img == null || img.getWidth != 64 || img.getHeight != 64) None
           else {
             val sums = new Array[Long](64)
             var total = 0L
+            val pix = img.getRGB(0, 0, 64, 64, null, 0, 64)
             var y = 0
             while (y < 64) {
               var x = 0
               while (x < 64) {
-                val p = img.getRGB(x, y) & 0xffffff
+                val p = pix(y * 64 + x) & 0xffffff
                 val g = ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
                 sums((y / 8) * 8 + x / 8) += g
                 total += g
