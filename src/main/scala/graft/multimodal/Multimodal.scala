@@ -1217,11 +1217,19 @@ object Multimodal {
       .select(col("doc_id"), col("keeper").as("keep_url"))
     def keeperOf(c: String): org.apache.spark.sql.Column =
       col(c).isNull || col(c) === col("doc_id")
+    // the three modality branches each run an eager CC fixpoint (several
+    // small jobs); they are independent, so overlap them from driver
+    // threads (guide §2.6 — the result labelings are scheduling-invariant,
+    // and the composed output is oracle-gated)
+    val Seq(imgRep, audRep, vidRep) = graft.ops.Par.run(s)(
+      () => rep(d98ImageNearDup(s, d), "icomp"),
+      () => rep(d102AudioNearDup(s, d), "acomp"),
+      () => rep(d103VideoOverlap(s, d), "vcomp"))
     textExactVerdict(s, d)
       .join(urlV, Seq("doc_id"))
-      .join(rep(d98ImageNearDup(s, d), "icomp"), Seq("doc_id"), "left")
-      .join(rep(d102AudioNearDup(s, d), "acomp"), Seq("doc_id"), "left")
-      .join(rep(d103VideoOverlap(s, d), "vcomp"), Seq("doc_id"), "left")
+      .join(imgRep, Seq("doc_id"), "left")
+      .join(audRep, Seq("doc_id"), "left")
+      .join(vidRep, Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_text"),
         keeperOf("icomp").as("keep_image"),
         keeperOf("acomp").as("keep_audio"),
@@ -1312,19 +1320,27 @@ object Multimodal {
 
     // video: frame state + incremental containment pairs + CC
     val frames = CacheRegistry.harness.add(d103Frames(s, d).persist())
-    val f1 = frames.filter(col("doc_id") % 2 === 0)
-    val f2 = frames.filter(col("doc_id") % 2 === 1)
-    val vPairs = incrementalClipPairs(frames.filter(lit(false)), f1)
-      .unionByName(incrementalClipPairs(f1, f2))
-    val vidRep = TextOps.connectedComponents(vPairs.select(col("d1"), col("d2")))
-      .select(col("doc_id"), col("component").as("vcomp"))
 
     def keeperOf(c: String): org.apache.spark.sql.Column =
       col(c).isNull || col(c) === col("doc_id")
+    // the three Hamming/frame branches each run 2 incremental probes plus
+    // an eager CC fixpoint over the accumulated pairs; independent, so
+    // overlapped from driver threads (guide §2.6, the d118 convention)
+    val Seq(imgRep, audRep, vidRep) = graft.ops.Par.run(s)(
+      () => hammingRep(imgHashes, "icomp"),
+      () => hammingRep(audHashes, "acomp"),
+      () => {
+        val f1 = frames.filter(col("doc_id") % 2 === 0)
+        val f2 = frames.filter(col("doc_id") % 2 === 1)
+        val vPairs = incrementalClipPairs(frames.filter(lit(false)), f1)
+          .unionByName(incrementalClipPairs(f1, f2))
+        TextOps.connectedComponents(vPairs.select(col("d1"), col("d2")))
+          .select(col("doc_id"), col("component").as("vcomp"))
+      })
     textV
       .join(urlV, Seq("doc_id"))
-      .join(hammingRep(imgHashes, "icomp"), Seq("doc_id"), "left")
-      .join(hammingRep(audHashes, "acomp"), Seq("doc_id"), "left")
+      .join(imgRep, Seq("doc_id"), "left")
+      .join(audRep, Seq("doc_id"), "left")
       .join(vidRep, Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_text"),
         keeperOf("icomp").as("keep_image"),
