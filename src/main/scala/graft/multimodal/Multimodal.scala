@@ -198,7 +198,8 @@ object Multimodal {
       StructField("payload", BinaryType),
       StructField("mime", StringType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select("doc_id", "text").mapPartitions { rows =>
+    graft.ops.Spread.byKey(docs.select("doc_id", "text"), col("doc_id"))
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val text = r.getString(1)
@@ -458,7 +459,10 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select("doc_id").mapPartitions { rows =>
+    // spread: the synth+encode work below is CPU-per-row dense and would
+    // otherwise run on the 1-2 partitions a small corpus file scans as
+    graft.ops.Spread.byKey(docs.select("doc_id"), col("doc_id"))
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (base, w, h) = imageGenParams(id)
@@ -1010,7 +1014,8 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select("doc_id").mapPartitions { rows =>
+    graft.ops.Spread.byKey(docs.select("doc_id"), col("doc_id"))
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (mult, pert, frames) = audioGenParams(id)
@@ -1444,7 +1449,8 @@ object Multimodal {
     val cls = col("doc_id") % VideoDupClasses
     val off = (expr(s"doc_id div $VideoDupClasses") % 4) * 16
     val n = lit(64) + (cls % 3) * 16
-    graft.Tables.documents(s, d)
+    graft.ops.Spread.byKey(
+        graft.Tables.documents(s, d).select("doc_id"), col("doc_id"))
       .select(col("doc_id"),
         explode(transform(sequence(off, off + n - 1),
           k => md5(concat(lit("vid:"), cls.cast("string"), lit(":"),
@@ -1656,7 +1662,11 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select("doc_id").filter(col("doc_id") < AviDocCap)
+    // spread: ~20 JPEG encodes per doc below — the most CPU-dense row
+    // work in the repo
+    graft.ops.Spread.byKey(
+        docs.select("doc_id").filter(col("doc_id") < AviDocCap),
+        col("doc_id"))
       .mapPartitions { rows =>
         rows.map(r => Row(r.getLong(0), synthAvi(r.getLong(0))))
       }(enc)

@@ -93,7 +93,7 @@ object BpeOps {
     * rendered as its characters plus the end-of-word marker.
     */
   def bpeVocab0(docs: DataFrame): DataFrame =
-    docs
+    Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -271,7 +271,7 @@ object BpeOps {
     * symbol sequence and token count; anything else is one opaque token).
     */
   private[graft] def piecesOver(docs: DataFrame, tok: DataFrame): DataFrame =
-    docs
+    Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         posexplode(TextOps.words(col("text"))).as(Seq("pos", "word")))
       .join(tok, Seq("word"), "left")
@@ -360,7 +360,8 @@ object BpeOps {
     */
   private[graft] def tokTableFor(docs: DataFrame,
       pairs: Seq[String]): DataFrame =
-    docs.select(explode(TextOps.words(col("text"))).as("word"))
+    Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .distinct()
       .withColumn("seq", applyMerges(render(col("word")), pairs))

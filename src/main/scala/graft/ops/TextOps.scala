@@ -187,7 +187,12 @@ object TextOps {
     * lengths).
     */
   private[graft] def shingleTableN(docs: DataFrame, n: Int): DataFrame = {
-    val w = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // spread: tokenize + per-doc shingle transform + the downstream
+    // partial aggregations are CPU-per-row dense and otherwise run inside
+    // the 1-2 partitions a small corpus file scans as (Spread.scala)
+    val w = Spread.byKey(docs.select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= n)
     w.select(col("doc_id"),
       explode(array_distinct(transform(
@@ -3200,7 +3205,7 @@ object TextOps {
     * incremental/streaming state a pure union of batch partials.
     */
   private[graft] def docPostings(docs: DataFrame): DataFrame =
-    docs
+    Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
@@ -3531,7 +3536,7 @@ object TextOps {
     val n1 = greatest(size(ws) - 1, lit(0))
     val bigrams = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
       (a, b) => concat(a, lit(" "), b))
-    df.select(col("doc_id"),
+    Spread.byKey(df, col("doc_id")).select(col("doc_id"),
         (col("source") === DsirTargetSource).as("is_target"),
         explode(bigrams).as("bg"))
       .groupBy(col("doc_id"), col("is_target"),
