@@ -31,13 +31,13 @@ class EpochSeedSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(e1 != e2, "the epoch seed must change the shard/concat order")
     // conservation is checkable from the boundary maps only while they
-    // are complete (under the 100-chunk report cut) — assert that first
-    assert(e1.size < 100 && e2.size < 100,
-      "corpus too large for the conservation check at this sf")
+    // are complete (under the 100-chunk report cut) — SKIP at a larger
+    // sf rather than fail (r18 ADVICE pattern, as in the capstone test)
     def totals(r: Seq[Seq[Any]]): (Long, Long) =
       (r.map(_(4).asInstanceOf[Long]).sum, r.map(_(5).asInstanceOf[Long]).sum)
-    assert(totals(e1) == totals(e2),
-      "epoch reshuffling must conserve total docs and tokens")
+    if (e1.size < 100 && e2.size < 100)
+      assert(totals(e1) == totals(e2),
+        "epoch reshuffling must conserve total docs and tokens")
     // the default seed IS the t166 parity epoch
     val t166 = TextOps.t166SequencePack(s, sf).collect().map(_.toSeq).toSeq
     assert(t166 == e1, "the default seed must be the t166 parity order")
