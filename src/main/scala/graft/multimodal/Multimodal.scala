@@ -1014,8 +1014,12 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    graft.ops.Spread.byKey(docs.select("doc_id"), col("doc_id"))
-      .mapPartitions { rows =>
+    // NOT spread (unlike the image/AVI twins): javax.sound's AudioSystem
+    // serializes on a global provider lock, so this stage is
+    // anti-scalable within a JVM — measured 1.22 s on 1 thread vs
+    // 2.52 s on 32 for the same 5000 synth+decode round trips
+    // (OPTIMIZATION_r19.md). Parallelizing it made d102/d111 2x slower.
+    docs.select("doc_id").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (mult, pert, frames) = audioGenParams(id)

@@ -91,9 +91,15 @@ object BpeOps {
     * purely-alphabetic words (so `' '` and `','` are free delimiters and
     * `_` a free marker), corpus occurrence counts as weights, each word
     * rendered as its characters plus the end-of-word marker.
+    *
+    * Deliberately NOT Spread (unlike shingleTableN/docPostings): the BPE
+    * corpus passes pipeline straight into a word-keyed aggregation whose
+    * exchange the doc-keyed spread cannot elide, so the extra exchange is
+    * pure cost — measured +1.7 s across the six BPE queries when tried
+    * (OPTIMIZATION_r19.md round 19).
     */
   def bpeVocab0(docs: DataFrame): DataFrame =
-    Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
+    docs
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -271,7 +277,7 @@ object BpeOps {
     * symbol sequence and token count; anything else is one opaque token).
     */
   private[graft] def piecesOver(docs: DataFrame, tok: DataFrame): DataFrame =
-    Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
+    docs
       .select(col("doc_id"),
         posexplode(TextOps.words(col("text"))).as(Seq("pos", "word")))
       .join(tok, Seq("word"), "left")
@@ -360,8 +366,7 @@ object BpeOps {
     */
   private[graft] def tokTableFor(docs: DataFrame,
       pairs: Seq[String]): DataFrame =
-    Spread.byKey(docs.select(col("doc_id"), col("text")), col("doc_id"))
-      .select(explode(TextOps.words(col("text"))).as("word"))
+    docs.select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .distinct()
       .withColumn("seq", applyMerges(render(col("word")), pairs))
