@@ -150,7 +150,7 @@ object Bench {
     // record carries the actual limit so two records are comparable on
     // their faces
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+    val fullRecord = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       json(times(cold))},"total_warm":$totalWarm,"queries_warm":${
       json(times(warm))},"queries_warm2":${
       json(times(warm2))},"total_min":$totalMin,"queries_min":${
@@ -159,7 +159,24 @@ object Bench {
       },"queries_t0_cold":${json(t0s(cold))},"queries_t0_warm":${
       json(t0s(warm))},"queries_t0_warm2":${json(t0s(warm2))
       },"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      },"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","gc_ms_start":$gcStart,"gc_ms_end":$gcEnd,"max_heap_mb":$maxHeapMb,"sf":"$sfDir"}""")
+      },"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","gc_ms_start":$gcStart,"gc_ms_end":$gcEnd,"max_heap_mb":$maxHeapMb,"sf":"$sfDir"}"""
+    println(fullRecord)
+    // ALSO persist the full per-query record to a stable file: the driver
+    // keeps only a ~3 KB tail of stdout, which the 181-query record
+    // outgrew (PERF_r18/r19 both show prev/now_bench_ok: false with empty
+    // per_query/scaling even though the bench succeeded). The stdout
+    // contract above is unchanged — this is an addition so the per-query
+    // comparison is consumable again. Best-effort: an unwritable path
+    // must not fail a finished measurement run.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "scripts/bench_last.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullRecord + "\n").getBytes("UTF-8"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
     // Compact summary printed LAST (<1 KB): the driver keeps only the final
     // ~2000 chars of output, and the full record above (~8 KB at 81 queries)
     // overflows that window — round 6 recorded "parsed": null and lost

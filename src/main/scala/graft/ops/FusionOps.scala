@@ -99,7 +99,7 @@ object FusionOps {
     * summation), self excluded to match the dense side's self exclusion.
     */
   def t150HybridFusion(s: SparkSession, d: String): DataFrame =
-    fusionOver(s, d, VectorOps.v134IvfPqRerank(s, d), None)
+    fusionOver(s, d, () => VectorOps.v134IvfPqRerank(s, d), None)
 
   /** Attribute-filtered hybrid fusion — the t160 query, the filtered
     * retrieval matrix cell (v122/v129/v142/v143) applied to the FUSED
@@ -123,18 +123,36 @@ object FusionOps {
   def t160FilteredFusion(s: SparkSession, d: String): DataFrame = {
     val allowed = embeddings(s, d).filter(col("label") % 2 === 0)
       .select(col("vec_id").as("doc_id"))
-    fusionOver(s, d, VectorOps.v143FilteredRerank(s, d), Some(allowed))
+    fusionOver(s, d, () => VectorOps.v143FilteredRerank(s, d), Some(allowed))
   }
 
   /** The fusion body shared by t150 (unfiltered) and t160 (candidate
-    * restriction below the lexical score, above its rank): `denseRk` is
-    * the dense side's exact-re-ranked (query_id, neighbor_id, rnk) list;
-    * `restrict` holds the allowed doc_ids.
+    * restriction below the lexical score, above its rank): `denseRkF`
+    * CONSTRUCTS the dense side's exact-re-ranked (query_id, neighbor_id,
+    * rnk) list; `restrict` holds the allowed doc_ids.
+    *
+    * The two halves are independent until the fusion join, and each has
+    * eager driver-sequential work (the dense construction runs the
+    * probed-list collect over the whole training chain; the lexical list
+    * is a postings/tokenize pass) — so they run on two driver threads
+    * (guide §2.6, the d118 Par pattern): the dense side is constructed
+    * while the lexical top-k list is persisted and primed. Results are
+    * unchanged (both halves are pure functions of their inputs; the
+    * oracle gate re-proves it).
     */
-  private def fusionOver(s: SparkSession, d: String, denseRk: DataFrame,
-      restrict: Option[DataFrame]): DataFrame =
-    rrfFuse(lexListFor(s, d, restrict), denseOf(denseRk))
+  private def fusionOver(s: SparkSession, d: String,
+      denseRkF: () => DataFrame, restrict: Option[DataFrame]): DataFrame = {
+    val Seq(denseRk, lex) = Par.run[DataFrame](s)(
+      () => denseRkF(),
+      () => {
+        val l = CacheRegistry.harness.add(
+          lexListFor(s, d, restrict).persist())
+        l.count()
+        l
+      })
+    rrfFuse(lex, denseOf(denseRk))
       .orderBy("query_id", "rn")
+  }
 
   /** A re-ranked dense chain's (query_id, neighbor_id, rnk) list in the
     * fusion tail's column contract.
@@ -203,7 +221,7 @@ object FusionOps {
     * the audited t150 plan plus one O(queries) join of two 3-slot lists.
     */
   def t162FusionRecall(s: SparkSession, d: String): DataFrame =
-    recallReportOn(s, d, VectorOps.v134IvfPqRerank(s, d))
+    recallReportOn(s, d, () => VectorOps.v134IvfPqRerank(s, d))
 
   /** The fused-recall report at a GIVEN production dense side — shared
     * by [[t162FusionRecall]] (the compacted-layout twin: v134's one-shot
@@ -213,10 +231,18 @@ object FusionOps {
     * ground truth.
     */
   private def recallReportOn(s: SparkSession, d: String,
-      denseRk: DataFrame): DataFrame = {
-    // persist(): the lexical list fuses against BOTH dense lists
-    val lex = CacheRegistry.harness.add(
-      lexListFor(s, d, None).persist())
+      denseRkF: () => DataFrame): DataFrame = {
+    // persist(): the lexical list fuses against BOTH dense lists. The
+    // dense construction (training-chain collects) and the lexical
+    // priming are independent — two driver threads (the fusionOver
+    // overlap; guide §2.6)
+    val Seq(denseRk, lex) = Par.run[DataFrame](s)(
+      () => denseRkF(),
+      () => {
+        val l = CacheRegistry.harness.add(lexListFor(s, d, None).persist())
+        l.count()
+        l
+      })
     val approx = rrfFuse(lex, denseOf(denseRk))
       .select("query_id", "doc_id")
     val truth = rrfFuse(lex, denseOf(VectorOps.exactDenseTop3(s, d)))
@@ -251,7 +277,13 @@ object FusionOps {
     * every live read pays (the documented freshness trade); the
     * ground-truth brute force is t162's audit price, unchanged.
     */
-  def d173FreshRecall(s: SparkSession, d: String): DataFrame = {
+  def d173FreshRecall(s: SparkSession, d: String): DataFrame =
+    // the dense-side construction below is a thunk: recallReportOn runs
+    // it on a driver thread concurrently with the lexical priming (the
+    // probed-list collect at the end executes the whole training chain)
+    recallReportOn(s, d, () => d173DenseRk(s, d))
+
+  private def d173DenseRk(s: SparkSession, d: String): DataFrame = {
     import VectorOps._
     // the v133 frozen artifacts, trained exactly as the one-shot trains
     val emb = CacheRegistry.harness.add(
@@ -277,10 +309,9 @@ object FusionOps {
       .select("vec_id", "clabel", "m", "cid")
     val queries = emb.filter(col("vec_id") < 5)
     val lut = residualLut(s, ivfQueryProbes(s, queries, cent), cent, cb)
-    val denseRk = exactRerankOn(s,
+    exactRerankOn(s,
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
       listLutAdcScore(live, lut))
-    recallReportOn(s, d, denseRk)
   }
 }

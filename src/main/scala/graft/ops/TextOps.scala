@@ -2570,7 +2570,13 @@ object TextOps {
       // ids (they break the next round's Union constraint rewrite), so the
       // round's DataFrame is rebuilt from the checkpointed RDD with fresh
       // attributes.
-      val ck = raw.localCheckpoint(true)
+      // LAZY checkpoint (eager = false): the convergence probe right below
+      // is itself a full-partition action, so it materializes the
+      // checkpoint blocks AND computes the label sum in ONE job — an eager
+      // checkpoint ran a separate count() job first, doubling the
+      // per-round job count (and the fixpoint's cost at bench scale IS
+      // the per-round job floor × rounds × 13 callers; guide §1.2 step 1).
+      val ck = raw.localCheckpoint(false)
       val ckRdd = ck.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
@@ -3536,7 +3542,13 @@ object TextOps {
     val n1 = greatest(size(ws) - 1, lit(0))
     val bigrams = zip_with(slice(ws, lit(1), n1), slice(ws, lit(2), n1),
       (a, b) => concat(a, lit(" "), b))
-    Spread.byKey(df, col("doc_id")).select(col("doc_id"),
+    // project to the consumed columns BEFORE the spread: callers pass
+    // union-with-state frames carrying extra columns, and the exchange
+    // should move only (doc_id, source, text) — the narrow-rows contract
+    // of every other Spread site
+    Spread.byKey(df.select(col("doc_id"), col("source"), col("text")),
+        col("doc_id"))
+      .select(col("doc_id"),
         (col("source") === DsirTargetSource).as("is_target"),
         explode(bigrams).as("bg"))
       .groupBy(col("doc_id"), col("is_target"),
@@ -3826,7 +3838,13 @@ object TextOps {
     * generateTreeString at sf0.001 before this cut).
     */
   private def hitsCheckpoint(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
+    // LAZY (eager = false): plan truncation — the reason this checkpoint
+    // exists — happens at construction either way (the LogicalRDD replaces
+    // the lineage immediately); laziness only folds the block
+    // materialization into the next half-step's first job instead of a
+    // dedicated count() per half-step (6 saved jobs per trajectory — the
+    // connectedComponents round fusion, applied here)
+    val ck = df.localCheckpoint(false)
     ck.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(CacheRegistry.harness.addRdd)
@@ -3987,8 +4005,18 @@ object TextOps {
 
     // D: dsts of every new-graph edge leaving a src whose edge set changed
     val deltaSrcs = deltaEdges.select("src").distinct()
-    val (ovs, affectedCounts) = prOverlays(nn, i => base(i), newEdges,
-      outdegNew, deltaSrcs, CacheRegistry.harness)
+    // the affected-set recurrence is a chain of driver-sequential counts
+    // over newEdges that never reads a base rank, and the base trajectory
+    // is a chain of tiny dependent aggregations — independent until the
+    // overlay steps consume both. Materialize the base on a second driver
+    // thread while the counts run (guide §2.6; the d118/fusion Par
+    // pattern). prOverlays only CONSTRUCTS the overlay frames (lazy), so
+    // nothing downstream executes before both threads join.
+    val (ovs, affectedCounts) = Par.run[AnyRef](s)(
+      () => { base(PrIters).count(); null },
+      () => prOverlays(nn, i => base(i), newEdges,
+        outdegNew, deltaSrcs, CacheRegistry.harness))(1)
+      .asInstanceOf[(Vector[DataFrame], Seq[Long])]
 
     val healed = prOverlaid(base(PrIters), ovs.last).orderBy("doc_id")
     (healed, affectedCounts, nn)

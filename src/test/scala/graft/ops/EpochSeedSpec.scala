@@ -30,17 +30,21 @@ class EpochSeedSpec extends SparkSpec {
     val e2 = TextOps.sequencePackOn(docs, seed = TextOps.EpochSeed2)
       .collect().map(_.toSeq).toSeq
     assert(e1 != e2, "the epoch seed must change the shard/concat order")
-    // conservation is checkable from the boundary maps only while they
-    // are complete (under the 100-chunk report cut) — SKIP at a larger
-    // sf rather than fail (r18 ADVICE pattern, as in the capstone test)
-    def totals(r: Seq[Seq[Any]]): (Long, Long) =
-      (r.map(_(4).asInstanceOf[Long]).sum, r.map(_(5).asInstanceOf[Long]).sum)
-    if (e1.size < 100 && e2.size < 100)
-      assert(totals(e1) == totals(e2),
-        "epoch reshuffling must conserve total docs and tokens")
     // the default seed IS the t166 parity epoch
     val t166 = TextOps.t166SequencePack(s, sf).collect().map(_.toSeq).toSeq
     assert(t166 == e1, "the default seed must be the t166 parity order")
+    // conservation is checkable from the boundary maps only while they
+    // are complete (under the 100-chunk report cut) — skip VISIBLY at a
+    // larger sf rather than fail (r19 ADVICE: assume(), not a silent if;
+    // it runs last so the divergence/parity assertions above stay
+    // unconditional)
+    def totals(r: Seq[Seq[Any]]): (Long, Long) =
+      (r.map(_(4).asInstanceOf[Long]).sum, r.map(_(5).asInstanceOf[Long]).sum)
+    assume(e1.size < 100 && e2.size < 100,
+      "conservation check skipped: the 100-chunk report cut truncates " +
+        "the boundary maps at this sf")
+    assert(totals(e1) == totals(e2),
+      "epoch reshuffling must conserve total docs and tokens")
   }
 
   test("two epoch seeds redraw the mixture: different manifest, " +
