@@ -2402,13 +2402,23 @@ object TextOps {
     val fpState2 = fpState1
       .unionByName(docState(b2).groupBy("fp").agg(min("doc_id").as("keeper")))
       .groupBy("fp").agg(min("keeper").as("keeper"))
-    // near-dup labels: incremental pairs -> incremental components
+    // near-dup labels: incremental pairs -> incremental components.
+    // Batch 1's label fixpoint and batch 2's pair probe are independent
+    // (the probe reads sigs1, never labels1) — overlap them on driver
+    // threads (guide §2.6, the d118/fusion Par pattern); the probe's
+    // pair table is persisted and primed so the merge fixpoint reads it
+    // from cache
     val empty = minhashSignatures(docs.filter(lit(false)))
     val (sigs1, pairs1) = incrementalMinhashDedup(empty, b1)
-    val labels1 = connectedComponents(pairs1.select("d1", "d2"))
-    val (_, pairs2) = incrementalMinhashDedup(sigs1, b2)
-    val labels2 =
-      incrementalConnectedComponents(labels1, pairs2.select("d1", "d2"))
+    val Seq(labels1, pairs2) = graft.ops.Par.run[DataFrame](s)(
+      () => connectedComponents(pairs1.select("d1", "d2")),
+      () => {
+        val (_, p2) = incrementalMinhashDedup(sigs1, b2)
+        val p2p = CacheRegistry.harness.add(p2.select("d1", "d2").persist())
+        p2p.count()
+        p2p
+      })
+    val labels2 = incrementalConnectedComponents(labels1, pairs2)
     // accumulated per-doc state (appended O(batch) per batch)
     val state = docState(b1).unionByName(docState(b2))
     // NULL-SAFE fp equality: md5(null text) is a null fp, and t65's window
@@ -2732,11 +2742,18 @@ object TextOps {
     val empty = minhashSignatures(docs.filter(lit(false)))
     val (sigs1, pairs1) =
       incrementalMinhashDedup(empty, docs.filter(col("doc_id") % 2 === 0))
-    val labels1 = connectedComponents(pairs1.select("d1", "d2"))
-    val (_, pairs2) =
-      incrementalMinhashDedup(sigs1, docs.filter(col("doc_id") % 2 === 1))
-    val labels2 =
-      incrementalConnectedComponents(labels1, pairs2.select("d1", "d2"))
+    // batch 1's label fixpoint overlaps batch 2's pair probe (the d96
+    // pattern — the probe reads sigs1, never labels1)
+    val Seq(labels1, pairs2) = Par.run[DataFrame](s)(
+      () => connectedComponents(pairs1.select("d1", "d2")),
+      () => {
+        val (_, p2) = incrementalMinhashDedup(sigs1,
+          docs.filter(col("doc_id") % 2 === 1))
+        val p2p = CacheRegistry.harness.add(p2.select("d1", "d2").persist())
+        p2p.count()
+        p2p
+      })
+    val labels2 = incrementalConnectedComponents(labels1, pairs2)
     labels2
       .withColumn("csize", count(lit(1)).over(Window.partitionBy("component")))
       .orderBy("doc_id")
@@ -2821,11 +2838,17 @@ object TextOps {
     // accumulated pair state the heal scans
     val pairs1 = CacheRegistry.harness.add(
       pairs1raw.select("d1", "d2").persist())
-    val labels1 = connectedComponents(pairs1)
-    val (_, pairs2raw) =
-      incrementalMinhashDedup(sigs1, docs.filter(col("doc_id") % 2 === 1))
-    val pairs2 = CacheRegistry.harness.add(
-      pairs2raw.select("d1", "d2").persist())
+    // batch 1's label fixpoint overlaps batch 2's pair probe (the d96
+    // pattern — the probe reads sigs1, never labels1)
+    val Seq(labels1, pairs2) = Par.run[DataFrame](s)(
+      () => connectedComponents(pairs1),
+      () => {
+        val (_, p2raw) = incrementalMinhashDedup(sigs1,
+          docs.filter(col("doc_id") % 2 === 1))
+        val p2 = CacheRegistry.harness.add(p2raw.select("d1", "d2").persist())
+        p2.count()
+        p2
+      })
     val labels2 = incrementalConnectedComponents(labels1, pairs2)
     val pairState = pairs1.unionByName(pairs2)
     val deleted = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
