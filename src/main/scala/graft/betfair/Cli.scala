@@ -117,6 +117,9 @@ object Cli {
       .appName("graft-bfdb")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized for a long-lived multi-query session
+      // (default 100 thrashes; see Bench.scala for the measurements)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     // quiet overrides verbose, like the reference (cli.py:160)
     val logLevel =
