@@ -1222,19 +1222,32 @@ object Multimodal {
     def rep(pairs: DataFrame, name: String): DataFrame =
       TextOps.connectedComponents(pairs.select(col("d1"), col("d2")))
         .select(col("doc_id"), col("component").as(name))
-    val urlV = TextOps.d93UrlDedup(s, d)
-      .select(col("doc_id"), col("keeper").as("keep_url"))
     def keeperOf(c: String): org.apache.spark.sql.Column =
       col(c).isNull || col(c) === col("doc_id")
     // the three modality branches each run an eager CC fixpoint (several
     // small jobs); they are independent, so overlap them from driver
     // threads (guide §2.6 — the result labelings are scheduling-invariant,
-    // and the composed output is oracle-gated)
-    val Seq(imgRep, audRep, vidRep) = graft.ops.Par.run(s)(
+    // and the composed output is oracle-gated). The text and URL verdicts
+    // are equally independent inputs of the final composition join — they
+    // used to execute sequentially INSIDE the final action after every
+    // branch had finished, so they are persisted and primed as two more
+    // branches, hiding their cost in the fixpoints' round tails.
+    import graft.ops.{CacheRegistry, Par}
+    val Seq(imgRep, audRep, vidRep, textV, urlV) = Par.run(s)(
       () => rep(d98ImageNearDup(s, d), "icomp"),
       () => rep(d102AudioNearDup(s, d), "acomp"),
-      () => rep(d103VideoOverlap(s, d), "vcomp"))
-    textExactVerdict(s, d)
+      () => rep(d103VideoOverlap(s, d), "vcomp"),
+      () => {
+        val v = CacheRegistry.harness.add(textExactVerdict(s, d).persist())
+        v.count(); v
+      },
+      () => {
+        val v = CacheRegistry.harness.add(
+          TextOps.d93UrlDedup(s, d)
+            .select(col("doc_id"), col("keeper").as("keep_url")).persist())
+        v.count(); v
+      })
+    textV
       .join(urlV, Seq("doc_id"))
       .join(imgRep, Seq("doc_id"), "left")
       .join(audRep, Seq("doc_id"), "left")
@@ -1334,8 +1347,12 @@ object Multimodal {
       col(c).isNull || col(c) === col("doc_id")
     // the three Hamming/frame branches each run 2 incremental probes plus
     // an eager CC fixpoint over the accumulated pairs; independent, so
-    // overlapped from driver threads (guide §2.6, the d118 convention)
-    val Seq(imgRep, audRep, vidRep) = graft.ops.Par.run(s)(
+    // overlapped from driver threads (guide §2.6, the d118 convention).
+    // The text/URL state verdicts are independent inputs of the final
+    // composition join — persisted and primed as two more branches so
+    // their cost hides in the fixpoints' round tails instead of running
+    // sequentially inside the final action (the d118 pattern).
+    val Seq(imgRep, audRep, vidRep, textVp, urlVp) = graft.ops.Par.run(s)(
       () => hammingRep(imgHashes, "icomp"),
       () => hammingRep(audHashes, "acomp"),
       () => {
@@ -1345,9 +1362,17 @@ object Multimodal {
           .unionByName(incrementalClipPairs(f1, f2))
         TextOps.connectedComponents(vPairs.select(col("d1"), col("d2")))
           .select(col("doc_id"), col("component").as("vcomp"))
+      },
+      () => {
+        val v = CacheRegistry.harness.add(textV.persist())
+        v.count(); v
+      },
+      () => {
+        val v = CacheRegistry.harness.add(urlV.persist())
+        v.count(); v
       })
-    textV
-      .join(urlV, Seq("doc_id"))
+    textVp
+      .join(urlVp, Seq("doc_id"))
       .join(imgRep, Seq("doc_id"), "left")
       .join(audRep, Seq("doc_id"), "left")
       .join(vidRep, Seq("doc_id"), "left")

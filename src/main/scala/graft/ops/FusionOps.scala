@@ -233,19 +233,26 @@ object FusionOps {
   private def recallReportOn(s: SparkSession, d: String,
       denseRkF: () => DataFrame): DataFrame = {
     // persist(): the lexical list fuses against BOTH dense lists. The
-    // dense construction (training-chain collects) and the lexical
-    // priming are independent — two driver threads (the fusionOver
+    // dense construction (training-chain collects), the lexical priming,
+    // and the ground-truth brute-force top-3 are three independent
+    // inputs of the final report — three driver threads (the fusionOver
     // overlap; guide §2.6)
-    val Seq(denseRk, lex) = Par.run[DataFrame](s)(
+    val Seq(denseRk, lex, truthRk) = Par.run[DataFrame](s)(
       () => denseRkF(),
       () => {
         val l = CacheRegistry.harness.add(lexListFor(s, d, None).persist())
         l.count()
         l
+      },
+      () => {
+        val g = CacheRegistry.harness.add(
+          VectorOps.exactDenseTop3(s, d).persist())
+        g.count()
+        g
       })
     val approx = rrfFuse(lex, denseOf(denseRk))
       .select("query_id", "doc_id")
-    val truth = rrfFuse(lex, denseOf(VectorOps.exactDenseTop3(s, d)))
+    val truth = rrfFuse(lex, denseOf(truthRk))
       .select("query_id", "doc_id")
     val a = approx.groupBy("query_id")
       .agg(sort_array(collect_list("doc_id")).as("aset"))

@@ -3047,15 +3047,28 @@ object TextOps {
     */
   private def manifestFrom(s: SparkSession, d: String,
       sel: Option[DataFrame]): DataFrame = {
-    val cap = t100SourceCap(s, d).filter(col("kept")).select("doc_id")
-    val gate = graft.multimodal.Multimodal.d118FullMultimodalGate(s, d)
-      .filter(col("kept")).select("doc_id")
+    // the cap verdict and the selection pool are independent of the
+    // multimodal gate until stage1's join, and the gate's construction
+    // runs eager fixpoints — prime them on driver threads inside that
+    // window (guide §2.6, the d118 pattern)
+    def prime(df: DataFrame): DataFrame = {
+      val p = CacheRegistry.harness.add(df.persist()); p.count(); p
+    }
+    val thunks: Seq[() => DataFrame] = Seq(
+      () => graft.multimodal.Multimodal.d118FullMultimodalGate(s, d)
+        .filter(col("kept")).select("doc_id"),
+      () => prime(t100SourceCap(s, d).filter(col("kept")).select("doc_id"))
+    ) ++ sel.map(p => () => prime(p))
+    val primed = Par.run[DataFrame](s)(thunks: _*)
+    val gate = primed(0)
+    val cap = primed(1)
+    val selP = sel.map(_ => primed(2))
     val base = documents(s, d).select(col("doc_id"), col("lang"),
       size(words(col("text"))).cast("long").as("n_tokens"))
     // persist(): the gated survivor table feeds the rate aggregation and
     // the mixture join
     val stage1 = CacheRegistry.harness.add(
-      sel.foldLeft(base.join(cap, "doc_id").join(gate, "doc_id"))(
+      selP.foldLeft(base.join(cap, "doc_id").join(gate, "doc_id"))(
         (df, k) => df.join(k, "doc_id")).persist())
     val counts = stage1.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val nmin = counts.agg(min("n_docs").as("n_min"))
