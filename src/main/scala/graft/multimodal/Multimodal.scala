@@ -1167,11 +1167,27 @@ object Multimodal {
     * beyond the doc_id-keyed composition joins.
     */
   def d106MultimodalDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.ops.TextOps
-    val urlV = TextOps.d93UrlDedup(s, d)
-      .select(col("doc_id"), col("keeper").as("keep_url"))
-    val imgLabels = d105ImageClusters(s, d).select("doc_id", "component")
-    textExactVerdict(s, d).join(urlV, Seq("doc_id"))
+    import graft.ops.{CacheRegistry, Par, TextOps}
+    // the image branch runs an eager CC fixpoint (several small jobs)
+    // during construction; the text and URL verdicts are independent
+    // inputs of the composition join that used to execute sequentially
+    // INSIDE the final action after the fixpoint had finished. Same
+    // overlap as d118 (guide §2.6): run the fixpoint on one driver
+    // thread, persist + prime the two verdicts on two more, so their
+    // cost hides in the fixpoint's round tails.
+    val Seq(imgLabels, textV, urlV) = Par.run[DataFrame](s)(
+      () => d105ImageClusters(s, d).select("doc_id", "component"),
+      () => {
+        val v = CacheRegistry.harness.add(textExactVerdict(s, d).persist())
+        v.count(); v
+      },
+      () => {
+        val v = CacheRegistry.harness.add(
+          TextOps.d93UrlDedup(s, d)
+            .select(col("doc_id"), col("keeper").as("keep_url")).persist())
+        v.count(); v
+      })
+    textV.join(urlV, Seq("doc_id"))
       .join(imgLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_text"),
         (col("component").isNull || col("component") === col("doc_id"))

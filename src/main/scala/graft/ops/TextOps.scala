@@ -2345,6 +2345,14 @@ object TextOps {
   def t65CleanPipeline(s: SparkSession, d: String): DataFrame = {
     val keepQuality = gopherKeep(col("text"))
     val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    // NOT overlapped (r20, measured): priming `base` on a Par thread
+    // (persist + count) forces EVERY column — 10-15 s of gopherKeep regex
+    // work at sf0.1 that the un-persisted plan's consumers can prune when
+    // they don't read the verdict columns (a count-rooted plan prunes the
+    // window and the quality regexes outright; Catalyst cannot prune
+    // through a cache build). Measured 3.5 s -> 12 s. The d137/d106
+    // overlap survives because THEIR primed tables were already persisted
+    // (or are narrow) — the cache build added no new column work there.
     val base = documents(s, d)
       .select(col("doc_id"), keepQuality.as("keep_quality"),
         md5(canon).as("fp"))
@@ -3431,10 +3439,18 @@ object TextOps {
     * comparison (including ties) is engine-exact.
     */
   def d137QualityKeeper(s: SparkSession, d: String): DataFrame = {
-    val labels = connectedComponents(
-      d26MinhashLsh(s, d).select(col("d1"), col("d2")))
-    val q = documents(s, d)
-      .select(col("doc_id"), trunc4(qualityScore).as("quality"))
+    // same overlap as t65: the eager CC fixpoint on one driver thread,
+    // the independent quality table (a regex-dense scan) persisted and
+    // primed on another (guide §2.6)
+    val Seq(labels, q) = Par.run[DataFrame](s)(
+      () => connectedComponents(
+        d26MinhashLsh(s, d).select(col("d1"), col("d2"))),
+      () => {
+        val qq = CacheRegistry.harness.add(documents(s, d)
+          .select(col("doc_id"), trunc4(qualityScore).as("quality"))
+          .persist())
+        qq.count(); qq
+      })
     val member = CacheRegistry.harness.add(
       labels.join(q, Seq("doc_id")).persist())
     val keepers = member.groupBy("component")
