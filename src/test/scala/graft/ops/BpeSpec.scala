@@ -139,6 +139,24 @@ class BpeSpec extends SparkSpec {
     CacheRegistry.harness.release()
   }
 
+  test("served vocab (local rules + fold) == distributed loop's vocab") {
+    // the r20 query path: rules learned driver-locally, the serving
+    // vocab built as ONE map-side fold of those rules over vocab0 —
+    // must equal the distributed loop's incrementally-built vocab row
+    // for row (word, freq, seq), since the fold in learn order IS the
+    // round-by-round application
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (served, localRules) = BpeOps.learnBpeServed(docs)
+    val (vK, distRules) = BpeOps.learnBpeOn(docs)
+    assert(localRules == distRules)
+    val l = served.select(col("word"), col("freq"), col("seq"))
+    val r = vK.select(col("word"), col("freq"), col("seq"))
+    assert(l.exceptAll(r).count() == 0 && r.exceptAll(l).count() == 0,
+      "served vocab table diverged from the distributed loop's")
+    CacheRegistry.harness.release()
+  }
+
   test("driver-local learn stops cleanly when the pair table exhausts") {
     // the realistic-K path must tolerate k far beyond what a small
     // vocabulary can supply: once every word is fully merged to one
