@@ -3889,17 +3889,29 @@ object TextOps {
     * grow combinatorially — measured as minutes of driver CPU inside
     * generateTreeString at sf0.001 before this cut).
     */
-  private def hitsCheckpoint(df: DataFrame): DataFrame = {
-    // LAZY (eager = false): plan truncation — the reason this checkpoint
-    // exists — happens at construction either way (the LogicalRDD replaces
-    // the lineage immediately); laziness only folds the block
-    // materialization into the next half-step's first job instead of a
-    // dedicated count() per half-step (6 saved jobs per trajectory — the
-    // connectedComponents round fusion, applied here)
+  private def hitsCheckpoint(df: DataFrame): DataFrame =
+    lineageCheckpoint(df, CacheRegistry.harness)
+
+  /** [[hitsCheckpoint]] with an explicit registry — the eager-truncation
+    * convention shared by the HITS trajectory and the t145 pagerank-delta
+    * chains (whose per-iteration base/overlay tables used plain persist,
+    * leaving the full prior lineage in every later step's plan TEXT: the
+    * t145 final plan measured 14,677 explain lines, Catalyst re-walking
+    * it per action — r20).
+    *
+    * LAZY (eager = false): plan truncation — the reason this checkpoint
+    * exists — happens at construction either way (the LogicalRDD replaces
+    * the lineage immediately); laziness only folds the block
+    * materialization into the consumer's first job instead of a
+    * dedicated count() per step (the connectedComponents round fusion,
+    * applied here).
+    */
+  private[ops] def lineageCheckpoint(df: DataFrame, reg: CacheRegistry)
+      : DataFrame = {
     val ck = df.localCheckpoint(false)
     ck.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(CacheRegistry.harness.addRdd)
+    }.foreach(reg.addRdd)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
@@ -4048,11 +4060,16 @@ object TextOps {
     val outdegNew = CacheRegistry.harness.add(
       newEdges.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
 
-    // the base trajectory p0..pK — production's stored artifact
+    // the base trajectory p0..pK — production's stored artifact.
+    // lineageCheckpoint, not persist: each step's table is read by the
+    // next step AND by the overlay loop, and a plain persist leaves the
+    // whole prior lineage in every later plan's TEXT (the HITS lesson —
+    // the t145 final plan measured 14,677 explain lines before this cut)
     var base = Vector(prInit(docs, nn))
     for (_ <- 1 to PrIters) {
-      base = base :+ CacheRegistry.harness.add(
-        prStep(docs, base.last, baseEdges, outdegBase, nn).persist())
+      base = base :+ lineageCheckpoint(
+        prStep(docs, base.last, baseEdges, outdegBase, nn),
+        CacheRegistry.harness)
     }
 
     // D: dsts of every new-graph edge leaving a src whose edge set changed
@@ -4139,8 +4156,11 @@ object TextOps {
       val edgesIn = newEdges
         .join(gated(aCur.select(col("doc_id").as("dst")), aCnt),
           Seq("dst"), "left_semi")
-      ovs = ovs :+ reg.add(prStep(aCur, prev, edgesIn, outdegNew, nn)
-        .persist())
+      // lineageCheckpoint: each overlay is read by the next iteration's
+      // prOverlaid AND the final healed view — persist would chain every
+      // prior overlay's (and base step's) lineage into each later plan
+      ovs = ovs :+ lineageCheckpoint(
+        prStep(aCur, prev, edgesIn, outdegNew, nn), reg)
       affectedCounts += aCnt
     }
     (ovs, affectedCounts.toSeq)
