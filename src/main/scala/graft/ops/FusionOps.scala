@@ -143,10 +143,17 @@ object FusionOps {
   private def fusionOver(s: SparkSession, d: String,
       denseRkF: () => DataFrame, restrict: Option[DataFrame]): DataFrame = {
     val Seq(denseRk, lex) = Par.run[DataFrame](s)(
-      () => denseRkF(),
+      // lineageCheckpoint at the fusion boundary: the dense list is a
+      // queries×k table, but its PLAN embeds the whole training chain's
+      // text (persist does not cut plan-description size — an
+      // InMemoryRelation prints its cached plan), and AQE regenerates
+      // that description on every action over the fused plan
+      () => TextOps.lineageCheckpoint(denseRkF(), CacheRegistry.harness),
       () => {
-        val l = CacheRegistry.harness.add(
-          lexListFor(s, d, restrict).persist())
+        // checkpoint, not persist, for the same plan-text reason; the
+        // count() keeps the priming eager inside the overlap window
+        val l = TextOps.lineageCheckpoint(
+          lexListFor(s, d, restrict), CacheRegistry.harness)
         l.count()
         l
       })
@@ -238,15 +245,22 @@ object FusionOps {
     // inputs of the final report — three driver threads (the fusionOver
     // overlap; guide §2.6)
     val Seq(denseRk, lex, truthRk) = Par.run[DataFrame](s)(
-      () => denseRkF(),
+      // checkpoint at the boundary — see fusionOver: the report's plan
+      // would otherwise embed the full training-chain text twice (once
+      // per fused list) and regenerate it per action
+      () => TextOps.lineageCheckpoint(denseRkF(), CacheRegistry.harness),
       () => {
-        val l = CacheRegistry.harness.add(lexListFor(s, d, None).persist())
+        // checkpoint, not persist (plan text — see fusionOver); the list
+        // fuses against BOTH dense lists, which a checkpoint serves the
+        // same way a cache does
+        val l = TextOps.lineageCheckpoint(
+          lexListFor(s, d, None), CacheRegistry.harness)
         l.count()
         l
       },
       () => {
-        val g = CacheRegistry.harness.add(
-          VectorOps.exactDenseTop3(s, d).persist())
+        val g = TextOps.lineageCheckpoint(
+          VectorOps.exactDenseTop3(s, d), CacheRegistry.harness)
         g.count()
         g
       })
