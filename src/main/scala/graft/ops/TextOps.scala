@@ -3059,6 +3059,12 @@ object TextOps {
     // multimodal gate until stage1's join, and the gate's construction
     // runs eager fixpoints — prime them on driver threads inside that
     // window (guide §2.6, the d118 pattern)
+    // persist, NOT lineageCheckpoint (r20, measured): a checkpointed
+    // list's LogicalRDD reports defaultSizeInBytes, so stage1's joins
+    // lose their auto-broadcast and re-shuffle the corpus side — t125
+    // 6.9 -> 8.5 s. The InMemoryRelation keeps real stats (broadcast at
+    // this scale, SMJ when the survivor lists outgrow the threshold),
+    // which is the scale-adaptive choice; the plan-text cost stays.
     def prime(df: DataFrame): DataFrame = {
       val p = CacheRegistry.harness.add(df.persist()); p.count(); p
     }
