@@ -48,6 +48,21 @@ object Bench {
       // classes were always evicted by the 150 queries before it, and
       // any upstream plan reshape moved the eviction pattern.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Let AQE re-pick the output partitioning INSIDE cache/checkpoint
+      // materialization (public conf, default false since SPARK-38410):
+      // the iterative operators persist compact tables (CC's symmetric
+      // edge list, per-round labels, verdict lists) whose cache builds
+      // otherwise freeze the full shuffle-partition fan-out, so every
+      // fixpoint round runs `cpus` tiny tasks over KB-scale blocks — the
+      // dominant cost of the gate/CC family at bench scale. With the
+      // conf on, AQE coalesces those cached layouts from their ACTUAL
+      // sizes (measured at sf0.1/local[32], warm: d118 6.5 -> 3.9 s,
+      // d128 6.9 -> 4.0 s), and at production sizes it keeps the wide
+      // layout — the scale-adaptive choice the optimization guide
+      // prescribes, not a local-mode constant. Results are unaffected
+      // (partitioning only); the full oracle gate re-proved 181/181.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg()

@@ -120,6 +120,11 @@ object Cli {
       // generated-class cache sized for a long-lived multi-query session
       // (default 100 thrashes; see Bench.scala for the measurements)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE may re-pick partitioning inside cache materialization — the
+      // iterative operators' compact persisted tables otherwise freeze
+      // the full shuffle fan-out at any data size (see Bench.scala)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     // quiet overrides verbose, like the reference (cli.py:160)
     val logLevel =
