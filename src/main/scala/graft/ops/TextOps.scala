@@ -2535,7 +2535,24 @@ object TextOps {
     val eckRdd = eck.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
-    val e = eck.sparkSession.createDataFrame(eck.rdd, eck.schema)
+    val e0 = eck.sparkSession.createDataFrame(eck.rdd, eck.schema)
+    // The incremental callers' edge plans end in union/anti-join stages
+    // whose CHECKPOINTED layout concatenates every upstream stage's
+    // partitions (AQE coalesces shuffle outputs, but a checkpoint captures
+    // the raw final-stage layout — d126's edge table arrives as 161
+    // near-empty partitions for ~35k edges), and sym below doubles it via
+    // the symmetric union: 322 map tasks per materialization, measured as
+    // the single largest job of the d126 fixpoint (~1.1 s at sf0.1).
+    // Narrow-coalesce back to the session's parallelism — the exact mirror
+    // of Spread.byKey (guide §2.5: match partition count to cores from
+    // both sides), a no-op whenever the layout is already at or under core
+    // count, and partitioning-only (results unchanged). At production
+    // scale a TB edge list arrives with >= parallelism partitions of real
+    // data and keeps its layout — this only collapses the tiny-partition
+    // overhang that AQE cannot see through a checkpoint.
+    val ePartitions = eck.rdd.getNumPartitions
+    val par = eck.sparkSession.sparkContext.defaultParallelism
+    val e = if (ePartitions > par) e0.coalesce(par) else e0
     val sym = e
       .union(e.select(col("d2").as("d1"), col("d1").as("d2")))
       // pre-partition on the per-round join key: each propagation round then
@@ -3918,7 +3935,15 @@ object TextOps {
     ck.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(reg.addRdd)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    val rebuilt = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    // same narrow-coalesce guard as [[connectedComponents]]' edge
+    // checkpoint: a checkpoint captures the raw final-stage layout (often
+    // a union/join's concatenated upstream partitions — wide and
+    // near-empty for the KB-scale lists checkpointed here), and every
+    // consumer stage would re-run that many map tasks. No-op at or under
+    // core count, partitioning-only.
+    val par = ck.sparkSession.sparkContext.defaultParallelism
+    if (ck.rdd.getNumPartitions > par) rebuilt.coalesce(par) else rebuilt
   }
 
   /** One HITS half-step: sum `scores` over the edges' `joinKey` endpoint,
