@@ -3749,8 +3749,18 @@ object TextOps {
 
     def ingest(roster: DataFrame, posts: DataFrame, batch: DataFrame)
         : (DataFrame, DataFrame) = {
-      val flagged = decontamCountsOn(shingleTableN(batch, 5), evalGrams)
-        .select("doc_id")
+      // persist (r20): the wave's flagged list is the root of the
+      // EXPENSIVE subtree (batch shingle pass + decontam counts), and the
+      // roster/posts chains re-embed it — batch 1's reappears under
+      // batch 2's novelty anti-join, the roster union, AND the serve's
+      // pool side (4 plan occurrences; the persisted posts2 cache build
+      // and the main job cannot share exchanges, so it re-EXECUTED per
+      // occurrence). Caching the tiny doc_id list collapses those to one
+      // shingle pass per wave; real IMR stats keep the anti-join's
+      // auto-broadcast (the checkpoint trap does not apply).
+      val flagged = CacheRegistry.harness.add(
+        decontamCountsOn(shingleTableN(batch, 5), evalGrams)
+          .select("doc_id").persist())
       val clean = batch.join(flagged, Seq("doc_id"), "left_anti")
       val novel = clean.join(roster, Seq("doc_id"), "left_anti")
       (roster.unionByName(
@@ -4521,11 +4531,21 @@ object TextOps {
     */
   private[graft] def trainingPlaneOn(s: SparkSession, d: String,
       seed: String): DataFrame = {
-    val sel = t168CleanSelect(s, d).select("doc_id")
-    val drawn = mixtureSampleOn(
+    // lineageCheckpoint at both stage boundaries (r20): the mixture draw
+    // references its pool TWICE (the quota table and its weight total), so
+    // without the cut the ENTIRE t168 subtree (shingle pass + decontam +
+    // DSIR serve) appears twice in the drawn plan and again inside the
+    // pack's broadcast — 1,293 explain lines re-walked per action, with
+    // the t168 tail re-executing under each occurrence. Both lists are
+    // ≤ DsirK/MixSampleK rows and feed only broadcast-HINTED semi-joins,
+    // so the checkpoint's defaultSizeInBytes stats cannot flip a join
+    // strategy (the manifest negative-result trap does not apply).
+    val sel = lineageCheckpoint(
+      t168CleanSelect(s, d).select("doc_id"), CacheRegistry.harness)
+    val drawn = lineageCheckpoint(mixtureSampleOn(
         documents(s, d).join(broadcast(sel), Seq("doc_id"), "left_semi")
           .select("doc_id", "lang"), seed)
-      .select("doc_id")
+      .select("doc_id"), CacheRegistry.harness)
     sequencePackOn(documents(s, d)
       .join(broadcast(drawn), Seq("doc_id"), "left_semi"), seed)
   }

@@ -403,6 +403,15 @@ object VectorOps {
           struct(-col("asim"), col("cid"))).as("t"))
         .select(col("vec_id"), col("t.embedding").as("embedding"),
           col("t.cid").as("cid"))
+      // persist, NOT lineageCheckpoint (r20 negative result): replacing
+      // this with the t145-style lazy-checkpoint truncation (to cut the
+      // nested IMR plan text — v181's final explain is ~2k lines) measured
+      // v83/v180 CONSISTENTLY ~0.25 s slower across 2 interleaved A/B
+      // pairs + a 3-iteration job-count probe: the checkpoint rebuild adds
+      // 2 AQE jobs per query (18 vs 16; every stage is already 1 task
+      // under AQE's cached-layout coalescing either way), and at 3 rounds
+      // the per-job floor outweighs the plan-description saving. The
+      // persisted 512-cell table stays.
       cg = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
